@@ -1,7 +1,22 @@
-from particle_col_image_segmentation_tpu.ops.filters import median_label_filter  # noqa: F401
+from particle_col_image_segmentation_tpu.ops.filters import (  # noqa: F401
+    gaussian_blur,
+    median_label_filter,
+)
 from particle_col_image_segmentation_tpu.ops.ccl import (  # noqa: F401
-    connected_components,
     compact_labels,
+    connected_components,
     label_image,
 )
-from particle_col_image_segmentation_tpu.ops.regionprops import region_props  # noqa: F401
+from particle_col_image_segmentation_tpu.ops.regionprops import (  # noqa: F401
+    RegionTable,
+    region_props,
+)
+from particle_col_image_segmentation_tpu.ops.edt import edt, edt_sq  # noqa: F401
+from particle_col_image_segmentation_tpu.ops.morphology import (  # noqa: F401
+    boundary_mask,
+    dilate_disk,
+    erode_disk,
+    fill_holes,
+    local_maxima,
+)
+from particle_col_image_segmentation_tpu.ops.watershed import watershed  # noqa: F401

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-__all__ = ["median_label_filter", "box_count"]
+__all__ = ["median_label_filter", "box_count", "gaussian_blur"]
 
 
 def _shift_sum(x: jnp.ndarray, size: int, axis: int) -> jnp.ndarray:
@@ -58,3 +58,31 @@ def median_label_filter(img: jnp.ndarray, size: int = 5, num_classes: int = 8):
         cum = box_count(x <= v, size)
         med = med + (cum < half_rank).astype(jnp.int32)
     return med.astype(img.dtype)
+
+
+def gaussian_blur(img: jnp.ndarray, sigma: float) -> jnp.ndarray:
+    """MATLAB imgaussfilt parity: separable Gaussian, kernel 2·ceil(2σ)+1,
+    replicate ('nearest') padding (reference .m:43-62)."""
+    import numpy as np
+
+    half = int(np.ceil(2 * sigma))
+    xs = np.arange(-half, half + 1, dtype=np.float64)
+    k = np.exp(-(xs * xs) / (2 * sigma * sigma))
+    k = (k / k.sum()).astype(np.float32)
+
+    x = img.astype(jnp.float32)
+
+    def conv_axis(x, axis):
+        n = x.shape[axis]
+        pad = [(0, 0)] * x.ndim
+        pad[axis] = (half, half)
+        xp = jnp.pad(x, pad, mode="edge")
+        out = None
+        for o in range(2 * half + 1):
+            sl = [slice(None)] * x.ndim
+            sl[axis] = slice(o, o + n)
+            piece = xp[tuple(sl)] * k[o]
+            out = piece if out is None else out + piece
+        return out
+
+    return conv_axis(conv_axis(x, -2), -1)

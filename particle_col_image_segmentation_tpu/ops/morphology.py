@@ -1,0 +1,223 @@
+"""Binary morphology on TPU: disk dilation/erosion, hole filling, local maxima.
+
+Reference call sites: skimage binary_dilation with disk SEs r∈{2,20}
+(tiff_analysis.py:828,990), scipy binary_fill_holes (:880), skimage
+local_maxima (refine_boundaries.py:62).
+
+Design: disk dilation of any radius is one bounded-EDT threshold (exact —
+see ops/edt.py); hole filling and plateau invalidation are boolean fixpoints
+solved with the same neighbor-step + row/column segmented-scan machinery as
+CCL, so they converge in O(#bends) iterations, not O(path length).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from particle_col_image_segmentation_tpu.ops.edt import edt_sq
+from particle_col_image_segmentation_tpu.ops.scans import seg_or_scan_bidi
+
+__all__ = [
+    "dilate_disk",
+    "erode_disk",
+    "fill_holes",
+    "local_maxima",
+    "boundary_mask",
+]
+
+
+def dilate_disk(mask: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """binary_dilation(mask, disk(radius)) — exact via EDT(¬mask) ≤ r."""
+    return edt_sq(mask, cap=radius) <= radius * radius
+
+
+def erode_disk(mask: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """binary_erosion with disk(radius), True border (skimage semantics)."""
+    return ~dilate_disk(~mask.astype(bool), radius)
+
+
+def _neighbor_or(x: jnp.ndarray, allowed: jnp.ndarray, connectivity: int = 4):
+    """One propagation step of x through ``allowed`` pixels."""
+    H, W = x.shape[-2:]
+    offsets4 = [(-1, 0), (1, 0), (0, -1), (0, 1)]
+    offsets8 = offsets4 + [(-1, -1), (-1, 1), (1, -1), (1, 1)]
+    out = x
+    for dy, dx in offsets8 if connectivity == 8 else offsets4:
+        sl_src = (
+            Ellipsis,
+            slice(max(0, -dy), H - max(0, dy)),
+            slice(max(0, -dx), W - max(0, dx)),
+        )
+        sl_dst = (
+            Ellipsis,
+            slice(max(0, dy), H - max(0, -dy)),
+            slice(max(0, dx), W - max(0, -dx)),
+        )
+        shifted = jnp.zeros_like(x).at[sl_dst].set(x[sl_src])
+        out = out | shifted
+    return out & allowed
+
+
+def _propagate_fixpoint(seed, allowed, same_row, same_col, connectivity, max_iters):
+    """OR-propagate ``seed`` through ``allowed``, scan-accelerated fixpoint."""
+
+    def body(state):
+        x, _, i = state
+        new = _neighbor_or(x, allowed, connectivity)
+        new = seg_or_scan_bidi(new, same_row, axis=-1) & allowed
+        newt = seg_or_scan_bidi(
+            jnp.swapaxes(new, -1, -2), jnp.swapaxes(same_col, -1, -2), axis=-1
+        )
+        new = jnp.swapaxes(newt, -1, -2) & allowed
+        return new, jnp.any(new != x), i + 1
+
+    def cond(state):
+        _, changed, i = state
+        return changed & (i < max_iters)
+
+    out, _, _ = jax.lax.while_loop(cond, body, (seed & allowed, jnp.bool_(True), 0))
+    return out
+
+
+def _run_masks(allowed):
+    """same_prev connectivity masks for runs of ``allowed`` along rows/cols."""
+    W = allowed.shape[-1]
+    same_row = jnp.concatenate(
+        [
+            jnp.zeros(allowed.shape[:-1] + (1,), bool),
+            allowed[..., :, 1:] & allowed[..., :, :-1],
+        ],
+        axis=-1,
+    )
+    same_col = jnp.concatenate(
+        [
+            jnp.zeros(allowed.shape[:-2] + (1, W), bool),
+            allowed[..., 1:, :] & allowed[..., :-1, :],
+        ],
+        axis=-2,
+    )
+    return same_row, same_col
+
+
+@partial(jax.jit, static_argnames=("max_iters",))
+def fill_holes(mask: jnp.ndarray, max_iters: int = 256) -> jnp.ndarray:
+    """scipy.ndimage.binary_fill_holes parity (4-connected background flood).
+
+    Background connected to the border stays background; every other
+    background pixel is a hole and gets filled.
+    """
+    mask = mask.astype(bool)
+    bg = ~mask
+    H, W = mask.shape[-2:]
+    border = jnp.zeros(mask.shape, bool)
+    border = border.at[..., 0, :].set(True)
+    border = border.at[..., -1, :].set(True)
+    border = border.at[..., :, 0].set(True)
+    border = border.at[..., :, -1].set(True)
+    same_row, same_col = _run_masks(bg)
+    reach = _propagate_fixpoint(border & bg, bg, same_row, same_col, 4, max_iters)
+    return ~reach
+
+
+@partial(jax.jit, static_argnames=("connectivity", "max_iters"))
+def local_maxima(
+    img: jnp.ndarray, connectivity: int = 2, max_iters: int = 256
+) -> jnp.ndarray:
+    """skimage.morphology.local_maxima parity (plateau-aware, borders allowed).
+
+    A pixel is marked iff its equal-value plateau has no neighbor with a
+    strictly greater value.  "Bad" status (has higher neighbor) is flood-
+    propagated through equal-valued runs to the whole plateau.
+    """
+    H, W = img.shape[-2:]
+    offsets4 = [(-1, 0), (1, 0), (0, -1), (0, 1)]
+    offsets8 = offsets4 + [(-1, -1), (-1, 1), (1, -1), (1, 1)]
+    offsets = offsets8 if connectivity == 2 else offsets4
+    has_higher = jnp.zeros(img.shape, bool)
+    for dy, dx in offsets:
+        sl_src = (
+            Ellipsis,
+            slice(max(0, -dy), H - max(0, dy)),
+            slice(max(0, -dx), W - max(0, dx)),
+        )
+        sl_dst = (
+            Ellipsis,
+            slice(max(0, dy), H - max(0, -dy)),
+            slice(max(0, dx), W - max(0, -dx)),
+        )
+        neigh = jnp.full(img.shape, -jnp.inf, img.dtype if jnp.issubdtype(img.dtype, jnp.floating) else jnp.float32)
+        neigh = neigh.at[sl_dst].set(img[sl_src].astype(neigh.dtype))
+        has_higher = has_higher | (neigh > img.astype(neigh.dtype))
+
+    # Propagate "bad" through equal-value plateaus (8-conn within plateau).
+    same_row = jnp.concatenate(
+        [
+            jnp.zeros(img.shape[:-1] + (1,), bool),
+            img[..., :, 1:] == img[..., :, :-1],
+        ],
+        axis=-1,
+    )
+    same_col = jnp.concatenate(
+        [
+            jnp.zeros(img.shape[:-2] + (1, W), bool),
+            img[..., 1:, :] == img[..., :-1, :],
+        ],
+        axis=-2,
+    )
+
+    def body(state):
+        bad, _, i = state
+        new = bad
+        for dy, dx in offsets:
+            sl_src = (
+                Ellipsis,
+                slice(max(0, -dy), H - max(0, dy)),
+                slice(max(0, -dx), W - max(0, dx)),
+            )
+            sl_dst = (
+                Ellipsis,
+                slice(max(0, dy), H - max(0, -dy)),
+                slice(max(0, dx), W - max(0, -dx)),
+            )
+            shifted_bad = jnp.zeros_like(bad).at[sl_dst].set(bad[sl_src])
+            # equality between the neighbor (src) and this pixel (dst position)
+            eq = jnp.zeros(img.shape, bool).at[sl_dst].set(img[sl_src] == img[sl_dst])
+            new = new | (shifted_bad & eq)
+        new = new | (seg_or_scan_bidi(new, same_row, axis=-1))
+        newt = seg_or_scan_bidi(
+            jnp.swapaxes(new, -1, -2), jnp.swapaxes(same_col, -1, -2), axis=-1
+        )
+        new = new | jnp.swapaxes(newt, -1, -2)
+        return new, jnp.any(new != bad), i + 1
+
+    def cond(state):
+        _, changed, i = state
+        return changed & (i < max_iters)
+
+    bad, _, _ = jax.lax.while_loop(cond, body, (has_higher, jnp.bool_(True), 0))
+    return ~bad
+
+
+def boundary_mask(mask: jnp.ndarray) -> jnp.ndarray:
+    """Mask pixels with a 4-neighbor outside the mask (or on the image edge) —
+    the bwboundaries pixel set (reference .m:291-292)."""
+    m = mask.astype(bool)
+    H, W = m.shape[-2:]
+    interior = m
+    for dy, dx in [(-1, 0), (1, 0), (0, -1), (0, 1)]:
+        sl_src = (
+            Ellipsis,
+            slice(max(0, -dy), H - max(0, dy)),
+            slice(max(0, -dx), W - max(0, dx)),
+        )
+        sl_dst = (
+            Ellipsis,
+            slice(max(0, dy), H - max(0, -dy)),
+            slice(max(0, dx), W - max(0, -dx)),
+        )
+        shifted = jnp.zeros(m.shape, bool).at[sl_dst].set(m[sl_src])
+        interior = interior & shifted
+    return m & ~interior

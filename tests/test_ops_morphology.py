@@ -1,0 +1,177 @@
+"""Parity tests: EDT, morphology, local maxima, watershed vs oracle/scipy."""
+
+import numpy as np
+import pytest
+from scipy import ndimage as ndi
+
+import jax.numpy as jnp
+
+from particle_col_image_segmentation_tpu.ops import (
+    boundary_mask,
+    dilate_disk,
+    edt,
+    edt_sq,
+    fill_holes,
+    gaussian_blur,
+    local_maxima,
+    watershed,
+)
+from particle_col_image_segmentation_tpu.oracle import ndimage as ond
+
+from fixtures import random_binary, synthetic_label_plane
+
+
+class TestEDT:
+    @pytest.mark.parametrize("seed", [0, 1])
+    @pytest.mark.parametrize("cap", [2, 5, 20])
+    def test_exact_within_cap(self, seed, cap):
+        m = random_binary((80, 80), p=0.04, seed=seed)
+        ours = np.asarray(edt_sq(jnp.asarray(m), cap=cap))
+        ref = ndi.distance_transform_edt(~m) ** 2
+        within = ref <= cap * cap
+        np.testing.assert_allclose(ours[within], np.round(ref[within]))
+        assert (ours[~within] > cap * cap).all()
+
+    def test_empty_feature_saturates(self):
+        m = np.zeros((16, 16), bool)
+        ours = np.asarray(edt_sq(jnp.asarray(m), cap=3))
+        assert (ours == 16).all()  # (cap+1)²
+
+    def test_float_edt(self):
+        m = random_binary((48, 48), p=0.1, seed=2)
+        ours = np.asarray(edt(jnp.asarray(m), cap=10))
+        ref = ndi.distance_transform_edt(~m)
+        sel = ref <= 10
+        np.testing.assert_allclose(ours[sel], ref[sel], rtol=1e-6)
+
+
+class TestDilation:
+    @pytest.mark.parametrize("r", [1, 2, 5, 20])
+    def test_matches_oracle_disk(self, r):
+        m = random_binary((96, 96), p=0.03, seed=3)
+        ours = np.asarray(dilate_disk(jnp.asarray(m), r))
+        ref = ond.binary_dilation(m, ond.disk(r))
+        np.testing.assert_array_equal(ours, ref)
+
+    def test_batched(self):
+        m = np.stack([random_binary((48, 48), p=0.05, seed=s) for s in range(2)])
+        ours = np.asarray(dilate_disk(jnp.asarray(m), 4))
+        for i in range(2):
+            np.testing.assert_array_equal(ours[i], ond.binary_dilation(m[i], ond.disk(4)))
+
+
+class TestFillHoles:
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_matches_scipy(self, seed):
+        # blobs with holes: dilated random points minus interior dots
+        m = random_binary((72, 72), p=0.02, seed=seed)
+        m = ond.binary_dilation(m, ond.disk(6))
+        rng = np.random.default_rng(seed + 100)
+        holes = rng.random(m.shape) < 0.1
+        m = m & ~holes
+        ours = np.asarray(fill_holes(jnp.asarray(m)))
+        ref = ndi.binary_fill_holes(m)
+        np.testing.assert_array_equal(ours, ref)
+
+    def test_ring(self):
+        m = np.zeros((32, 32), bool)
+        m[8:24, 8:24] = True
+        m[12:20, 12:20] = False
+        ours = np.asarray(fill_holes(jnp.asarray(m)))
+        expected = np.zeros((32, 32), bool)
+        expected[8:24, 8:24] = True
+        np.testing.assert_array_equal(ours, expected)
+
+
+class TestLocalMaxima:
+    @pytest.mark.parametrize("seed", [0, 1])
+    def test_matches_oracle_on_edt(self, seed):
+        # the refine_boundaries use case: maxima of a distance transform
+        m = random_binary((64, 64), p=0.03, seed=seed)
+        m = ond.binary_dilation(m, ond.disk(5))
+        dist = ndi.distance_transform_edt(m)
+        ours = np.asarray(local_maxima(jnp.asarray(dist)))
+        ref = ond.local_maxima(dist)
+        np.testing.assert_array_equal(ours, ref)
+
+    def test_plateau_cases(self):
+        img = np.zeros((5, 8))
+        img[2, 2:4] = 1.0
+        img[2, 6] = 1.0
+        img[1, 6] = 2.0
+        ours = np.asarray(local_maxima(jnp.asarray(img)))
+        ref = ond.local_maxima(img)
+        np.testing.assert_array_equal(ours, ref)
+
+
+class TestBoundaryMask:
+    def test_matches_oracle(self):
+        m = random_binary((48, 48), p=0.02, seed=7)
+        m = ond.binary_dilation(m, ond.disk(5))
+        ours = np.asarray(boundary_mask(jnp.asarray(m)))
+        ref_pts = ond.bwboundaries_pixels(m)
+        ref = np.zeros_like(m)
+        ref[ref_pts[:, 0], ref_pts[:, 1]] = True
+        np.testing.assert_array_equal(ours, ref)
+
+
+class TestGaussianBlur:
+    def test_matches_oracle(self):
+        rng = np.random.default_rng(0)
+        img = rng.random((32, 32))
+        for sigma in (1.0, 1.5):
+            ours = np.asarray(gaussian_blur(jnp.asarray(img), sigma))
+            ref = ond.imgaussfilt(img, sigma)
+            np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def _iou(a, b):
+    return np.sum(a & b) / max(1, np.sum(a | b))
+
+
+class TestWatershed:
+    def test_two_basin_exact(self):
+        img = np.zeros((5, 9), np.float32)
+        img[:, 4] = 1.0
+        markers = np.zeros((5, 9), np.int32)
+        markers[2, 1] = 1
+        markers[2, 7] = 2
+        out = np.asarray(watershed(jnp.asarray(img), jnp.asarray(markers)))
+        ref = ond.watershed(img, markers)
+        assert (out[:, :4] == 1).all() and (out[:, 5:] == 2).all()
+        # per-basin IoU vs oracle
+        for lab in (1, 2):
+            assert _iou(out == lab, ref == lab) > 0.85
+
+    def test_touching_cells_refine_flow(self):
+        # two touching discs, boundary prob relief = inverted EDT
+        m = np.zeros((48, 64), bool)
+        yy, xx = np.mgrid[:48, :64]
+        m |= (yy - 24) ** 2 + (xx - 24) ** 2 <= 144
+        m |= (yy - 24) ** 2 + (xx - 40) ** 2 <= 144
+        dist = ndi.distance_transform_edt(m)
+        relief = (-dist).astype(np.float32)
+        markers = np.zeros(m.shape, np.int32)
+        markers[24, 24] = 1
+        markers[24, 40] = 2
+        out = np.asarray(
+            watershed(jnp.asarray(relief), jnp.asarray(markers), jnp.asarray(m))
+        )
+        ref = ond.watershed(relief, markers, mask=m)
+        assert (np.asarray(out)[~m] == 0).all()
+        assert (np.asarray(out)[m] > 0).all()
+        for lab in (1, 2):
+            assert _iou(out == lab, ref == lab) > 0.9
+
+    def test_mask_and_marker_preservation(self):
+        rng = np.random.default_rng(3)
+        img = rng.random((40, 40)).astype(np.float32)
+        mask = np.zeros((40, 40), bool)
+        mask[4:36, 4:36] = True
+        markers = np.zeros((40, 40), np.int32)
+        markers[10, 10] = 3
+        markers[30, 30] = 1
+        out = np.asarray(watershed(jnp.asarray(img), jnp.asarray(markers), jnp.asarray(mask)))
+        assert out[10, 10] == 3 and out[30, 30] == 1
+        assert (out[~mask] == 0).all()
+        assert (out[mask] > 0).all()
