@@ -1,0 +1,131 @@
+"""Throughput benchmark: fused segmentation pass, MP/s per chip.
+
+Metric (BASELINE.json): Megapixels/sec/chip of the full segmentation pass —
+median denoise → connected components → compact labels → region properties →
+particle area — on batched 2048² label planes (the reference's fixed plane
+size, tiff_analysis.py:734).
+
+vs_baseline: the reference has no published numbers (BASELINE.md), so the
+baseline is the reference CPU path measured in-process: scipy median_filter +
+oracle CCL/regionprops on one identical plane.
+
+Prints ONE JSON line.
+"""
+
+import json
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_pcis")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+
+import numpy as np  # noqa: E402
+
+H = W = 2048
+BATCH = 4
+ITERS = 8
+MAX_REGIONS = 16384
+
+
+def make_plane(seed: int) -> np.ndarray:
+    """Synthetic 2048² label plane with reference-like structure."""
+    rng = np.random.default_rng(seed)
+    arr = np.full((H, W), 3, np.uint8)  # background
+    yy, xx = np.mgrid[:256, :256]
+    for _ in range(6):  # particles
+        cy, cx = rng.integers(200, H - 200, 2)
+        r = int(rng.integers(60, 120))
+        y0, x0 = cy - 128, cx - 128
+        m = (yy - 128) ** 2 + (xx - 128) ** 2 <= r * r
+        arr[y0 : y0 + 256, x0 : x0 + 256][m] = 2
+    for _ in range(3000):  # cells
+        cy, cx = rng.integers(8, H - 8, 2)
+        r = int(rng.integers(2, 5))
+        sl = arr[cy - r : cy + r + 1, cx - r : cx + r + 1]
+        dy, dx = np.mgrid[-r : r + 1, -r : r + 1]
+        sl[dy * dy + dx * dx <= r * r] = 1
+    # speckle noise for the median filter to clean
+    noise = rng.random((H, W)) < 0.01
+    arr[noise] = rng.integers(1, 4, noise.sum()).astype(np.uint8)
+    return arr
+
+
+def bench_device(batch: np.ndarray) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from particle_col_image_segmentation_tpu.ops import (
+        compact_labels,
+        connected_components,
+        median_label_filter,
+        region_props,
+    )
+
+    @jax.jit
+    def segment_pass(imgs, salt):
+        # ``salt`` keeps iterations from being trivially identical; the
+        # scalar fingerprint return forces full execution on platforms where
+        # block_until_ready does not synchronize (the axon relay).
+        imgs = imgs ^ (salt % 1).astype(jnp.uint8)  # no-op data dependency
+        den = median_label_filter(imgs, 5, 8)
+        raw = connected_components(den, background=None)
+
+        def per_plane(args):
+            r, d = args
+            seg, num = compact_labels(r, MAX_REGIONS)
+            table = region_props(seg, d, MAX_REGIONS)
+            particle = jnp.sum((d == 2).astype(jnp.int32))
+            return seg, num, table, particle
+
+        seg, num, table, particle = jax.vmap(per_plane)((raw, den))
+        fp = (
+            jnp.sum(seg.astype(jnp.int32))
+            + jnp.sum(num)
+            + jnp.sum(table.area)
+            + jnp.sum(particle)
+        )
+        return fp
+
+    x = jnp.asarray(batch)
+    _ = int(segment_pass(x, jnp.int32(0)))  # warmup + compile (scalar sync)
+    t0 = time.perf_counter()
+    fps = [segment_pass(x, jnp.int32(i)) for i in range(ITERS)]
+    _ = int(jnp.stack(fps).sum())  # one scalar readback drains the queue
+    dt = time.perf_counter() - t0
+    mp = BATCH * H * W * ITERS / 1e6
+    return mp / dt
+
+
+def bench_reference_cpu(plane: np.ndarray) -> float:
+    """Reference path: scipy median + (skimage-equivalent) CCL + regionprops."""
+    from scipy import ndimage as ndi
+
+    from particle_col_image_segmentation_tpu.oracle import ndimage as ond
+
+    t0 = time.perf_counter()
+    den = ndi.median_filter(plane, size=5)
+    lab = ond.label(den, background=-1)
+    regions = ond.regionprops(lab)
+    _ = sum(r.area for r in regions if den[r.coords[0][0], r.coords[0][1]] == 2)
+    dt = time.perf_counter() - t0
+    return (H * W / 1e6) / dt
+
+
+def main():
+    batch = np.stack([make_plane(s) for s in range(BATCH)])
+    device_mps = bench_device(batch)
+    baseline_mps = bench_reference_cpu(batch[0])
+    print(
+        json.dumps(
+            {
+                "metric": "fused_segmentation_throughput",
+                "value": round(device_mps, 2),
+                "unit": "MP/s/chip",
+                "vs_baseline": round(device_mps / baseline_mps, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,147 @@
+"""Command-line interface.
+
+The reference's "CLI" is edit-the-constants scripts with hardcoded paths
+(tiff_analysis.py:62, split_zstack.py:92-97, create_file_structure.py:90-94).
+Here: proper subcommands with the reference constants as defaults.
+
+  analyze    — recursive .h5 analysis (tiff_analysis.main parity)
+  split      — z-stack → per-plane per-channel TIFFs (split_zstack parity)
+  normalize  — raw-capture folder normalization (create_file_structure parity)
+  refine     — watershed boundary refinement (refine_boundaries parity)
+  nanosims   — 5-isotope ROI activity/distance analysis (.m parity)
+  bench      — run the throughput benchmark
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+# Persistent XLA compile cache: the fixpoint kernels are compile-heavy; cache
+# them across CLI invocations.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_pcis")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+
+from particle_col_image_segmentation_tpu.config import AnalysisConfig, RefineConfig
+
+
+def _add_analysis_flags(p: argparse.ArgumentParser) -> None:
+    d = AnalysisConfig()
+    p.add_argument("--denoise-size", type=int, default=d.denoise_size)
+    p.add_argument("--dilation-radius", type=int, default=d.dilation_radius)
+    p.add_argument("--distance-threshold", type=int, default=d.distance_threshold)
+    p.add_argument(
+        "--cell-cluster-distance-threshold",
+        type=int,
+        default=d.cell_cluster_distance_threshold,
+    )
+    p.add_argument("--dapi-overlap-threshold", type=float, default=d.dapi_overlap_threshold)
+    p.add_argument("--px-to-um", type=float, default=d.px_to_um)
+    p.add_argument("--max-regions", type=int, default=d.max_regions)
+    p.add_argument("--no-figures", action="store_true")
+    p.add_argument("--strict-reference-errors", action="store_true")
+
+
+def _cfg_from_args(args) -> AnalysisConfig:
+    return AnalysisConfig(
+        denoise_size=args.denoise_size,
+        dilation_radius=args.dilation_radius,
+        distance_threshold=args.distance_threshold,
+        cell_cluster_distance_threshold=args.cell_cluster_distance_threshold,
+        dapi_overlap_threshold=args.dapi_overlap_threshold,
+        px_to_um=args.px_to_um,
+        max_regions=args.max_regions,
+        strict_reference_errors=args.strict_reference_errors,
+    )
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="particle_col_image_segmentation_tpu",
+        description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("analyze", help="recursive .h5 label-map analysis")
+    p.add_argument("folder", help="top-level folder (strain tokens in path)")
+    _add_analysis_flags(p)
+
+    p = sub.add_parser("split", help="split z-stack TIFFs per plane/channel")
+    p.add_argument("folder")
+    p.add_argument(
+        "--channels", type=int, nargs="+", default=[1, 2],
+        help="channel indices (default 1 2 = RFP GFP, reference :93)",
+    )
+
+    p = sub.add_parser("normalize", help="normalize raw-capture folder tree")
+    p.add_argument("folder")
+
+    p = sub.add_parser("refine", help="watershed boundary refinement of a probability .h5")
+    p.add_argument("h5_file")
+    p.add_argument("--channel", type=int, default=RefineConfig().boundary_channel)
+    p.add_argument("--threshold", type=float, default=RefineConfig().boundary_threshold)
+    p.add_argument("--out", default=None, help="write refined labels to this .h5")
+
+    p = sub.add_parser("nanosims", help="NanoSIMS 5-isotope ROI analysis")
+    p.add_argument("mat_folder")
+    p.add_argument("rois_png")
+    p.add_argument("--bound-png", default=None)
+    p.add_argument("--out-dir", default=".")
+    p.add_argument("--compat-green-o-bug", action="store_true")
+
+    sub.add_parser("bench", help="run the throughput benchmark")
+
+    args = parser.parse_args(argv)
+
+    if args.command == "analyze":
+        from particle_col_image_segmentation_tpu.models.experiment import run_analysis
+
+        run_analysis(args.folder, _cfg_from_args(args), make_figures=not args.no_figures)
+    elif args.command == "split":
+        from particle_col_image_segmentation_tpu.models.zsplit import process_folder
+
+        process_folder(args.folder, args.channels)
+    elif args.command == "normalize":
+        from particle_col_image_segmentation_tpu.io.discovery import normalize_capture_tree
+
+        for folder in normalize_capture_tree(args.folder):
+            print("normalized:", folder)
+    elif args.command == "refine":
+        from particle_col_image_segmentation_tpu.io.hdf5 import (
+            load_h5_plane,
+            save_h5_plane,
+        )
+        from particle_col_image_segmentation_tpu.models.refine import refine_boundaries
+
+        cfg = RefineConfig(
+            boundary_threshold=args.threshold, boundary_channel=args.channel
+        )
+        probs = load_h5_plane(args.h5_file, key="exported_data")
+        result = refine_boundaries(probs, cfg)
+        print(f"cells: {result.num_cells}")
+        if args.out:
+            save_h5_plane(args.out, result.labels)
+            print("labels written to", args.out)
+    elif args.command == "nanosims":
+        from particle_col_image_segmentation_tpu.config import NanoSIMSConfig
+        from particle_col_image_segmentation_tpu.models.nanosims import run_nanosims
+
+        cfg = NanoSIMSConfig(compat_green_o_bug=args.compat_green_o_bug)
+        result = run_nanosims(
+            args.mat_folder, args.rois_png, args.bound_png, args.out_dir, cfg
+        )
+        print(
+            f"red ROIs: {result.red.num_rois}, green ROIs: {result.green.num_rois}; "
+            f"CSVs written to {args.out_dir}"
+        )
+    elif args.command == "bench":
+        import subprocess
+
+        return subprocess.call([sys.executable, "bench.py"])
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,54 @@
+"""Host-side TIFF codecs.
+
+tifffile is not available in this environment; PIL handles the classic
+single/multi-page grayscale TIFFs the reference reads and writes
+(split_zstack.py:50-51,64-65).  A native C++ codec for uncompressed strips
+can be slotted in behind the same API (see io/native).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+
+def read_tiff_stack(path: str) -> np.ndarray:
+    """Read all pages → [N, H, W] (or [H, W] for single-page)."""
+    from PIL import Image
+
+    img = Image.open(path)
+    frames = []
+    i = 0
+    while True:
+        try:
+            img.seek(i)
+        except EOFError:
+            break
+        frames.append(np.asarray(img))
+        i += 1
+    if len(frames) == 1:
+        return frames[0]
+    return np.stack(frames)
+
+
+def read_zstack(path: str, num_channels: Optional[int] = None) -> np.ndarray:
+    """Read a z-stack; with ``num_channels`` reshape pages [Z*C,H,W] →
+    [Z, C, H, W] (the layout split_zstack iterates, reference :52-58)."""
+    arr = read_tiff_stack(path)
+    if num_channels is not None and arr.ndim == 3:
+        z = arr.shape[0] // num_channels
+        arr = arr[: z * num_channels].reshape(z, num_channels, *arr.shape[1:])
+    return arr
+
+
+def write_tiff(path: str, arr: np.ndarray) -> None:
+    """Write one plane (or a stack of planes) as TIFF."""
+    from PIL import Image
+
+    arr = np.asarray(arr)
+    if arr.ndim == 2:
+        Image.fromarray(arr).save(path)
+    else:
+        pages = [Image.fromarray(p) for p in arr]
+        pages[0].save(path, save_all=True, append_images=pages[1:])

@@ -1,0 +1,171 @@
+"""Device-side region analytics: the fused per-plane analysis graph.
+
+One jit-compiled function does *all* O(H·W) work for a plane — denoise, CCL,
+region properties, particle fill, proximity-merge grouping inputs, DAPI
+dedup — so a plane crosses the host↔device boundary exactly twice (upload
+raw labels, download compact tables + images).  The O(regions) bookkeeping
+(dict assembly, CSV ordering) stays on host where it is negligible.
+
+Reference counterparts: tiff_analysis.py:742-789 (positions/areas),
+:826-883 (merge), :931-1015 (particle fill), :252-287 (DAPI dedup).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from particle_col_image_segmentation_tpu.config import AnalysisConfig, CELL_TYPES
+from particle_col_image_segmentation_tpu.ops import (
+    RegionTable,
+    centroids_int,
+    compact_labels,
+    connected_components,
+    dilate_disk,
+    edt_sq,
+    median_label_filter,
+    region_props,
+)
+
+__all__ = ["PlaneDeviceOut", "analyze_plane_device", "dapi_dedup_device", "strain_values_of"]
+
+
+class PlaneDeviceOut(NamedTuple):
+    den: jnp.ndarray  # [H,W] denoised label plane
+    seg: jnp.ndarray  # [H,W] compact component ids (1..n, raster order)
+    num: jnp.ndarray  # scalar int32: true component count
+    table: RegionTable  # [R+1] region properties
+    particle_area: jnp.ndarray  # scalar int32: particle pixels pre-fill
+    filled: jnp.ndarray  # [H,W] plane after particle fill
+    overlap_counts: jnp.ndarray  # [n_strains] int32 absorbed px per strain
+    g_ctx: jnp.ndarray  # [n_strains+1, R+1] merge-group root per region
+    #   (contexts: each strain in map order, then the combined union;
+    #    -1 = centroid not on any dilated component)
+
+
+def strain_values_of(cell_types: Tuple[Tuple[int, str], ...]):
+    """(value, name) pairs of strain classes, in map (value) order."""
+    return tuple((v, n) for v, n in cell_types if n in CELL_TYPES)
+
+
+def _particle_value(cell_types):
+    for v, n in cell_types:
+        if n == "Particle":
+            return v
+    raise ValueError("cell_types has no Particle class")
+
+
+@partial(jax.jit, static_argnames=("cell_types", "cfg", "compute_merge", "denoise"))
+def analyze_plane_device(
+    img: jnp.ndarray,
+    cell_types: Tuple[Tuple[int, str], ...],
+    cfg: AnalysisConfig,
+    compute_merge: bool = True,
+    denoise: bool = True,
+) -> PlaneDeviceOut:
+    """Full device analysis of one label plane.
+
+    Args:
+      img: [H, W] small-int class plane (raw, pre-denoise).
+      cell_types: static tuple of (pixel value, class name) in value order.
+      cfg: static AnalysisConfig.
+      compute_merge: also compute proximity-merge grouping inputs
+        (reference ``merged=True`` path).
+      denoise: median-filter first. False for planes that are already
+        denoised (the reference's deduped-DAPI and fused-channel re-analyses
+        at tiff_analysis.py:168,206 skip the filter).
+    """
+    H, W = img.shape
+    strain_pairs = strain_values_of(cell_types)
+    particle_val = _particle_value(cell_types)
+
+    den = (
+        median_label_filter(img, cfg.denoise_size, cfg.num_classes)
+        if denoise
+        else img
+    )
+    raw = connected_components(den, background=None)
+    seg, num = compact_labels(raw, cfg.max_regions)
+    table = region_props(seg, den, cfg.max_regions)
+    particle_area = jnp.sum((den == particle_val).astype(jnp.int32))
+
+    # --- particle fill (reference :931-1015) -----------------------------
+    # Sequential over strains on purpose: pixels absorbed for strain k expand
+    # the particle mask seen by strain k+1, exactly as the reference's loop
+    # reassigns ds_arr each iteration.
+    cap = max(cfg.dilation_radius, cfg.distance_threshold)
+    dt2 = cfg.distance_threshold * cfg.distance_threshold
+    dr2 = cfg.dilation_radius * cfg.dilation_radius
+    filled = den
+    overlaps = []
+    for sval, _ in strain_pairs:
+        particle_mask = filled == particle_val
+        cell_mask = filled == sval
+        d2 = edt_sq(particle_mask, cap=cap)
+        overlap = cell_mask & ((d2 < dt2) | (d2 <= dr2))
+        overlaps.append(jnp.sum(overlap.astype(jnp.int32)))
+        filled = jnp.where(overlap, jnp.uint8(particle_val), filled)
+    overlap_counts = (
+        jnp.stack(overlaps) if overlaps else jnp.zeros((0,), jnp.int32)
+    )
+
+    # --- proximity-merge grouping inputs (reference :826-851) ------------
+    # For each context (each strain's class mask, then the union of all
+    # strain masks): dilate by disk(r), label, and read the component root
+    # under every region's truncated centroid.  Host groups regions by root.
+    icy, icx = centroids_int(table)
+    icy = jnp.clip(icy, 0, H - 1)
+    icx = jnp.clip(icx, 0, W - 1)
+    if compute_merge:
+        masks = [den == sval for sval, _ in strain_pairs]
+        union = jnp.zeros((H, W), bool)
+        for m in masks:
+            union = union | m
+        g_rows = []
+        for m in masks + [union]:
+            dil = dilate_disk(m, cfg.merge_disk_radius)
+            ctx_raw = connected_components(dil.astype(jnp.uint8), background=0)
+            g_rows.append(ctx_raw[icy, icx])
+        g_ctx = jnp.stack(g_rows)
+    else:
+        g_ctx = jnp.full((len(strain_pairs) + 1, icy.shape[0]), -1, jnp.int32)
+
+    return PlaneDeviceOut(
+        den=den,
+        seg=seg,
+        num=num,
+        table=table,
+        particle_area=particle_area,
+        filled=filled,
+        overlap_counts=overlap_counts,
+        g_ctx=g_ctx,
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def dapi_dedup_device(
+    dapi: jnp.ndarray, other: jnp.ndarray, cfg: AnalysisConfig
+) -> jnp.ndarray:
+    """Remove DAPI cells overlapping the other channel's cells
+    (reference :252-287, vectorized: per-region overlap via segment sums).
+
+    Cells (value 1) whose component overlaps the other channel's cell mask by
+    more than ``cfg.dapi_overlap_threshold`` of their area become value 2.
+    """
+    dapi_mask = dapi == 1
+    other_mask = other == 1
+    raw = connected_components(dapi_mask.astype(jnp.uint8), background=0)
+    seg, _ = compact_labels(raw, cfg.max_regions)
+    R = cfg.max_regions + 1
+    ids = seg.ravel()
+    area = jax.ops.segment_sum(jnp.ones_like(ids), ids, num_segments=R)
+    ov = jax.ops.segment_sum(
+        other_mask.ravel().astype(jnp.int32), ids, num_segments=R
+    )
+    frac = ov.astype(jnp.float32) / jnp.maximum(area, 1).astype(jnp.float32)
+    remove = (frac > cfg.dapi_overlap_threshold) & (jnp.arange(R) > 0)
+    remove_px = remove[seg] & dapi_mask
+    return jnp.where(remove_px, jnp.uint8(2), dapi)

@@ -1,0 +1,267 @@
+"""Experiment orchestration: folder → analysis → CSV/figures.
+
+Host-side drivers mirroring reference tiff_analysis.py's two entry flows:
+``process_single_h5_file`` (:627-671) and ``process_multiple_h5_files``
+(:92-222), with all pixel work delegated to the jit device graphs.
+
+Faithful ordering quirks preserved:
+  * single-file: counts/densities use the PRE-fill particle area (:647-648),
+    while both position CSVs use the POST-fill area (:651,668-670);
+  * multi-file: the RFP channel's recreated particle area is authoritative
+    (:128-132) and all CSVs/densities use it.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from particle_col_image_segmentation_tpu.config import (
+    BASE_TYPE_MAP,
+    CELL_TYPES,
+    AnalysisConfig,
+    DEFAULT_CONFIG,
+)
+from particle_col_image_segmentation_tpu.io.discovery import (
+    get_h5_files_recursively,
+    get_pos_and_density_file_names,
+)
+from particle_col_image_segmentation_tpu.io.hdf5 import load_h5_plane
+from particle_col_image_segmentation_tpu.labels import classmaps
+from particle_col_image_segmentation_tpu.labels.analysis import dapi_dedup_device
+from particle_col_image_segmentation_tpu.models.multichannel import fuse_channels
+from particle_col_image_segmentation_tpu.models.single_channel import (
+    PlaneAnalysis,
+    analyze_plane,
+)
+from particle_col_image_segmentation_tpu.oracle.reference_pipeline import (
+    get_cell_counts_and_densities,
+    normalize_ds_arr,
+)
+from particle_col_image_segmentation_tpu.report.csvio import (
+    write_cell_position_info,
+    write_density_info,
+    write_merged_cell_position_info,
+)
+
+
+def process_h5_folder(
+    cur_folder: str,
+    h5_files: List[str],
+    cfg: AnalysisConfig = DEFAULT_CONFIG,
+    make_figures: bool = True,
+) -> None:
+    """Dispatch single vs multi-channel (reference :85-89)."""
+    if len(h5_files) == 1:
+        process_single_h5_file(cur_folder, h5_files[0], cfg, make_figures)
+    else:
+        process_multiple_h5_files(cur_folder, h5_files, cfg, make_figures)
+
+
+def process_single_h5_file(
+    cur_folder: str,
+    file_path: str,
+    cfg: AnalysisConfig = DEFAULT_CONFIG,
+    make_figures: bool = True,
+) -> PlaneAnalysis:
+    """Single-file flow (reference :627-671)."""
+    full_file_path = os.path.join(cur_folder, file_path)
+    density_path, cell_pos_path = get_pos_and_density_file_names(cur_folder)
+    base_name = full_file_path.replace(".h5", "")
+    processed_folder = cur_folder.split("/")[-1]
+
+    cell_types = classmaps.get_cell_type_map(file_path)
+    ds_arr = normalize_ds_arr(load_h5_plane(full_file_path), cfg)
+    res = analyze_plane(ds_arr, cell_types, cfg, merged=True)
+
+    # counts/densities use the PRE-fill particle area (reference :647-648)
+    cell_count, cell_density, cell_area_ratio = get_cell_counts_and_densities(
+        res.cell_pos, res.cell_clusters, res.particle_area, cfg
+    )
+
+    if make_figures:
+        from particle_col_image_segmentation_tpu.viz import (
+            create_single_plots,
+            get_color_map,
+            plot_original_vs_merged,
+        )
+
+        cmap, norm = get_color_map(cell_types)
+        create_single_plots(
+            ds_arr, cmap, norm, processed_folder, base_name, res.denoised,
+            res.filled, cell_positions=res.cell_pos, cell_clusters=res.cell_clusters,
+        )
+        plot_original_vs_merged(
+            res.denoised, res.merged_clusters, res.cell_clusters, cell_types,
+            processed_folder, base_name,
+        )
+
+    # position CSVs use the POST-fill area (reference :651,668-670)
+    write_cell_position_info(
+        res.cell_pos, res.cell_clusters, cell_pos_path, res.filled_particle_area, cfg
+    )
+    merged_path = cell_pos_path.replace("_cell_pos.csv", "_merged_cell_pos.csv")
+    write_merged_cell_position_info(
+        res.merged_clusters, merged_path, res.filled_particle_area, cfg
+    )
+    write_density_info(
+        density_path, processed_folder, cell_density, cell_area_ratio, cell_count
+    )
+    return res
+
+
+def process_multiple_h5_files(
+    cur_folder: str,
+    h5_files: List[str],
+    cfg: AnalysisConfig = DEFAULT_CONFIG,
+    make_figures: bool = True,
+) -> Dict[str, PlaneAnalysis]:
+    """Multi-channel fusion flow (reference :92-222)."""
+    density_path, cell_pos_path = get_pos_and_density_file_names(cur_folder)
+    raw_path = cell_pos_path.replace("_cell_pos.csv", "_cell_pos_raw.csv")
+    combined_path = cell_pos_path.replace("_cell_pos.csv", "_cell_pos_combined.csv")
+    processed_folder = cur_folder.split("/")[-1]
+
+    rfp_particle_area: Optional[int] = None
+    master_cell_pos: Dict[str, list] = {}
+    master_cell_clusters: Dict[str, list] = {}
+    channel_ds_arrs: Dict[str, np.ndarray] = {}
+    channel_raw_arrs: Dict[str, np.ndarray] = {}
+    dapi_cell_types = None
+    results: Dict[str, PlaneAnalysis] = {}
+    cell_strains = classmaps.get_strains_from_path(cur_folder)
+    base_name = None
+
+    for file in h5_files:
+        full_file_path = os.path.join(cur_folder, file)
+        channel = classmaps.get_channel_from_path(file)
+        cell_types = classmaps.get_cell_type_map_from_channel(cell_strains, channel)
+        strain_type = cell_types[1]
+        base_name = full_file_path.replace(".h5", "")
+        ds_arr = normalize_ds_arr(load_h5_plane(full_file_path), cfg)
+        res = analyze_plane(ds_arr, cell_types, cfg, merged=False)
+        results[channel] = res
+        channel_ds_arrs[channel] = res.denoised
+        channel_raw_arrs[channel] = ds_arr
+
+        overlap_arr = None
+        if channel == "RFP":
+            # RFP establishes the authoritative particle area (reference
+            # :128-132): base + absorbed overlap from the fill pass.
+            rfp_particle_area = res.filled_particle_area
+            overlap_arr = res.filled
+            if strain_type == "Particle":  # no cell class on this plane
+                continue
+        elif channel == "DAPI":
+            dapi_cell_types = cell_types
+        if strain_type not in CELL_TYPES:
+            raise ValueError(f"Strain type not in cell types. {strain_type}")
+
+        if make_figures:
+            from particle_col_image_segmentation_tpu.viz import (
+                create_channel_plots,
+                get_color_map,
+            )
+
+            cmap, norm = get_color_map(cell_types)
+            create_channel_plots(
+                ds_arr, strain_type, cmap, norm,
+                f"{processed_folder}_{channel}", base_name, res.denoised,
+                overlap_arr, cell_positions=res.cell_pos,
+                cell_clusters=res.cell_clusters,
+            )
+        master_cell_pos.update(res.cell_pos)
+        master_cell_clusters.update(res.cell_clusters)
+
+    if rfp_particle_area is None:
+        raise ValueError("RFP particle area not found")
+
+    write_cell_position_info(
+        master_cell_pos, master_cell_clusters, raw_path, rfp_particle_area, cfg
+    )
+
+    if len(cell_strains) > 1:
+        other_name = "GFP" if cell_strains == ["6B07", "C3M10"] else "RFP"
+        other = channel_ds_arrs[other_name]
+        dapi_updated = np.asarray(
+            dapi_dedup_device(
+                jnp.asarray(channel_ds_arrs["DAPI"]), jnp.asarray(other), cfg
+            )
+        )
+        # The reference analyzes the already-denoised deduped plane directly
+        # (:168) — no second median pass.
+        dapi_res = analyze_plane(
+            dapi_updated, dapi_cell_types, cfg, merged=False, denoise=False
+        )
+        master_cell_pos["6B07"] = dapi_res.cell_pos.get("6B07", [])
+        master_cell_clusters["6B07"] = dapi_res.cell_clusters.get("6B07", [])
+
+        if make_figures:
+            from particle_col_image_segmentation_tpu.viz import (
+                get_color_map,
+                visualize_dapi_overlap_results,
+            )
+
+            cmap, norm = get_color_map(BASE_TYPE_MAP)
+            dapi_cmap, dapi_norm = get_color_map(dapi_cell_types)
+            other_updated = np.array(other, copy=True)
+            other_updated[other == 3] = 5
+            other_updated[other == 2] = 4
+            if other_name == "GFP":
+                other_updated[other == 1] = 3
+            visualize_dapi_overlap_results(
+                channel_ds_arrs["DAPI"], other_updated, dapi_updated,
+                cmap, norm, dapi_cmap, dapi_norm, processed_folder, base_name,
+                other_name,
+            )
+
+    cell_counts, cell_densities, cell_area_ratios = get_cell_counts_and_densities(
+        master_cell_pos, master_cell_clusters, rfp_particle_area, cfg
+    )
+    write_density_info(
+        density_path, processed_folder, cell_densities, cell_area_ratios, cell_counts
+    )
+
+    # fused plane is built from denoised channels — no second median pass
+    # (reference :206 analyzes combined_channels directly)
+    fused = np.asarray(fuse_channels(channel_ds_arrs, cell_strains))
+    fused_res = analyze_plane(fused, BASE_TYPE_MAP, cfg, merged=True, denoise=False)
+    merged_clusters = fused_res.merged_clusters
+
+    if make_figures and base_name is not None:
+        from particle_col_image_segmentation_tpu.viz import (
+            create_plot,
+            get_color_map,
+            plot_original_vs_merged,
+        )
+
+        cmap, norm = get_color_map(BASE_TYPE_MAP)
+        plot_original_vs_merged(
+            fused, merged_clusters, master_cell_clusters, BASE_TYPE_MAP,
+            processed_folder, base_name,
+        )
+        create_plot(
+            fused, cmap, norm, f"{base_name}_combined_channels.png",
+            cell_positions=master_cell_pos, cell_clusters=master_cell_clusters,
+            title=f"{processed_folder} Combined Channels",
+        )
+
+    write_cell_position_info(
+        master_cell_pos, master_cell_clusters, combined_path, rfp_particle_area, cfg
+    )
+    merged_path = combined_path.replace("_cell_pos_combined.csv", "_merged_cell_pos.csv")
+    write_merged_cell_position_info(merged_clusters, merged_path, rfp_particle_area, cfg)
+    return results
+
+
+def run_analysis(
+    top_level_folder: str,
+    cfg: AnalysisConfig = DEFAULT_CONFIG,
+    make_figures: bool = True,
+) -> None:
+    """Top-level driver (reference main, :1126-1134)."""
+    for folder, files in get_h5_files_recursively(top_level_folder).items():
+        process_h5_folder(folder, files, cfg, make_figures)

@@ -1,0 +1,401 @@
+"""NanoSIMS 5-isotope ROI activity/distance analysis.
+
+TPU-native port of HCN_nanosims_rois_activity_distance_5iso_YG.m (346 LoC
+MATLAB; line references below are into that script):
+
+  1. load per-species count images from .mat, crop a 1-px frame (:6-28);
+  2. display / ratio images with Gaussian blur (:30-69);
+  3. painted-PNG ROI ingestion — red/green classes (:82-102);
+  4. per-ROI isotope sums and activities (:104-234) — on TPU, one
+     ``lax.scan`` over ROIs resizes each painted mask to acquisition size and
+     reduces all isotopes at once (the MATLAB per-ROI O(ROIs·H·W) loop);
+  5. data.csv / data_xy.csv (:237, :252-256);
+  6. nearest-neighbor distances between classes (:259-268);
+  7. distance to the painted aggregate boundary (:270-309).
+
+Deliberate deviations (each documented inline, compat-flagged where output
+changes): the green-loop O17/O18 activity-image accumulation into the *red*
+images (:210-213) is fixed by default (``NanoSIMSConfig.compat_green_o_bug``
+restores it); boundary distances use a consistent coordinate space by
+default (the MATLAB script mixes painted-space (row,col) boundary pixels
+with acquisition-space (x,y) centroids, :301-304).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from particle_col_image_segmentation_tpu.config import NanoSIMSConfig
+from particle_col_image_segmentation_tpu.ops import (
+    boundary_mask,
+    compact_labels,
+    connected_components,
+    gaussian_blur,
+)
+from particle_col_image_segmentation_tpu.ops.pairwise import min_dist_to_set
+
+ISOTOPES = ("C12", "C13", "N14C12", "N15C12", "O16", "O17", "O18", "ESI")
+# data row column order (ref :154): class, i, C12, C13, N14, N15, O16, O17, O18
+_SUM_ORDER = ("C12", "C13", "N14C12", "N15C12", "O16", "O17", "O18")
+
+
+def crop_frame(arr: np.ndarray) -> np.ndarray:
+    """Crop the 1-px acquisition frame: IM(2:n-1, 2:n-1) (ref :19-28)."""
+    return np.asarray(arr)[1:-1, 1:-1]
+
+
+def load_isotope_mats(folder: str) -> Dict[str, np.ndarray]:
+    """Load {name}.mat files, each holding matrix ``IM`` (ref :6-16), and
+    crop the frame.  File naming: 12C.mat, 13C.mat, 14N12C.mat, 15N12C.mat,
+    16O.mat, 17O.mat, 18O.mat, Esi.mat."""
+    import os
+
+    from scipy.io import loadmat
+
+    names = {
+        "N14C12": "14N12C.mat",
+        "N15C12": "15N12C.mat",
+        "C12": "12C.mat",
+        "C13": "13C.mat",
+        "O16": "16O.mat",
+        "O17": "17O.mat",
+        "O18": "18O.mat",
+        "ESI": "Esi.mat",
+    }
+    out = {}
+    for key, fname in names.items():
+        out[key] = crop_frame(loadmat(os.path.join(folder, fname))["IM"].astype(np.float64))
+    return out
+
+
+def to_uint8_display(raw: np.ndarray) -> np.ndarray:
+    """uint8(raw * 255/max) with MATLAB rounding+saturation (ref :30-39)."""
+    m = float(np.max(raw))
+    scaled = raw * (255.0 / m) if m > 0 else np.zeros_like(raw)
+    return np.clip(np.round(scaled), 0, 255).astype(np.uint8)
+
+
+def ratio_image(num: np.ndarray, den: np.ndarray) -> np.ndarray:
+    """uint8(num/den * 255/max(num/den)) (ref :45-69)."""
+    ratio = np.asarray(num, np.float64) / np.asarray(den, np.float64)
+    return to_uint8_display(ratio)
+
+
+def display_images(iso: Dict[str, np.ndarray], cfg: NanoSIMSConfig = NanoSIMSConfig()):
+    """All display/ratio images of ref :30-69 (blurred + unblurred)."""
+    g = lambda a, s: np.asarray(gaussian_blur(jnp.asarray(a), s))  # noqa: E731
+    n15g = g(iso["N15C12"], cfg.sigma_display)
+    n14g = g(iso["N14C12"], cfg.sigma_display)
+    c12g = g(iso["C12"], cfg.sigma_ratio)
+    c13g = g(iso["C13"], cfg.sigma_ratio)
+    o16g = g(iso["O16"], cfg.sigma_display)
+    o17g = g(iso["O17"], cfg.sigma_display)
+    o18g = g(iso["O18"], cfg.sigma_display)
+    esig = g(iso["ESI"], cfg.sigma_ratio)
+    out = {name: to_uint8_display(iso[name]) for name in _SUM_ORDER}
+    out.update(
+        N15ratioimg=ratio_image(n15g, n15g + n14g),
+        N14C12C12ratio=ratio_image(n14g, c12g),
+        C13ratioimg=ratio_image(c13g, c13g + c12g),
+        O17ratioimg=ratio_image(o17g, o18g + o17g + o16g),
+        O18ratioimg=ratio_image(o18g, o18g + o17g + o16g),
+        # ref :63-64 computes the blurred ESI ratio then immediately
+        # overwrites it with the raw one; both are exposed.
+        N14C12ESIratio_blur=ratio_image(n14g, esig),
+        N14C12ESIratio=ratio_image(iso["N14C12"], iso["ESI"]),
+        N15ratimg=ratio_image(iso["N15C12"], iso["N15C12"] + iso["N14C12"]),
+        C13ratimg=ratio_image(iso["C13"], iso["C13"] + iso["C12"]),
+        O17ratimg=ratio_image(iso["O17"], iso["O18"] + iso["O17"] + iso["O16"]),
+        O18ratimg=ratio_image(iso["O18"], iso["O18"] + iso["O17"] + iso["O16"]),
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# painted-ROI ingestion (ref :82-102)
+# ---------------------------------------------------------------------------
+
+
+def crop_to_content(rgb: np.ndarray, blue_thresh: int = 200) -> np.ndarray:
+    """Crop a painted PNG to the bounding box of its content mask
+    (blue < thresh) (ref :83-85).
+
+    Deviation: MATLAB's imcrop(rect from regionprops BoundingBox) includes
+    one extra row/col from its half-pixel rect convention; we crop exactly to
+    the content bounding box.
+    """
+    mask = rgb[..., 2] < blue_thresh
+    ys, xs = np.nonzero(mask)
+    if len(ys) == 0:
+        return rgb
+    return rgb[ys.min() : ys.max() + 1, xs.min() : xs.max() + 1]
+
+
+def class_masks(rgb: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """red = (R−B)==255, green = (G−B)==255 with uint8 saturating subtraction
+    (ref :91-99)."""
+    r = rgb[..., 0].astype(np.int32)
+    g = rgb[..., 1].astype(np.int32)
+    b = rgb[..., 2].astype(np.int32)
+    red = np.clip(r - b, 0, 255) == 255
+    green = np.clip(g - b, 0, 255) == 255
+    return red, green
+
+
+def boundary_class_mask(rgb: np.ndarray, thresh: int = 175) -> np.ndarray:
+    """bound.png red mask: (R−B) > thresh (ref :279-281)."""
+    r = rgb[..., 0].astype(np.int32)
+    b = rgb[..., 2].astype(np.int32)
+    return np.clip(r - b, 0, 255) > thresh
+
+
+# ---------------------------------------------------------------------------
+# per-ROI reductions (ref :104-234) — one lax.scan over ROIs
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("num_rois", "out_size"))
+def _roi_scan(labels: jnp.ndarray, isotopes: jnp.ndarray, num_rois: int, out_size: int):
+    """For each ROI id 1..num_rois: resize its painted mask to acquisition
+    size (MATLAB imresize bicubic+antialias ≈ jax.image.resize 'cubic',
+    antialias=True) and reduce all isotope sums + the resized-mask centroid.
+
+    Returns (sums [num_rois, n_iso], centroids_xy [num_rois, 2]).
+    Centroids follow MATLAB's regionprops-on-a-double-matrix semantics: only
+    pixels whose resized value floors to 1 count (ref :164-165), 1-based
+    (x, y) coordinates.
+    """
+    n_iso = isotopes.shape[0]
+    Hs, Ws = out_size, out_size
+    rows = jax.lax.broadcasted_iota(jnp.float32, (Hs, Ws), 0)
+    cols = jax.lax.broadcasted_iota(jnp.float32, (Hs, Ws), 1)
+
+    def body(_, i):
+        mask = (labels == i).astype(jnp.float32)
+        resized = jax.image.resize(mask, (Hs, Ws), method="cubic", antialias=True)
+        sums = jnp.sum(isotopes * resized[None], axis=(1, 2))
+        solid = jnp.floor(resized) >= 1
+        cnt = jnp.maximum(jnp.sum(solid), 1)
+        cx = jnp.sum(jnp.where(solid, cols, 0.0)) / cnt + 1.0
+        cy = jnp.sum(jnp.where(solid, rows, 0.0)) / cnt + 1.0
+        return None, (sums, jnp.stack([cx, cy]))
+
+    _, (sums, cents) = jax.lax.scan(
+        body, None, jnp.arange(1, num_rois + 1), length=num_rois
+    )
+    return sums.reshape(num_rois, n_iso), cents.reshape(num_rois, 2)
+
+
+@dataclasses.dataclass
+class RoiClassResult:
+    num_rois: int
+    sums: np.ndarray  # [R, 7] per _SUM_ORDER
+    activities: np.ndarray  # [R, 4]: C13act, N15act, O17act, O18act
+    positions: np.ndarray  # [R, 2] (x, y), acquisition space, 1-based
+    labels: np.ndarray  # painted-space ROI label image
+    activity_images: Dict[str, np.ndarray]  # painted-space act maps (N/C/O17/O18)
+
+
+def analyze_roi_class(
+    mask: np.ndarray,
+    isotopes: Dict[str, np.ndarray],
+    cfg: NanoSIMSConfig = NanoSIMSConfig(),
+) -> RoiClassResult:
+    """Per-ROI sums, activities, positions, and activity maps for one painted
+    class (the body of ref loops :122-170 / :186-234)."""
+    acq = next(iter(isotopes.values())).shape[0]
+    raw = connected_components(jnp.asarray(mask, jnp.uint8), background=0)
+    labels, num = compact_labels(raw, cfg.max_rois)
+    n = int(num)
+    if n > cfg.max_rois:
+        raise ValueError(f"{n} ROIs > max_rois={cfg.max_rois}")
+    iso_stack = jnp.asarray(np.stack([isotopes[k] for k in _SUM_ORDER]), jnp.float32)
+    if n == 0:
+        return RoiClassResult(
+            0, np.zeros((0, 7)), np.zeros((0, 4)), np.zeros((0, 2)),
+            np.asarray(labels), {k: np.zeros(mask.shape) for k in ("N", "C", "O17", "O18")},
+        )
+    sums, cents = _roi_scan(labels, iso_stack, n, acq)
+    sums = np.asarray(sums, np.float64)
+    c12, c13, n14, n15, o16, o17, o18 = (sums[:, i] for i in range(7))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        acts = np.stack(
+            [
+                c13 / (c13 + c12),
+                n15 / (n14 + n15),
+                o17 / (o18 + o17 + o16),
+                o18 / (o18 + o17 + o16),
+            ],
+            axis=1,
+        )
+    lab_np = np.asarray(labels)
+    act_imgs = {}
+    for name, col in zip(("C", "N", "O17", "O18"), range(4)):
+        per_roi = np.concatenate([[0.0], acts[:, col]])
+        act_imgs[name] = per_roi[np.clip(lab_np, 0, n)]
+    return RoiClassResult(
+        num_rois=n,
+        sums=sums,
+        activities=acts,
+        positions=np.asarray(cents, np.float64),
+        labels=lab_np,
+        activity_images=act_imgs,
+    )
+
+
+@dataclasses.dataclass
+class NanoSIMSResult:
+    red: RoiClassResult
+    green: RoiClassResult
+    all_data: np.ndarray  # [R_red+R_green, 17] (ref :154/:218 row layout)
+    data_xy: np.ndarray  # all_data + (x, y)
+    nearest: Optional[np.ndarray]  # µm-converted nearest-other-class distance
+    activity_images: Dict[str, np.ndarray]  # combined red+green act maps
+
+
+def _data_rows(cls_id: int, res: RoiClassResult) -> np.ndarray:
+    n = res.num_rois
+    if n == 0:
+        return np.zeros((0, 17))
+    idx = np.arange(1, n + 1, dtype=np.float64)
+    return np.column_stack(
+        [np.full(n, cls_id, np.float64), idx, res.sums, res.activities,
+         res.activities * 100.0]
+    )
+
+
+def analyze_nanosims(
+    isotopes: Dict[str, np.ndarray],
+    rois_rgb: np.ndarray,
+    cfg: NanoSIMSConfig = NanoSIMSConfig(),
+) -> NanoSIMSResult:
+    """Full ROI workflow of ref :82-268 (excluding figure export)."""
+    rois = crop_to_content(rois_rgb)
+    red_mask, green_mask = class_masks(rois)
+    red = analyze_roi_class(red_mask, isotopes, cfg)
+    green = analyze_roi_class(green_mask, isotopes, cfg)
+
+    all_data = np.vstack([_data_rows(1, red), _data_rows(2, green)])
+    xy = np.vstack([red.positions, green.positions])
+    data_xy = np.column_stack([all_data, xy]) if len(all_data) else np.zeros((0, 19))
+
+    nearest = None
+    if red.num_rois and green.num_rois:
+        a = jnp.asarray(red.positions, jnp.float32)
+        b = jnp.asarray(green.positions, jnp.float32)
+        a_near = np.asarray(min_dist_to_set(a, b, jnp.ones((green.num_rois,), bool)))
+        b_near = np.asarray(min_dist_to_set(b, a, jnp.ones((red.num_rois,), bool)))
+        # ref :265-268: µm conversion hardcodes 512 px regardless of size
+        nearest = np.concatenate([a_near, b_near]) / (
+            cfg.distance_size_px / cfg.raster_um
+        )
+
+    if cfg.compat_green_o_bug:
+        # ref :210-213: the green loop accumulates its O17/O18 maps into the
+        # RED images (copy-paste bug).  The combined maps below are unchanged;
+        # only the per-class maps move.
+        for name in ("O17", "O18"):
+            red.activity_images[name] = (
+                red.activity_images[name] + green.activity_images[name]
+            )
+            green.activity_images[name] = np.zeros_like(green.activity_images[name])
+    act_imgs = {
+        name: red.activity_images[name] + green.activity_images[name]
+        for name in ("N", "C", "O17", "O18")
+    }
+    return NanoSIMSResult(
+        red=red, green=green, all_data=all_data, data_xy=data_xy,
+        nearest=nearest, activity_images=act_imgs,
+    )
+
+
+def run_nanosims(
+    mat_folder: str,
+    rois_png: str,
+    bound_png: Optional[str] = None,
+    out_dir: str = ".",
+    cfg: NanoSIMSConfig = NanoSIMSConfig(),
+) -> NanoSIMSResult:
+    """End-to-end NanoSIMS driver: load .mat images + painted PNGs, write
+    data.csv / data_xy.csv / data_dist_nearest.csv / data_dist_nearest_bound.csv
+    (ref :237,:256,:268,:309)."""
+    import os
+
+    from PIL import Image
+
+    from particle_col_image_segmentation_tpu.report.csvio import write_matrix_csv
+
+    isotopes = load_isotope_mats(mat_folder)
+    rois_rgb = np.asarray(Image.open(rois_png).convert("RGB"))
+    result = analyze_nanosims(isotopes, rois_rgb, cfg)
+    write_matrix_csv(os.path.join(out_dir, "data.csv"), result.all_data)
+    write_matrix_csv(os.path.join(out_dir, "data_xy.csv"), result.data_xy)
+    if result.nearest is not None:
+        write_matrix_csv(
+            os.path.join(out_dir, "data_dist_nearest.csv"),
+            np.column_stack([result.all_data, result.nearest]),
+        )
+    if bound_png is not None:
+        bound_rgb = np.asarray(Image.open(bound_png).convert("RGB"))
+        acq = next(iter(isotopes.values())).shape[0]
+        bd = boundary_distances(result, bound_rgb, acq, cfg)
+        base = (
+            np.column_stack([result.all_data, result.nearest])
+            if result.nearest is not None
+            else result.all_data
+        )
+        write_matrix_csv(
+            os.path.join(out_dir, "data_dist_nearest_bound.csv"),
+            np.column_stack([base, bd]),
+        )
+    return result
+
+
+def boundary_distances(
+    result: NanoSIMSResult,
+    bound_rgb: np.ndarray,
+    acquisition_size: int,
+    cfg: NanoSIMSConfig = NanoSIMSConfig(),
+) -> np.ndarray:
+    """Min distance from each ROI to the painted aggregate boundary, µm
+    (ref :270-309).
+
+    Deviation (documented): the MATLAB script compares acquisition-space
+    (x, y) centroids against painted-space (row, col) boundary pixels
+    (coordinate spaces AND axis order crossed).  We map boundary pixels to
+    acquisition coordinates with the same half-pixel scaling imresize uses
+    and compare consistent (x, y) pairs.
+
+    Args:
+      acquisition_size: side of the cropped isotope planes (n−2).
+    """
+    bound = crop_to_content(bound_rgb)
+    red = boundary_class_mask(bound)
+    bd = np.asarray(boundary_mask(jnp.asarray(red)))
+    ys, xs = np.nonzero(bd)
+    if len(ys) == 0:
+        n_all = result.red.num_rois + result.green.num_rois
+        return np.full((n_all,), np.inf)
+    hp, wp = red.shape
+    sy = acquisition_size / hp
+    sx = acquisition_size / wp
+    # half-pixel-center mapping into acquisition space, then 1-based like the
+    # ROI centroids
+    x_acq = (xs + 0.5) * sx - 0.5 + 1.0
+    y_acq = (ys + 0.5) * sy - 0.5 + 1.0
+    pts = np.stack([x_acq, y_acq], axis=1)
+    all_pos = np.vstack([result.red.positions, result.green.positions])
+    dmin = np.asarray(
+        min_dist_to_set(
+            jnp.asarray(all_pos, jnp.float32),
+            jnp.asarray(pts, jnp.float32),
+            jnp.ones((pts.shape[0],), bool),
+        )
+    )
+    return dmin / (cfg.distance_size_px / cfg.raster_um)

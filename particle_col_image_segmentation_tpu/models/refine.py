@@ -1,0 +1,117 @@
+"""Watershed boundary refinement (refine_boundaries.py parity + completion).
+
+The reference prototype (78 LoC, self-described unfinished at :54) does:
+probability export → boundary channel → binary mask (prob < 0.5) → EDT →
+local maxima → labeled markers → watershed.  Its docstring (:2-12) states
+the unfinished goals: recompute per-cell areas/positions and compute same- /
+cross-strain nearest-neighbor distances.  This module implements the full
+flow as one jit graph, including those stated goals.
+
+Parity note: skimage's priority-flood tie-breaking is inherently sequential;
+our order-independent minimax flooding can differ on plateau pixels, which is
+why BASELINE.json measures watershed parity as boundary IoU.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from particle_col_image_segmentation_tpu.config import RefineConfig
+from particle_col_image_segmentation_tpu.ops import (
+    centroids_f64,
+    compact_labels,
+    connected_components,
+    edt,
+    local_maxima,
+    region_props,
+    watershed,
+)
+from particle_col_image_segmentation_tpu.ops.pairwise import (
+    min_dist_to_set,
+    nearest_neighbor_dists,
+)
+
+
+@partial(jax.jit, static_argnames=("cfg", "max_regions"))
+def refine_plane_device(
+    boundary_map: jnp.ndarray, cfg: RefineConfig, max_regions: int = 4096
+):
+    """probability map [H,W] → (labels, markers, num_cells, table, distance)."""
+    binary_mask = boundary_map < cfg.boundary_threshold  # reference :44-45
+    # reference :60: scipy edt(binary_mask) = distance of object pixels to
+    # the nearest boundary pixel; our edt measures distance TO the feature
+    # set, so the feature is the complement.
+    distance = edt(~binary_mask, cap=cfg.edt_cap)
+    maxima = local_maxima(distance)
+    raw = connected_components(maxima.astype(jnp.uint8), background=0)
+    markers, num = compact_labels(raw, max_regions)
+    labels = watershed(boundary_map.astype(jnp.float32), markers, binary_mask)
+    table = region_props(labels, jnp.ones_like(labels, jnp.uint8), max_regions)
+    return labels, markers, num, table, distance
+
+
+@dataclasses.dataclass
+class RefineResult:
+    labels: np.ndarray  # [H,W] per-cell labels after watershed split
+    num_cells: int
+    areas: np.ndarray  # [num_cells] px²
+    centroids: np.ndarray  # [num_cells, 2] (row, col) float64
+    nn_distances: np.ndarray  # [num_cells] same-set nearest-neighbor, px
+
+
+def refine_boundaries(
+    probabilities: np.ndarray,
+    cfg: RefineConfig = RefineConfig(),
+    max_regions: int = 4096,
+) -> RefineResult:
+    """Full refinement of an Ilastik probability export.
+
+    Accepts either the raw [C,H,W] export (boundary channel selected per
+    ``cfg.boundary_channel``, reference :34) or an [H,W] boundary map.
+    """
+    arr = np.asarray(probabilities)
+    if arr.ndim == 3:
+        arr = arr[cfg.boundary_channel]
+    labels, _, num, table, _ = refine_plane_device(
+        jnp.asarray(arr, jnp.float32), cfg, max_regions
+    )
+    n = int(num)
+    if n > max_regions:
+        raise ValueError(f"{n} cells > max_regions={max_regions}")
+    cy, cx = centroids_f64(table)
+    pts = np.stack([cy, cx], axis=1)[1 : n + 1]
+    areas = np.asarray(table.area)[1 : n + 1]
+    if n > 1:
+        nn = np.asarray(
+            nearest_neighbor_dists(
+                jnp.asarray(pts, jnp.float32), jnp.ones((n,), bool)
+            )
+        )
+    else:
+        nn = np.full((n,), np.inf, np.float32)
+    return RefineResult(
+        labels=np.asarray(labels),
+        num_cells=n,
+        areas=areas,
+        centroids=pts,
+        nn_distances=nn,
+    )
+
+
+def cross_strain_distances(
+    a_centroids: np.ndarray, b_centroids: np.ndarray
+) -> Dict[str, np.ndarray]:
+    """Goal (3b) of the reference docstring: each cell's distance to the
+    nearest cell of the *other* strain, both directions."""
+    a = jnp.asarray(a_centroids, jnp.float32)
+    b = jnp.asarray(b_centroids, jnp.float32)
+    return {
+        "a_to_b": np.asarray(min_dist_to_set(a, b, jnp.ones((b.shape[0],), bool))),
+        "b_to_a": np.asarray(min_dist_to_set(b, a, jnp.ones((a.shape[0],), bool))),
+    }

@@ -1,0 +1,106 @@
+"""Z-stack → per-plane per-channel TIFF splitting (split_zstack.py parity).
+
+The folder/naming logic reproduces the reference exactly; the codec is
+pluggable (PIL by default — tifffile is not available here).  The plane loop
+(reference :52-65) preserves the reference's quirks: a per-plane shape check
+falls back to the 2-channel {0: RFP, 1: GFP} map, sticky for the rest of the
+stack via reassignment each iteration.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterable, List, Sequence, Tuple
+
+from particle_col_image_segmentation_tpu.io.tiff import read_zstack, write_tiff
+
+DEFAULT_CHANNEL_MAP = {0: "CY5", 1: "RFP", 2: "GFP", 3: "DAPI"}
+
+
+def create_folder(folder_name: str) -> None:
+    if not os.path.exists(folder_name):
+        os.makedirs(folder_name)
+
+
+def get_clean_file_name(input_file: str) -> Tuple[str, str]:
+    """Detect the channel-set token and derive the clean base name
+    (reference split_zstack.py:19-30)."""
+    base_name = input_file.split(".")[0]
+    if "CY5_RFP_GFP_DAPI_" in base_name:
+        channels = "_CY5_RFP_GFP_DAPI"
+    elif "RFP_GFP_" in base_name:
+        channels = "_RFP_GFP"
+    else:
+        return "", base_name
+    clean = base_name.replace(channels, "").replace("_zstack", "").replace("_mip", "")
+    return channels, clean
+
+
+def create_channel_folder(destination: str, used_channels: str, channel_name: str) -> str:
+    """Derive and create the per-channel output folder (reference :32-36)."""
+    clean = destination.replace(".tif", "").replace("_mip", "").replace(used_channels, "")
+    clean = clean + "_" + channel_name
+    create_folder(clean)
+    return clean
+
+
+def split_planes(
+    zstack, channel_indices: Sequence[int], channel_map=None
+) -> Iterable[Tuple[int, str, "object"]]:
+    """Yield (plane_index, channel_name, plane) for the selected channels.
+
+    Reproduces the reference plane loop (:52-58) including the sticky
+    2-channel fallback when a plane doesn't have 4 channels.
+    """
+    channel_map = dict(channel_map or DEFAULT_CHANNEL_MAP)
+    channel_indices = list(channel_indices)
+    for i, z_slice in enumerate(zstack):
+        if z_slice.shape[0] != 4:
+            channel_map = {0: "RFP", 1: "GFP"}
+            channel_indices = [0, 1]
+        names = [channel_map[idx] for idx in channel_indices]
+        selected = z_slice[channel_indices]
+        for name, plane in zip(names, selected):
+            yield i, name, plane
+
+
+def process_tif(input_file: str, channel_indices: Sequence[int]) -> List[str]:
+    """Move the stack into its clean folder, split planes per channel
+    (reference :38-65). Returns written file paths."""
+    input_file_end = input_file.split("/")[-1].split(".")[0]
+    used_channels, clean_file_name = get_clean_file_name(input_file)
+    create_folder(clean_file_name)
+    destination = os.path.join(clean_file_name, os.path.basename(input_file))
+    os.rename(input_file, destination)
+    if not input_file.endswith(".tif"):
+        return []
+    n_ch = 4 if used_channels == "_CY5_RFP_GFP_DAPI" else 2
+    zstack = read_zstack(destination, num_channels=n_ch)
+    if zstack.ndim == 3:  # single plane [C,H,W]
+        zstack = zstack[None]
+    written = []
+    for i, channel_name, plane in split_planes(zstack, channel_indices):
+        channel_folder = create_channel_folder(destination, used_channels, channel_name)
+        channel_file_name = input_file_end.replace(used_channels, "")
+        output_file = os.path.join(
+            channel_folder, f"{channel_file_name}_z{i}_{channel_name}.tif"
+        )
+        write_tiff(output_file, plane)
+        written.append(output_file)
+    return written
+
+
+def process_folder(top_level_folder: str, channel_indices: Sequence[int]) -> None:
+    """One-level scan for _zstack.tif / _mip.tif / _mip.jpg (reference :73-89)."""
+    for folder in os.listdir(top_level_folder):
+        folder_path = os.path.join(top_level_folder, folder)
+        if not os.path.isdir(folder_path) or folder.startswith("."):
+            continue
+        for file in os.listdir(folder_path):
+            low = file.lower()
+            if (
+                low.endswith("_zstack.tif")
+                or low.endswith("_mip.tif")
+                or low.endswith("_mip.jpg")
+            ):
+                process_tif(os.path.join(folder_path, file), channel_indices)

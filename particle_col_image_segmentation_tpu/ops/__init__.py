@@ -9,6 +9,8 @@ from particle_col_image_segmentation_tpu.ops.ccl import (  # noqa: F401
 )
 from particle_col_image_segmentation_tpu.ops.regionprops import (  # noqa: F401
     RegionTable,
+    centroids_f64,
+    centroids_int,
     region_props,
 )
 from particle_col_image_segmentation_tpu.ops.edt import edt, edt_sq  # noqa: F401

@@ -44,6 +44,36 @@ def box_count(mask: jnp.ndarray, size: int) -> jnp.ndarray:
     return _shift_sum(_shift_sum(x, size, -1), size, -2)
 
 
+def _valid_window_sum(xp: jnp.ndarray, size: int, axis: int) -> jnp.ndarray:
+    """Windowed sum of an already-padded array: output length is
+    input − (size−1) along ``axis``."""
+    n = xp.shape[axis] - (size - 1)
+    out = None
+    for o in range(size):
+        sl = [slice(None)] * xp.ndim
+        sl[axis] = slice(o, o + n)
+        piece = xp[tuple(sl)]
+        out = piece if out is None else out + piece
+    return out
+
+
+def median_label_filter_padded(
+    xp: jnp.ndarray, size: int = 5, num_classes: int = 8
+) -> jnp.ndarray:
+    """Median filter on an input already padded by size//2 on both trailing
+    axes (the spatially-sharded path supplies halo rows itself)."""
+    x = xp.astype(jnp.int32)
+    half_rank = (size * size) // 2 + 1
+    med = None
+    for v in range(num_classes - 1):
+        cum = _valid_window_sum(
+            _valid_window_sum((x <= v).astype(jnp.int32), size, -1), size, -2
+        )
+        term = (cum < half_rank).astype(jnp.int32)
+        med = term if med is None else med + term
+    return med.astype(xp.dtype)
+
+
 def median_label_filter(img: jnp.ndarray, size: int = 5, num_classes: int = 8):
     """Exact scipy median filter for integer images with values in [0, num_classes).
 

@@ -6,28 +6,55 @@ over compact label ids: area = count, centroid = Σcoords/area,
 bbox = per-segment min/max, class = per-segment max of the (component-
 homogeneous) class image.  Everything is static-shaped for jit: tables have
 ``max_regions + 1`` rows, row 0 being the background segment.
+
+Precision note: Σrow over a 2048² component can reach ~8.6e9, overflowing
+int32 and losing float32 ulps.  Coordinate sums are therefore kept as exact
+(hi, lo) int32 pairs with total = 256·hi + lo; ``centroids_int`` floors the
+exact quotient on device (for the reference's truncated-centroid lookups) and
+``centroids_f64`` reconstructs exact float64 centroids on host (ROI float
+parity ≤1e-6 per BASELINE.json).
 """
 
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-__all__ = ["RegionTable", "region_props"]
+__all__ = ["RegionTable", "region_props", "centroids_int", "centroids_f64"]
 
 
 class RegionTable(NamedTuple):
     """Fixed-size per-region property table; row 0 = background/padding."""
 
     area: jnp.ndarray  # [R+1] int32
-    cy: jnp.ndarray  # [R+1] float32 centroid row
-    cx: jnp.ndarray  # [R+1] float32 centroid col
+    sr_hi: jnp.ndarray  # [R+1] int32   Σrow = 256*sr_hi + sr_lo (exact)
+    sr_lo: jnp.ndarray  # [R+1] int32
+    sc_hi: jnp.ndarray  # [R+1] int32   Σcol = 256*sc_hi + sc_lo (exact)
+    sc_lo: jnp.ndarray  # [R+1] int32
     bbox: jnp.ndarray  # [R+1, 4] int32 (minr, minc, maxr, maxc) half-open
     class_id: jnp.ndarray  # [R+1] int32 pixel value of the component
     valid: jnp.ndarray  # [R+1] bool (area>0 and not background row)
+
+
+def _split_segment_sum(vals: jnp.ndarray, ids: jnp.ndarray, num: int):
+    """Exact Σvals per segment as (hi, lo) with total = 256*hi + lo."""
+    hi = jax.ops.segment_sum(vals // 256, ids, num_segments=num)
+    lo = jax.ops.segment_sum(vals % 256, ids, num_segments=num)
+    return hi, lo
+
+
+def _exact_floor_div(hi: jnp.ndarray, lo: jnp.ndarray, d: jnp.ndarray):
+    """floor((256*hi + lo) / d) in pure int32 (d ≥ 1; see module precision
+    note for the no-overflow argument)."""
+    q1 = hi // d
+    r1 = hi - q1 * d
+    t = 256 * r1 + lo
+    q2 = t // d
+    return 256 * q1 + q2
 
 
 @partial(jax.jit, static_argnames=("max_regions",))
@@ -42,19 +69,42 @@ def region_props(seg: jnp.ndarray, img: jnp.ndarray, max_regions: int) -> Region
     cols = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1).ravel()
 
     area = jax.ops.segment_sum(ones, ids, num_segments=R)
-    sum_r = jax.ops.segment_sum(rows, ids, num_segments=R)
-    sum_c = jax.ops.segment_sum(cols, ids, num_segments=R)
+    sr_hi, sr_lo = _split_segment_sum(rows, ids, R)
+    sc_hi, sc_lo = _split_segment_sum(cols, ids, R)
     minr = jax.ops.segment_min(rows, ids, num_segments=R)
     minc = jax.ops.segment_min(cols, ids, num_segments=R)
     maxr = jax.ops.segment_max(rows, ids, num_segments=R)
     maxc = jax.ops.segment_max(cols, ids, num_segments=R)
     class_id = jax.ops.segment_max(img.ravel().astype(jnp.int32), ids, num_segments=R)
 
-    safe_area = jnp.maximum(area, 1).astype(jnp.float32)
-    cy = sum_r.astype(jnp.float32) / safe_area
-    cx = sum_c.astype(jnp.float32) / safe_area
     bbox = jnp.stack([minr, minc, maxr + 1, maxc + 1], axis=-1)
     valid = (area > 0) & (jnp.arange(R) > 0)
     return RegionTable(
-        area=area, cy=cy, cx=cx, bbox=bbox, class_id=class_id, valid=valid
+        area=area,
+        sr_hi=sr_hi,
+        sr_lo=sr_lo,
+        sc_hi=sc_hi,
+        sc_lo=sc_lo,
+        bbox=bbox,
+        class_id=class_id,
+        valid=valid,
     )
+
+
+def centroids_int(table: RegionTable) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact truncated centroids ⌊Σrow/area⌋, ⌊Σcol/area⌋ (device int32) —
+    the reference's ``int(r.centroid[...])`` lookup coordinates
+    (tiff_analysis.py:844,851)."""
+    d = jnp.maximum(table.area, 1)
+    return (
+        _exact_floor_div(table.sr_hi, table.sr_lo, d),
+        _exact_floor_div(table.sc_hi, table.sc_lo, d),
+    )
+
+
+def centroids_f64(table) -> Tuple[np.ndarray, np.ndarray]:
+    """Exact float64 centroids from a host-fetched table (NumPy arrays)."""
+    area = np.maximum(np.asarray(table.area, dtype=np.int64), 1)
+    sr = 256 * np.asarray(table.sr_hi, np.int64) + np.asarray(table.sr_lo, np.int64)
+    sc = 256 * np.asarray(table.sc_hi, np.int64) + np.asarray(table.sc_lo, np.int64)
+    return sr / area, sc / area

@@ -14,3 +14,17 @@ if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# Persistent compilation cache: the suite is dominated by XLA compiles of the
+# fixpoint kernels; cache across runs.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_pcis")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+# The axon sitecustomize force-registers the TPU plugin and overrides
+# jax_platforms to "axon,cpu" in every interpreter; env vars alone cannot win.
+# Pin the CPU backend explicitly so the suite is hermetic and the 8-virtual-
+# device mesh works.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,147 @@
+"""Integration tests: folder-level flows produce reference-exact CSVs.
+
+The expected CSVs are generated independently by replicating the reference's
+orchestration with the CPU oracle functions; the framework's output must
+match byte-for-byte.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from particle_col_image_segmentation_tpu.config import (
+    BASE_TYPE_MAP,
+    AnalysisConfig,
+)
+from particle_col_image_segmentation_tpu.io.hdf5 import save_h5_plane
+from particle_col_image_segmentation_tpu.models import experiment
+from particle_col_image_segmentation_tpu.oracle import reference_pipeline as rp
+from particle_col_image_segmentation_tpu.report.csvio import (
+    write_cell_position_info,
+    write_density_info,
+    write_merged_cell_position_info,
+)
+
+from fixtures import synthetic_label_plane
+
+CFG = AnalysisConfig(max_regions=4096)
+
+
+def _read(path):
+    with open(path) as f:
+        return f.read()
+
+
+class TestSingleFileFlow:
+    def test_csvs_match_oracle(self, tmp_path):
+        folder = tmp_path / "exp" / "24h" / "Tp_3D05_1_24h_60X_15"
+        folder.mkdir(parents=True)
+        cell_types = {1: "3D05", 2: "Particle", 3: "Background"}
+        img = synthetic_label_plane(seed=21, cell_types=cell_types, shape=(192, 192))
+        h5 = folder / "Tp_3D05_1_24h_60X_15_labels.h5"
+        save_h5_plane(str(h5), img[None])  # (1,H,W) exercises normalize
+
+        experiment.process_single_h5_file(
+            str(folder), h5.name, CFG, make_figures=False
+        )
+
+        pos_csv = folder / "Tp_3D05_1_24h_60X_15_cell_pos.csv"
+        merged_csv = folder / "Tp_3D05_1_24h_60X_15_merged_cell_pos.csv"
+        density_csv = folder.parent / "exp_24h_cell_density_info.csv"
+        assert pos_csv.exists() and merged_csv.exists() and density_csv.exists()
+
+        # oracle replication of the reference flow (:627-671)
+        den = rp.denoise(img, CFG)
+        pos, clusters, particle_area, merged = rp.get_cell_positions_and_areas(
+            den, cell_types, merged=True, cfg=CFG
+        )
+        counts, dens, ratios = rp.get_cell_counts_and_densities(
+            pos, clusters, particle_area, CFG
+        )
+        _, filled_area = rp.recreate_particle_area(den.copy(), cell_types, particle_area, CFG)
+
+        exp_dir = tmp_path / "expected"
+        exp_dir.mkdir()
+        write_cell_position_info(pos, clusters, str(exp_dir / "pos.csv"), filled_area, CFG)
+        write_merged_cell_position_info(merged, str(exp_dir / "merged.csv"), filled_area, CFG)
+        write_density_info(
+            str(exp_dir / "density.csv"), "Tp_3D05_1_24h_60X_15", dens, ratios, counts
+        )
+        assert _read(pos_csv) == _read(exp_dir / "pos.csv")
+        assert _read(merged_csv) == _read(exp_dir / "merged.csv")
+        assert _read(density_csv) == _read(exp_dir / "density.csv")
+
+    def test_density_rerun_replaces_rows(self, tmp_path):
+        folder = tmp_path / "exp" / "24h" / "Tp_3D05_1_24h_60X_15"
+        folder.mkdir(parents=True)
+        cell_types = {1: "3D05", 2: "Particle", 3: "Background"}
+        img = synthetic_label_plane(seed=22, cell_types=cell_types, shape=(160, 160))
+        h5 = folder / "Tp_3D05_1_24h_60X_15_labels.h5"
+        save_h5_plane(str(h5), img)
+        experiment.process_single_h5_file(str(folder), h5.name, CFG, make_figures=False)
+        experiment.process_single_h5_file(str(folder), h5.name, CFG, make_figures=False)
+        density_csv = folder.parent / "exp_24h_cell_density_info.csv"
+        lines = _read(density_csv).strip().splitlines()
+        # header + one strain row, no duplicates after re-run (reference :1078-1107)
+        assert len(lines) == 2
+
+
+class TestMultiChannelFlow:
+    def test_two_channel_3d05_6b07(self, tmp_path):
+        folder = tmp_path / "3D05_6B07" / "24h" / "Tp_1_24h_60X_7"
+        folder.mkdir(parents=True)
+        # RFP: {1: 3D05, 2: Particle, 3: Background}
+        rfp_types = {1: "3D05", 2: "Particle", 3: "Background"}
+        dapi_types = {1: "6B07", 2: "Particle", 3: "Background"}
+        rfp = synthetic_label_plane(seed=31, cell_types=rfp_types, shape=(192, 192))
+        dapi = synthetic_label_plane(seed=32, cell_types=dapi_types, shape=(192, 192))
+        save_h5_plane(str(folder / "Tp_1_24h_60X_7_RFP_labels.h5"), rfp)
+        save_h5_plane(str(folder / "Tp_1_24h_60X_7_DAPI_labels.h5"), dapi)
+
+        experiment.process_multiple_h5_files(
+            str(folder),
+            ["Tp_1_24h_60X_7_RFP_labels.h5", "Tp_1_24h_60X_7_DAPI_labels.h5"],
+            CFG,
+            make_figures=False,
+        )
+
+        raw_csv = folder / "Tp_1_24h_60X_7_cell_pos_raw.csv"
+        combined_csv = folder / "Tp_1_24h_60X_7_cell_pos_combined.csv"
+        merged_csv = folder / "Tp_1_24h_60X_7_merged_cell_pos.csv"
+        density_csv = folder.parent / "3D05_6B07_24h_cell_density_info.csv"
+        for p in (raw_csv, combined_csv, merged_csv, density_csv):
+            assert p.exists(), p
+
+        # --- oracle replication of reference :92-222 ---
+        den_rfp = rp.denoise(rfp, CFG)
+        den_dapi = rp.denoise(dapi, CFG)
+        pos_r, cl_r, pa_r, _ = rp.get_cell_positions_and_areas(den_rfp, rfp_types, cfg=CFG)
+        _, rfp_area = rp.recreate_particle_area(den_rfp.copy(), rfp_types, pa_r, CFG)
+        pos_d, cl_d, _, _ = rp.get_cell_positions_and_areas(den_dapi, dapi_types, cfg=CFG)
+        master_pos = {**pos_r, **pos_d}
+        master_cl = {**cl_r, **cl_d}
+        exp_dir = tmp_path / "expected"
+        exp_dir.mkdir()
+        write_cell_position_info(master_pos, master_cl, str(exp_dir / "raw.csv"), rfp_area, CFG)
+        assert _read(raw_csv) == _read(exp_dir / "raw.csv")
+
+        dapi_updated = rp.combine_cell_positions_and_clusters(den_dapi, den_rfp, CFG)
+        pos_d2, cl_d2, _, _ = rp.get_cell_positions_and_areas(dapi_updated, dapi_types, cfg=CFG)
+        master_pos["6B07"] = pos_d2["6B07"]
+        master_cl["6B07"] = cl_d2["6B07"]
+        counts, dens, ratios = rp.get_cell_counts_and_densities(
+            master_pos, master_cl, rfp_area, CFG
+        )
+        write_density_info(str(exp_dir / "density.csv"), "Tp_1_24h_60X_7", dens, ratios, counts)
+        assert _read(density_csv) == _read(exp_dir / "density.csv")
+
+        fused = rp.get_rfp_base_arr(den_rfp.copy(), ["3D05", "6B07"])
+        fused = rp.combine_channels(fused, {"RFP": den_rfp, "DAPI": den_dapi}, ["3D05", "6B07"])
+        _, _, _, merged = rp.get_cell_positions_and_areas(
+            fused, BASE_TYPE_MAP, merged=True, cfg=CFG
+        )
+        write_cell_position_info(master_pos, master_cl, str(exp_dir / "combined.csv"), rfp_area, CFG)
+        write_merged_cell_position_info(merged, str(exp_dir / "merged.csv"), rfp_area, CFG)
+        assert _read(combined_csv) == _read(exp_dir / "combined.csv")
+        assert _read(merged_csv) == _read(exp_dir / "merged.csv")

@@ -1,0 +1,187 @@
+"""Tests: TIFF I/O, z-stack splitting, folder normalization, CSV writers."""
+
+import os
+
+import numpy as np
+
+from particle_col_image_segmentation_tpu.io.discovery import (
+    clean_acquisition_name,
+    get_h5_files_recursively,
+    get_pos_and_density_file_names,
+    get_similar_files,
+    normalize_capture_tree,
+    remove_channels,
+)
+from particle_col_image_segmentation_tpu.io.tiff import (
+    read_tiff_stack,
+    read_zstack,
+    write_tiff,
+)
+from particle_col_image_segmentation_tpu.models import zsplit
+from particle_col_image_segmentation_tpu.oracle.ndimage import Region
+from particle_col_image_segmentation_tpu.report.csvio import (
+    write_cell_position_info,
+    write_density_info,
+    write_matrix_csv,
+    write_merged_cell_position_info,
+)
+
+
+class TestTiff:
+    def test_roundtrip_single(self, tmp_path):
+        arr = np.arange(64 * 48, dtype=np.uint16).reshape(64, 48)
+        p = str(tmp_path / "x.tif")
+        write_tiff(p, arr)
+        back = read_tiff_stack(p)
+        np.testing.assert_array_equal(back, arr)
+
+    def test_roundtrip_stack_and_reshape(self, tmp_path):
+        arr = np.random.default_rng(0).integers(0, 65535, (6, 32, 32)).astype(np.uint16)
+        p = str(tmp_path / "s.tif")
+        write_tiff(p, arr)
+        back = read_tiff_stack(p)
+        np.testing.assert_array_equal(back, arr)
+        z = read_zstack(p, num_channels=2)
+        assert z.shape == (3, 2, 32, 32)
+        np.testing.assert_array_equal(z[1, 0], arr[2])
+
+
+class TestZsplit:
+    def test_clean_names(self):
+        ch, clean = zsplit.get_clean_file_name("Tp_CY5_RFP_GFP_DAPI_1_zstack.tif")
+        assert ch == "_CY5_RFP_GFP_DAPI"
+        assert clean == "Tp_1"
+        ch, clean = zsplit.get_clean_file_name("Tp_RFP_GFP_2_zstack.tif")
+        assert ch == "_RFP_GFP"
+        assert clean == "Tp_2"
+        ch, clean = zsplit.get_clean_file_name("plain.tif")
+        assert ch == "" and clean == "plain"
+
+    def test_split_planes_4ch(self):
+        stack = np.arange(2 * 4 * 4 * 4).reshape(2, 4, 4, 4).astype(np.uint16)
+        out = list(zsplit.split_planes(stack, [1, 2]))
+        assert [(i, n) for i, n, _ in out] == [
+            (0, "RFP"), (0, "GFP"), (1, "RFP"), (1, "GFP"),
+        ]
+        np.testing.assert_array_equal(out[0][2], stack[0, 1])
+
+    def test_split_planes_2ch_fallback(self):
+        stack = np.arange(2 * 2 * 4 * 4).reshape(2, 2, 4, 4).astype(np.uint16)
+        out = list(zsplit.split_planes(stack, [1, 2]))
+        # fallback: channel_indices overridden to [0,1] → RFP, GFP
+        assert [(i, n) for i, n, _ in out] == [
+            (0, "RFP"), (0, "GFP"), (1, "RFP"), (1, "GFP"),
+        ]
+        np.testing.assert_array_equal(out[0][2], stack[0, 0])
+
+    def test_process_folder_end_to_end(self, tmp_path, monkeypatch):
+        # layout: top/acq1/Tp_RFP_GFP_5_zstack.tif
+        acq = tmp_path / "top" / "acq1"
+        acq.mkdir(parents=True)
+        stack = (
+            np.random.default_rng(1).integers(0, 255, (3, 2, 16, 16)).astype(np.uint8)
+        )
+        write_tiff(str(acq / "Tp_RFP_GFP_5_zstack.tif"), stack.reshape(6, 16, 16))
+        monkeypatch.chdir(tmp_path)
+        zsplit.process_folder(str(tmp_path / "top"), [1, 2])
+        # clean folder is created alongside the input (reference :42-47)
+        clean = tmp_path / "top" / "acq1" / "Tp_5"
+        assert (clean / "Tp_RFP_GFP_5_zstack.tif").exists()
+        # channel folders derive from destination path minus channel token
+        rfp_folder = str(clean / "Tp_5_zstack_RFP")
+        assert os.path.isdir(rfp_folder)
+        files = sorted(os.listdir(rfp_folder))
+        assert files == [f"Tp_5_zstack_z{i}_RFP.tif" for i in range(3)]
+        plane = read_tiff_stack(os.path.join(rfp_folder, files[0]))
+        np.testing.assert_array_equal(plane, stack[0, 0])
+
+
+class TestDiscovery:
+    def test_h5_walk(self, tmp_path):
+        (tmp_path / "a" / "b").mkdir(parents=True)
+        (tmp_path / "a" / "x.h5").write_bytes(b"")
+        (tmp_path / "a" / "b" / "y.h5").write_bytes(b"")
+        (tmp_path / "a" / "b" / "z.txt").write_bytes(b"")
+        found = get_h5_files_recursively(str(tmp_path))
+        assert {os.path.basename(k): v for k, v in found.items()} == {
+            "a": ["x.h5"],
+            "b": ["y.h5"],
+        }
+
+    def test_pos_density_names(self):
+        d, p = get_pos_and_density_file_names("root/exp/24h/folder1")
+        assert d.endswith("exp_24h_cell_density_info.csv")
+        assert p == "root/exp/24h/folder1/folder1_cell_pos.csv"
+
+    def test_remove_channels_and_clean(self):
+        assert remove_channels("Tp_RFP_1_zstack.tif") == "Tp_1_zstack.tif"
+        assert clean_acquisition_name("Tp_GFP_2_zstack.tif") == "Tp_2"
+
+    def test_normalize_capture_tree(self, tmp_path, monkeypatch):
+        d = tmp_path / "cap" / "run1"
+        d.mkdir(parents=True)
+        (d / "Tp_RFP_3_zstack.tif").write_bytes(b"II*\x00")
+        (d / "Tp_RFP_3_mip.tif").write_bytes(b"II*\x00")
+        (d / "Tp_RFP_3_mip.jpg").write_bytes(b"")
+        monkeypatch.chdir(tmp_path)
+        folders = normalize_capture_tree(str(tmp_path / "cap"))
+        # clean folder is created alongside the input files
+        assert folders == [str(tmp_path / "cap" / "run1" / "Tp_3")]
+        moved = sorted(os.listdir(folders[0]))
+        assert moved == ["Tp_RFP_3_mip.jpg", "Tp_RFP_3_mip.tif", "Tp_RFP_3_zstack.tif"]
+
+
+class TestCSV:
+    def _region(self, lab, area, cy, cx, cells=None):
+        r = Region(lab, area, (cy, cx), (0, 0, 1, 1), None)
+        if cells is not None:
+            r.cells = cells
+        return r
+
+    def test_position_schema(self, tmp_path):
+        pos = {"3D05": [self._region(1, 50, 10.456, 20.123)]}
+        clusters = {"3D05": [self._region(2, 300, 30.5, 40.5, cells=4)]}
+        p = str(tmp_path / "pos.csv")
+        write_cell_position_info(pos, clusters, p, 10000)
+        lines = open(p).read().splitlines()
+        assert lines[0] == "strain,cell_type,x_pos,y_pos,cell_area,cell_area_ratio,cell_count"
+        conv = 9.95**2
+        # cell row: area rounded 5dp; ratio 8dp
+        assert lines[1] == (
+            f"3D05,cell,20.12,10.46,{round(50/conv,5)},{round((50/conv)/(10000/conv),8)},1"
+        )
+        # cluster row: area UNROUNDED (reference :1063)
+        assert lines[2] == (
+            f"3D05,cluster,40.5,30.5,{300/conv},{round((300/conv)/(10000/conv),8)},4"
+        )
+
+    def test_merged_schema(self, tmp_path):
+        merged = {
+            "combined": [
+                {"area": 500, "centroid": np.array([12.0, 14.0]),
+                 "regions": [1, 2, 3], "bbox": (0, 0, 5, 5)}
+            ]
+        }
+        p = str(tmp_path / "m.csv")
+        write_merged_cell_position_info(merged, p, 10000)
+        lines = open(p).read().splitlines()
+        assert lines[0] == "strain_type,x_pos,y_pos,cell_area,cell_area_ratio,cell_num"
+        assert lines[1].startswith("combined,14.0,12.0,")
+        assert lines[1].endswith(",3")
+
+    def test_density_dedup(self, tmp_path):
+        p = str(tmp_path / "d.csv")
+        write_density_info(p, "f1", {"3D05": 0.5}, {"3D05": 0.1}, {"3D05": 10})
+        write_density_info(p, "f2", {"3D05": 0.6}, {"3D05": 0.2}, {"3D05": 20})
+        write_density_info(p, "f1", {"3D05": 0.7}, {"3D05": 0.3}, {"3D05": 30})
+        lines = open(p).read().splitlines()
+        assert lines[0] == "folder,strain,cell_density,cell_area_ratio,cell_count"
+        assert len(lines) == 3
+        assert any(line == "f2,3D05,0.6,0.2,20" for line in lines)
+        assert any(line == "f1,3D05,0.7,0.3,30" for line in lines)
+        assert not any("0.5" in line for line in lines)
+
+    def test_matrix_csv_matlab_format(self, tmp_path):
+        p = str(tmp_path / "x.csv")
+        write_matrix_csv(p, np.array([[1.0, 0.123456789, 12345.6789]]))
+        assert open(p).read() == "1,0.12346,12346\n"

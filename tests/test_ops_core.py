@@ -103,14 +103,33 @@ class TestRegionProps:
         n = int(num)
         assert n == len(ref_regions)
         area = np.asarray(table.area)
-        cy, cx = np.asarray(table.cy), np.asarray(table.cx)
+        from particle_col_image_segmentation_tpu.ops import centroids_f64, centroids_int
+
+        cy, cx = centroids_f64(table)
+        icy, icx = np.asarray(centroids_int(table)[0]), np.asarray(centroids_int(table)[1])
         bbox = np.asarray(table.bbox)
         cls = np.asarray(table.class_id)
         valid = np.asarray(table.valid)
         assert valid[1 : n + 1].all() and not valid[0] and not valid[n + 1 :].any()
         for i, r in enumerate(ref_regions, start=1):
             assert area[i] == r.area
-            np.testing.assert_allclose((cy[i], cx[i]), r.centroid, rtol=1e-6)
+            np.testing.assert_allclose((cy[i], cx[i]), r.centroid, rtol=0, atol=1e-12)
+            assert (icy[i], icx[i]) == (int(r.centroid[0]), int(r.centroid[1]))
             assert tuple(bbox[i]) == r.bbox
             y, x = r.coords[0]
             assert cls[i] == img[y, x]
+
+    def test_exact_centroids_large_plane(self):
+        # single huge region spanning a 2048² plane: Σrow ≈ 4.4e9 would
+        # overflow int32 / lose float32 precision — must stay exact
+        import jax.numpy as jnp
+        from particle_col_image_segmentation_tpu.ops import centroids_f64, centroids_int
+
+        H = W = 2048
+        seg = np.ones((H, W), np.int32)
+        img = np.ones((H, W), np.uint8)
+        table = region_props(jnp.asarray(seg), jnp.asarray(img), max_regions=2)
+        cy, cx = centroids_f64(table)
+        assert cy[1] == (H - 1) / 2 and cx[1] == (W - 1) / 2
+        icy, icx = centroids_int(table)
+        assert int(np.asarray(icy)[1]) == int((H - 1) / 2)

@@ -1,0 +1,170 @@
+"""Tests: watershed refinement pipeline and NanoSIMS ROI analysis."""
+
+import numpy as np
+import pytest
+from scipy import ndimage as ndi
+
+from particle_col_image_segmentation_tpu.config import NanoSIMSConfig, RefineConfig
+from particle_col_image_segmentation_tpu.models import nanosims
+from particle_col_image_segmentation_tpu.models.refine import (
+    cross_strain_distances,
+    refine_boundaries,
+)
+
+
+def _touching_cells_probability(H=96, W=128, centers=((48, 40), (48, 80)), r2=330):
+    m = np.zeros((H, W), bool)
+    yy, xx = np.mgrid[:H, :W]
+    for cy, cx in centers:
+        m |= (yy - cy) ** 2 + (xx - cx) ** 2 <= r2
+    dist = ndi.distance_transform_edt(m)
+    prob = 1.0 - (dist / max(1.0, dist.max())).clip(0, 1)  # boundary prob
+    return m, prob.astype(np.float32)
+
+
+class TestRefine:
+    def test_splits_touching_cells(self):
+        mask, prob = _touching_cells_probability()
+        res = refine_boundaries(prob)
+        assert res.num_cells == 2
+        binary_mask = prob < 0.5  # the watershed domain (reference :44-45)
+        assert (res.labels[~binary_mask] == 0).all()
+        assert (res.labels[binary_mask] > 0).all()
+        assert res.labels[48, 40] != res.labels[48, 80]
+        # areas roughly equal halves
+        assert abs(res.areas[0] - res.areas[1]) < 0.2 * res.areas.sum()
+        # nn distance ≈ center separation
+        np.testing.assert_allclose(res.nn_distances, [40.0, 40.0], atol=2.0)
+
+    def test_channel_selection(self):
+        mask, prob = _touching_cells_probability()
+        stack = np.stack([np.ones_like(prob)] * 3 + [prob])
+        res = refine_boundaries(stack, RefineConfig(boundary_channel=3))
+        assert res.num_cells == 2
+
+    def test_cross_strain_distances(self):
+        a = np.array([[0.0, 0.0], [10.0, 0.0]])
+        b = np.array([[0.0, 3.0]])
+        d = cross_strain_distances(a, b)
+        np.testing.assert_allclose(d["a_to_b"], [3.0, np.hypot(10, 3)], rtol=1e-5)
+        np.testing.assert_allclose(d["b_to_a"], [3.0], rtol=1e-5)
+
+
+def _painted_rois(size=96):
+    """White canvas with red and green painted ROI disks."""
+    rgb = np.full((size, size, 3), 255, np.uint8)
+    yy, xx = np.mgrid[:size, :size]
+
+    def paint(cy, cx, r, color):
+        m = (yy - cy) ** 2 + (xx - cx) ** 2 <= r * r
+        rgb[m] = color
+
+    paint(20, 20, 5, (255, 0, 0))
+    paint(60, 60, 6, (255, 0, 0))
+    paint(30, 70, 5, (0, 255, 0))
+    return rgb
+
+
+class TestNanoSIMS:
+    def _isotopes(self, n=98, seed=0):
+        rng = np.random.default_rng(seed)
+        return {k: rng.random((n - 2, n - 2)) * 100 for k in nanosims.ISOTOPES}
+
+    def test_class_masks(self):
+        rgb = _painted_rois()
+        red, green = nanosims.class_masks(rgb)
+        assert red.sum() > 0 and green.sum() > 0
+        assert not (red & green).any()
+
+    def test_crop_to_content(self):
+        rgb = np.full((50, 50, 3), 255, np.uint8)
+        rgb[10:20, 15:30] = (255, 0, 0)  # blue=0 < 200 → content
+        out = nanosims.crop_to_content(rgb)
+        assert out.shape == (10, 15, 3)
+
+    def test_analyze_roi_class_sums(self):
+        iso = self._isotopes()
+        # painted mask already at acquisition size → resize is identity
+        mask = np.zeros((96, 96), bool)
+        mask[10:20, 10:20] = True
+        mask[50:60, 50:64] = True
+        res = nanosims.analyze_roi_class(mask, iso)
+        assert res.num_rois == 2
+        # identity resize → sums equal plain masked sums
+        m1 = np.zeros_like(mask)
+        m1[10:20, 10:20] = True
+        expected = np.sum(iso["C12"] * m1)
+        np.testing.assert_allclose(res.sums[0, 0], expected, rtol=1e-5)
+        # activities = C13/(C13+C12) etc.
+        c12, c13 = res.sums[0, 0], res.sums[0, 1]
+        np.testing.assert_allclose(res.activities[0, 0], c13 / (c13 + c12), rtol=1e-6)
+        # positions: 1-based centroid of the solid mask
+        np.testing.assert_allclose(res.positions[0], [14.5 + 1, 14.5 + 1], atol=0.6)
+
+    def test_full_analysis_and_rows(self):
+        iso = self._isotopes()
+        rgb = _painted_rois()
+        res = nanosims.analyze_nanosims(iso, rgb)
+        assert res.red.num_rois == 2 and res.green.num_rois == 1
+        assert res.all_data.shape == (3, 17)
+        # class column and index column
+        np.testing.assert_array_equal(res.all_data[:, 0], [1, 1, 2])
+        np.testing.assert_array_equal(res.all_data[:, 1], [1, 2, 1])
+        # act*100 columns are consistent
+        np.testing.assert_allclose(
+            res.all_data[:, 13:17], res.all_data[:, 9:13] * 100, rtol=1e-12
+        )
+        assert res.data_xy.shape == (3, 19)
+        assert res.nearest is not None and res.nearest.shape == (3,)
+        # activity maps nonzero only on ROIs
+        assert (res.activity_images["N"] > 0).sum() > 0
+
+    def test_run_nanosims_csvs(self, tmp_path):
+        from PIL import Image
+
+        from scipy.io import savemat
+
+        n = 98
+        rng = np.random.default_rng(1)
+        names = {
+            "N14C12": "14N12C.mat", "N15C12": "15N12C.mat", "C12": "12C.mat",
+            "C13": "13C.mat", "O16": "16O.mat", "O17": "17O.mat",
+            "O18": "18O.mat", "ESI": "Esi.mat",
+        }
+        for fname in names.values():
+            savemat(str(tmp_path / fname), {"IM": rng.random((n, n)) * 50})
+        rgb = _painted_rois(n - 2)
+        Image.fromarray(rgb).save(str(tmp_path / "rois.png"))
+        bound = np.full((n - 2, n - 2, 3), 255, np.uint8)
+        bound[40:50, 10:80] = (255, 0, 0)
+        Image.fromarray(bound).save(str(tmp_path / "bound.png"))
+
+        out = tmp_path / "out"
+        out.mkdir()
+        res = nanosims.run_nanosims(
+            str(tmp_path), str(tmp_path / "rois.png"), str(tmp_path / "bound.png"),
+            str(out), NanoSIMSConfig(),
+        )
+        for f in (
+            "data.csv", "data_xy.csv", "data_dist_nearest.csv",
+            "data_dist_nearest_bound.csv",
+        ):
+            assert (out / f).exists(), f
+        rows = open(out / "data.csv").read().strip().splitlines()
+        assert len(rows) == res.red.num_rois + res.green.num_rois
+        bound_rows = open(out / "data_dist_nearest_bound.csv").read().strip().splitlines()
+        assert len(bound_rows[0].split(",")) == 19  # 17 + nearest + bound dist
+
+    def test_green_o_bug_compat(self):
+        iso = self._isotopes()
+        rgb = _painted_rois()
+        fixed = nanosims.analyze_nanosims(iso, rgb, NanoSIMSConfig())
+        buggy = nanosims.analyze_nanosims(
+            iso, rgb, NanoSIMSConfig(compat_green_o_bug=True)
+        )
+        # combined maps identical; per-class O maps shifted into red
+        np.testing.assert_allclose(
+            fixed.activity_images["O17"], buggy.activity_images["O17"]
+        )
+        assert (buggy.green.activity_images["O17"] == 0).all()
+        assert (fixed.green.activity_images["O17"] > 0).any()
