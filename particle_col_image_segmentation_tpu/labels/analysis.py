@@ -124,12 +124,13 @@ def analyze_plane_device(
         union = jnp.zeros((H, W), bool)
         for m in masks:
             union = union | m
-        g_rows = []
-        for m in masks + [union]:
-            dil = dilate_disk(m, cfg.merge_disk_radius)
-            ctx_raw = connected_components(dil.astype(jnp.uint8), background=0)
-            g_rows.append(ctx_raw[icy, icx])
-        g_ctx = jnp.stack(g_rows)
+        # one batched dilation + CCL over all contexts (strains ∪ union)
+        ctx_masks = jnp.stack(masks + [union])
+        dil = dilate_disk(ctx_masks, cfg.merge_disk_radius)
+        ctx_raw = connected_components(
+            dil.astype(jnp.uint8), background=0, num_classes=2
+        )
+        g_ctx = ctx_raw[:, icy, icx]
     else:
         g_ctx = jnp.full((len(strain_pairs) + 1, icy.shape[0]), -1, jnp.int32)
 
@@ -157,7 +158,7 @@ def dapi_dedup_device(
     """
     dapi_mask = dapi == 1
     other_mask = other == 1
-    raw = connected_components(dapi_mask.astype(jnp.uint8), background=0)
+    raw = connected_components(dapi_mask.astype(jnp.uint8), background=0, num_classes=2)
     seg, _ = compact_labels(raw, cfg.max_regions)
     R = cfg.max_regions + 1
     ids = seg.ravel()

@@ -210,7 +210,7 @@ def analyze_roi_class(
     """Per-ROI sums, activities, positions, and activity maps for one painted
     class (the body of ref loops :122-170 / :186-234)."""
     acq = next(iter(isotopes.values())).shape[0]
-    raw = connected_components(jnp.asarray(mask, jnp.uint8), background=0)
+    raw = connected_components(jnp.asarray(mask, jnp.uint8), background=0, num_classes=2)
     labels, num = compact_labels(raw, cfg.max_rois)
     n = int(num)
     if n > cfg.max_rois:

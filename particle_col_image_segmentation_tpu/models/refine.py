@@ -49,7 +49,7 @@ def refine_plane_device(
     # set, so the feature is the complement.
     distance = edt(~binary_mask, cap=cfg.edt_cap)
     maxima = local_maxima(distance)
-    raw = connected_components(maxima.astype(jnp.uint8), background=0)
+    raw = connected_components(maxima.astype(jnp.uint8), background=0, num_classes=2)
     markers, num = compact_labels(raw, max_regions)
     labels = watershed(boundary_map.astype(jnp.float32), markers, binary_mask)
     table = region_props(labels, jnp.ones_like(labels, jnp.uint8), max_regions)

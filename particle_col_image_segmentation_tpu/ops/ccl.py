@@ -32,28 +32,48 @@ __all__ = ["connected_components", "compact_labels", "label_image"]
 _INF = jnp.iinfo(jnp.int32).max
 
 
-def _neighbor_min(lab, img, connectivity: int):
-    """Min label over same-valued neighbors (and self)."""
-    H, W = lab.shape[-2:]
-    offsets4 = [(-1, 0), (1, 0), (0, -1), (0, 1)]
-    offsets8 = offsets4 + [(-1, -1), (-1, 1), (1, -1), (1, 1)]
-    offsets = offsets8 if connectivity == 8 else offsets4
+def _window_min_same(x, connectivity: int):
+    """3×3 (or cross) windowed min via fused reduce_window; SAME padding
+    supplies the +INF boundary directly (no pre-pad, layouts stay aligned)."""
+    n = x.ndim
+    if connectivity == 8:
+        return jax.lax.reduce_window(
+            x,
+            jnp.int32(_INF),
+            jax.lax.min,
+            window_dimensions=(1,) * (n - 2) + (3, 3),
+            window_strides=(1,) * n,
+            padding="SAME",
+        )
+    xr = jax.lax.reduce_window(
+        x, jnp.int32(_INF), jax.lax.min,
+        window_dimensions=(1,) * (n - 2) + (1, 3),
+        window_strides=(1,) * n, padding="SAME",
+    )
+    xc = jax.lax.reduce_window(
+        x, jnp.int32(_INF), jax.lax.min,
+        window_dimensions=(1,) * (n - 2) + (3, 1),
+        window_strides=(1,) * n, padding="SAME",
+    )
+    return jnp.minimum(xr, xc)
+
+
+def _neighbor_min(lab, img, connectivity: int, num_classes: int):
+    """Min label over same-valued neighbors (and self).
+
+    Class-decomposed with all classes stacked on one leading axis, so a
+    single fused windowed min covers every class (stacking is nearly free;
+    per-class separate reduce_windows are ~num_classes× slower).  Pixels
+    whose value is outside [0, num_classes) — the uniquified background
+    sentinels — take no neighbors and keep their own label.
+    """
+    stacked = jnp.stack(
+        [jnp.where(img == v, lab, _INF) for v in range(num_classes)]
+    )
+    mins = _window_min_same(stacked, connectivity)
     out = lab
-    for dy, dx in offsets:
-        sl_src = (
-            Ellipsis,
-            slice(max(0, -dy), H - max(0, dy)),
-            slice(max(0, -dx), W - max(0, dx)),
-        )
-        sl_dst = (
-            Ellipsis,
-            slice(max(0, dy), H - max(0, -dy)),
-            slice(max(0, dx), W - max(0, -dx)),
-        )
-        shifted_lab = jnp.full_like(lab, _INF).at[sl_dst].set(lab[sl_src])
-        shifted_img = jnp.full_like(img, -1).at[sl_dst].set(img[sl_src])
-        cand = jnp.where(shifted_img == img, shifted_lab, _INF)
-        out = jnp.minimum(out, cand)
+    for v in range(num_classes):
+        out = jnp.where(img == v, jnp.minimum(out, mins[v]), out)
     return out
 
 
@@ -64,21 +84,24 @@ def _pointer_jump(lab):
     return jnp.minimum(flat, jumped).reshape(lab.shape)
 
 
-@partial(jax.jit, static_argnames=("connectivity", "max_iters"))
+@partial(jax.jit, static_argnames=("connectivity", "max_iters", "num_classes"))
 def connected_components(
     img: jnp.ndarray,
     background: Optional[jnp.ndarray] = None,
     connectivity: int = 8,
     max_iters: int = 64,
+    num_classes: int = 8,
 ) -> jnp.ndarray:
     """Label components of equal-valued pixels.
 
     Args:
-      img: [..., H, W] integer class image.
+      img: [..., H, W] integer class image with values in [0, num_classes).
       background: optional scalar — pixels with this value get label -1
         (skimage background=0 semantics). None labels every pixel.
       connectivity: 8 (skimage 2D default) or 4.
       max_iters: safety bound on the fixpoint loop.
+      num_classes: exclusive upper bound on pixel values (static; drives the
+        class-decomposed neighbor-min).
 
     Returns:
       [..., H, W] int32; each foreground pixel holds the minimum linear index
@@ -108,14 +131,16 @@ def connected_components(
 
     def body(state):
         lab, _, i = state
-        new = _neighbor_min(lab, img, connectivity)
+        new = _neighbor_min(lab, img, connectivity, num_classes)
         new = seg_min_scan_bidi(new, same_row, axis=-1)
-        new = seg_min_scan_bidi(
-            jnp.swapaxes(new, -1, -2), jnp.swapaxes(same_col, -1, -2), axis=-1
-        )
-        new = jnp.swapaxes(new, -1, -2)
-        new = _pointer_jump(new)
-        new = _pointer_jump(new)
+        new = seg_min_scan_bidi(new, same_col, axis=-2)
+        # Pointer jumping is only an accelerator — at the neighbor-min
+        # fixpoint labels are already component-constant (min-update between
+        # every neighbor pair forces equality).  Random gathers are the most
+        # expensive step on TPU, so jump every 4th round only: worst-case
+        # chains still collapse log-fast, common blobs converge on scans
+        # alone.
+        new = jax.lax.cond(i % 4 == 3, _pointer_jump, lambda l: l, new)
         changed = jnp.any(new != lab)
         return new, changed, i + 1
 
@@ -132,27 +157,33 @@ def connected_components(
 def compact_labels(
     raw: jnp.ndarray, max_regions: int
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Compact root labels to skimage-style ids.
+    """Compact root labels to skimage-style ids — sort-free.
+
+    Every component's label is the linear index of its root (first) pixel, so
+    the compact id of a component is simply the number of roots at or before
+    its root position: one prefix-sum over the root-indicator plane plus one
+    gather, instead of a 4M-element sort-unique.
 
     Args:
       raw: [H, W] output of connected_components (single plane).
-      max_regions: static capacity; if the true component count exceeds it the
-        returned ``num`` is still correct — callers must check and re-run with
-        a larger capacity.
+      max_regions: static capacity hint (kept in the signature so callers pin
+        table sizes; ``num`` is always the true count — callers must check it
+        against their capacity).
 
     Returns:
       seg: [H, W] int32 ids — 0 for background (-1), 1..N in raster order of
         each component's first pixel (skimage ordering).
       num: true number of components (may exceed max_regions).
     """
+    del max_regions  # shape-independent now; kept for API stability
     H, W = raw.shape
     flat = raw.ravel()
     lin = jnp.arange(H * W, dtype=jnp.int32)
-    # each component has exactly one self-rooted pixel
-    num = jnp.sum((flat == lin).astype(jnp.int32))
-    padded = jnp.concatenate([jnp.full((1,), -1, jnp.int32), flat])
-    uniq = jnp.unique(padded, size=max_regions + 1, fill_value=_INF)
-    seg = jnp.searchsorted(uniq, flat).astype(jnp.int32)
+    fg = flat >= 0
+    is_root = (flat == lin) & fg
+    prefix = jnp.cumsum(is_root.astype(jnp.int32))  # rank of each root, 1-based
+    num = prefix[-1]
+    seg = jnp.where(fg, prefix[jnp.clip(flat, 0, H * W - 1)], 0)
     return seg.reshape(H, W), num
 
 
@@ -161,7 +192,10 @@ def label_image(
     background: Optional[int] = None,
     connectivity: int = 8,
     max_regions: int = 16384,
+    num_classes: int = 8,
 ):
     """skimage.measure.label parity: (ids [H,W], num_components)."""
-    raw = connected_components(img, background=background, connectivity=connectivity)
+    raw = connected_components(
+        img, background=background, connectivity=connectivity, num_classes=num_classes
+    )
     return compact_labels(raw, max_regions)

@@ -36,20 +36,24 @@ def edt_sq(feature: jnp.ndarray, cap: int) -> jnp.ndarray:
     """
     feature = feature.astype(bool)
     c1 = cap + 1
-    down = directional_distance(feature, axis=-2, cap=c1)
-    up = jnp.flip(directional_distance(jnp.flip(feature, -2), axis=-2, cap=c1), -2)
-    dv = jnp.minimum(down, up)  # [..., H, W] vertical distance, ≤ cap+1
-    dv2 = (dv * dv).astype(jnp.int32)
+    # phase 1: per-ROW distance to the nearest feature in the same row
+    # (log-depth scans along lanes)
+    right = directional_distance(feature, axis=-1, cap=c1)
+    left = jnp.flip(directional_distance(jnp.flip(feature, -1), axis=-1, cap=c1), -1)
+    dh = jnp.minimum(right, left)
+    dh2 = (dh * dh).astype(jnp.int32)
 
-    W = feature.shape[-1]
+    # phase 2: min-plus over row offsets.  Shifting along the SUBLANE axis
+    # (-2) keeps lane layouts aligned on TPU, so the unrolled 2·cap+1 taps
+    # stay cheap; shifting along lanes would force a relayout per tap.
+    H = feature.shape[-2]
     inf = jnp.int32(c1 * c1)
+    pad = [(0, 0)] * (feature.ndim - 2) + [(cap, cap), (0, 0)]
+    dp = jnp.pad(dh2, pad, constant_values=inf)
     out = jnp.full(feature.shape, inf, jnp.int32)
-    for dx in range(-cap, cap + 1):
-        lo, hi = max(0, -dx), W - max(0, dx)
-        sl_src = (Ellipsis, slice(max(0, dx), W - max(0, -dx)))
-        sl_dst = (Ellipsis, slice(lo, hi))
-        shifted = jnp.full(feature.shape, inf, jnp.int32).at[sl_dst].set(dv2[sl_src])
-        out = jnp.minimum(out, shifted + dx * dx)
+    for dy in range(-cap, cap + 1):
+        sl = (Ellipsis, slice(cap + dy, cap + dy + H), slice(None))
+        out = jnp.minimum(out, dp[sl] + dy * dy)
     return jnp.minimum(out, inf)
 
 

@@ -60,24 +60,37 @@ def _exact_floor_div(hi: jnp.ndarray, lo: jnp.ndarray, d: jnp.ndarray):
 @partial(jax.jit, static_argnames=("max_regions",))
 def region_props(seg: jnp.ndarray, img: jnp.ndarray, max_regions: int) -> RegionTable:
     """Compute RegionTable from compact ids ``seg`` (0 = background) and the
-    class image ``img``."""
+    class image ``img``.
+
+    All reductions ride three fused scatters (one add, one min, one max of
+    stacked columns) instead of nine separate segment ops — scatter passes
+    over 4M ids dominate this op's cost on TPU.
+    """
     H, W = seg.shape
     R = max_regions + 1
     ids = seg.ravel()
-    ones = jnp.ones_like(ids)
     rows = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0).ravel()
     cols = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1).ravel()
 
-    area = jax.ops.segment_sum(ones, ids, num_segments=R)
-    sr_hi, sr_lo = _split_segment_sum(rows, ids, R)
-    sc_hi, sc_lo = _split_segment_sum(cols, ids, R)
-    minr = jax.ops.segment_min(rows, ids, num_segments=R)
-    minc = jax.ops.segment_min(cols, ids, num_segments=R)
-    maxr = jax.ops.segment_max(rows, ids, num_segments=R)
-    maxc = jax.ops.segment_max(cols, ids, num_segments=R)
-    class_id = jax.ops.segment_max(img.ravel().astype(jnp.int32), ids, num_segments=R)
+    add_cols = jnp.stack(
+        [jnp.ones_like(ids), rows // 256, rows % 256, cols // 256, cols % 256],
+        axis=-1,
+    )
+    sums = jax.ops.segment_sum(add_cols, ids, num_segments=R)
+    area, sr_hi, sr_lo, sc_hi, sc_lo = (sums[:, k] for k in range(5))
 
-    bbox = jnp.stack([minr, minc, maxr + 1, maxc + 1], axis=-1)
+    # bbox mins ride the same scatter-max as the maxes (min r = −max(−r))
+    maxs = jax.ops.segment_max(
+        jnp.stack(
+            [rows, cols, img.ravel().astype(jnp.int32), -rows, -cols], axis=-1
+        ),
+        ids,
+        num_segments=R,
+    )
+    bbox = jnp.stack(
+        [-maxs[:, 3], -maxs[:, 4], maxs[:, 0] + 1, maxs[:, 1] + 1], axis=-1
+    )
+    class_id = maxs[:, 2]
     valid = (area > 0) & (jnp.arange(R) > 0)
     return RegionTable(
         area=area,
