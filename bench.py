@@ -54,12 +54,10 @@ def bench_device(batch: np.ndarray) -> float:
     import jax
     import jax.numpy as jnp
 
-    from particle_col_image_segmentation_tpu.ops import (
-        compact_labels,
-        connected_components,
-        median_label_filter,
-        region_props,
-    )
+    from particle_col_image_segmentation_tpu.config import AnalysisConfig
+    from particle_col_image_segmentation_tpu.models.batch import fused_segment_batch
+
+    cfg = AnalysisConfig(max_regions=MAX_REGIONS)
 
     @jax.jit
     def segment_pass(imgs, salt):
@@ -67,22 +65,14 @@ def bench_device(batch: np.ndarray) -> float:
         # scalar fingerprint return forces full execution on platforms where
         # block_until_ready does not synchronize (the axon relay).
         imgs = imgs ^ (salt % 1).astype(jnp.uint8)  # no-op data dependency
-        den = median_label_filter(imgs, 5, 8)
-        raw = connected_components(den, background=None)
-
-        def per_plane(args):
-            r, d = args
-            seg, num = compact_labels(r, MAX_REGIONS)
-            table = region_props(seg, d, MAX_REGIONS)
-            particle = jnp.sum((d == 2).astype(jnp.int32))
-            return seg, num, table, particle
-
-        seg, num, table, particle = jax.vmap(per_plane)((raw, den))
+        seg, num, areas, classes, particle_px, cell_px, class_px = (
+            fused_segment_batch(imgs, cfg, particle_val=2, cell_vals=(1,))
+        )
         fp = (
             jnp.sum(seg.astype(jnp.int32))
             + jnp.sum(num)
-            + jnp.sum(table.area)
-            + jnp.sum(particle)
+            + jnp.sum(areas)
+            + jnp.sum(particle_px)
         )
         return fp
 

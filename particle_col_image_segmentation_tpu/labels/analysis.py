@@ -23,7 +23,7 @@ from particle_col_image_segmentation_tpu.ops import (
     RegionTable,
     centroids_int,
     compact_labels,
-    connected_components,
+    connected_components_auto,
     dilate_disk,
     edt_sq,
     median_label_filter,
@@ -87,7 +87,7 @@ def analyze_plane_device(
         if denoise
         else img
     )
-    raw = connected_components(den, background=None)
+    raw = connected_components_auto(den, background=None, num_classes=cfg.num_classes)
     seg, num = compact_labels(raw, cfg.max_regions)
     table = region_props(seg, den, cfg.max_regions)
     particle_area = jnp.sum((den == particle_val).astype(jnp.int32))
@@ -127,7 +127,7 @@ def analyze_plane_device(
         # one batched dilation + CCL over all contexts (strains ∪ union)
         ctx_masks = jnp.stack(masks + [union])
         dil = dilate_disk(ctx_masks, cfg.merge_disk_radius)
-        ctx_raw = connected_components(
+        ctx_raw = connected_components_auto(
             dil.astype(jnp.uint8), background=0, num_classes=2
         )
         g_ctx = ctx_raw[:, icy, icx]
@@ -158,7 +158,7 @@ def dapi_dedup_device(
     """
     dapi_mask = dapi == 1
     other_mask = other == 1
-    raw = connected_components(dapi_mask.astype(jnp.uint8), background=0, num_classes=2)
+    raw = connected_components_auto(dapi_mask.astype(jnp.uint8), background=0, num_classes=2)
     seg, _ = compact_labels(raw, cfg.max_regions)
     R = cfg.max_regions + 1
     ids = seg.ravel()

@@ -22,7 +22,7 @@ from particle_col_image_segmentation_tpu.config import AnalysisConfig, DEFAULT_C
 from particle_col_image_segmentation_tpu.io.loader import batched_device_iterator
 from particle_col_image_segmentation_tpu.ops import (
     compact_labels,
-    connected_components,
+    connected_components_auto,
     median_label_filter,
     region_props,
 )
@@ -52,7 +52,7 @@ def fused_segment_batch(
     """[B,H,W] → (seg [B,H,W], num [B], area-table [B,R+1], class-table,
     particle_px [B], cell_px [B], class_px [B,num_classes])."""
     den = median_label_filter(imgs, cfg.denoise_size, cfg.num_classes)
-    raw = connected_components(den, background=None, num_classes=cfg.num_classes)
+    raw = connected_components_auto(den, background=None, num_classes=cfg.num_classes)
 
     def per_plane(args):
         r, d = args

@@ -26,7 +26,7 @@ from particle_col_image_segmentation_tpu.config import RefineConfig
 from particle_col_image_segmentation_tpu.ops import (
     centroids_f64,
     compact_labels,
-    connected_components,
+    connected_components_auto,
     edt,
     local_maxima,
     region_props,
@@ -49,7 +49,7 @@ def refine_plane_device(
     # set, so the feature is the complement.
     distance = edt(~binary_mask, cap=cfg.edt_cap)
     maxima = local_maxima(distance)
-    raw = connected_components(maxima.astype(jnp.uint8), background=0, num_classes=2)
+    raw = connected_components_auto(maxima.astype(jnp.uint8), background=0, num_classes=2)
     markers, num = compact_labels(raw, max_regions)
     labels = watershed(boundary_map.astype(jnp.float32), markers, binary_mask)
     table = region_props(labels, jnp.ones_like(labels, jnp.uint8), max_regions)

@@ -5,6 +5,7 @@ from particle_col_image_segmentation_tpu.ops.filters import (  # noqa: F401
 from particle_col_image_segmentation_tpu.ops.ccl import (  # noqa: F401
     compact_labels,
     connected_components,
+    connected_components_auto,
     label_image,
 )
 from particle_col_image_segmentation_tpu.ops.regionprops import (  # noqa: F401

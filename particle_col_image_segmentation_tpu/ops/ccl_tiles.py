@@ -1,0 +1,247 @@
+"""Pallas band-sweep connected-components labeling (Gauss-Seidel).
+
+The XLA CCL (ops/ccl.py) pays ~5 ms of HBM round-trip per fixpoint
+iteration.  This kernel instead:
+
+  * splits the plane into full-width row bands of T rows (+8-row halos);
+  * solves each band to a local fixpoint entirely in VMEM (scans + neighbor
+    min — pure VPU work, no HBM traffic per inner iteration);
+  * writes the band back IN PLACE (input/output aliased, manual DMA), so the
+    sequential grid execution on the core makes each sweep Gauss-Seidel:
+    a top-down sweep propagates labels the full plane height in ONE pass;
+  * alternates sweep direction (down, up) until a global fixpoint.
+
+Min-propagation is a confluent semilattice update, so sweep order cannot
+change the fixpoint — results are bit-identical to ops.ccl
+(determinism-by-construction, SURVEY.md §5).
+
+Alignment discipline: bands are full-width and 8-row aligned; the only
+padding is an 8-row sentinel frame top and bottom — no lane-misaligned
+slice ever occurs (cf. ops/filters.py on why that matters).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_INF = jnp.iinfo(jnp.int32).max
+_BG_VAL = -(2**30)  # image sentinel outside the plane / on background
+_HALO = 8
+
+
+def _shift(x, dy: int, dx: int, fill):
+    """Static shift on an in-VMEM value: result[i,j] = x[i-dy, j-dx].
+
+    Rolls each axis separately and only when nonzero (a roll of 0 lowers to
+    a zero-length slice, which Mosaic rejects).
+    """
+    H, W = x.shape
+    out = x
+    if dy != 0:
+        out = jnp.roll(out, dy, axis=0)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+        bad = rows < dy if dy > 0 else rows >= H + dy
+        out = jnp.where(bad, fill, out)
+    if dx != 0:
+        out = jnp.roll(out, dx, axis=1)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+        bad = cols < dx if dx > 0 else cols >= W + dx
+        out = jnp.where(bad, fill, out)
+    return out
+
+
+def _neighbor_min(L, V, connectivity: int):
+    offsets = [(-1, 0), (1, 0), (0, -1), (0, 1)]
+    if connectivity == 8:
+        offsets += [(-1, -1), (-1, 1), (1, -1), (1, 1)]
+    out = L
+    for dy, dx in offsets:
+        Ls = _shift(L, dy, dx, _INF)
+        Vs = _shift(V, dy, dx, _BG_VAL)
+        out = jnp.minimum(out, jnp.where(Vs == V, Ls, _INF))
+    return out
+
+
+def _seg_scan_min(L, same_prev, axis: int, reverse: bool):
+    """Hillis-Steele segmented min scan along ``axis``.
+
+    same_prev[j] ⇔ element j connected to element j-1 (scan direction
+    reverses via ``reverse``: then it reads "connected to j+1").
+    Flags ride as int32 0/1 — Mosaic cannot roll/truncate i1 vectors.
+    """
+    n = L.shape[axis]
+    X = L
+    F = same_prev.astype(jnp.int32)
+    k = 1
+    while k < n:
+        if axis == 0:
+            dy, dx = (-k if reverse else k), 0
+        else:
+            dy, dx = 0, (-k if reverse else k)
+        Xs = _shift(X, dy, dx, _INF)
+        Fs = _shift(F, dy, dx, 0)
+        X = jnp.where(F == 1, jnp.minimum(X, Xs), X)
+        F = F * Fs
+        k *= 2
+    return X
+
+
+def _local_solve(L, V, connectivity: int, inner_iters: int):
+    """Iterate to (or toward) the band-local fixpoint in VMEM."""
+    same_r = _shift(V, 0, 1, _BG_VAL) == V  # connected to left neighbor
+    same_rr = _shift(V, 0, -1, _BG_VAL) == V
+    same_c = _shift(V, 1, 0, _BG_VAL) == V
+    same_cr = _shift(V, -1, 0, _BG_VAL) == V
+
+    def body(state):
+        L, _, i = state
+        Ln = _neighbor_min(L, V, connectivity)
+        Ln = jnp.minimum(
+            _seg_scan_min(Ln, same_r, axis=1, reverse=False),
+            _seg_scan_min(Ln, same_rr, axis=1, reverse=True),
+        )
+        Ln = jnp.minimum(
+            _seg_scan_min(Ln, same_c, axis=0, reverse=False),
+            _seg_scan_min(Ln, same_cr, axis=0, reverse=True),
+        )
+        return Ln, jnp.any(Ln != L), i + 1
+
+    def cond(state):
+        _, changed, i = state
+        return changed & (i < inner_iters)
+
+    L, _, _ = jax.lax.while_loop(cond, body, (L, jnp.bool_(True), 0))
+    return L
+
+
+def _band_kernel(
+    lab_in, img_hbm, lab_io, *, T, n_bands, downward, connectivity, inner_iters
+):
+    """One band: DMA window in from the aliased label buffer, solve, write
+    the center back in place.  ``lab_in`` is the aliased input ref (unused —
+    all access goes through ``lab_io`` so reads see earlier bands' writes)."""
+    del lab_in
+    i = pl.program_id(0)
+    band = i if downward else (n_bands - 1) - i
+    start = band * T  # top of the window in the padded array
+
+    def run(lab_s, img_s, sem):
+        win = 2 * _HALO + T
+        cp1 = pltpu.make_async_copy(
+            lab_io.at[pl.ds(start, win), :], lab_s, sem
+        )
+        cp1.start()
+        cp1.wait()
+        cp2 = pltpu.make_async_copy(
+            img_hbm.at[pl.ds(start, win), :], img_s, sem
+        )
+        cp2.start()
+        cp2.wait()
+        L = _local_solve(lab_s[:, :], img_s[:, :], connectivity, inner_iters)
+        lab_s[:, :] = L
+        wb = pltpu.make_async_copy(
+            lab_s.at[pl.ds(_HALO, T), :],
+            lab_io.at[pl.ds(start + _HALO, T), :],
+            sem,
+        )
+        wb.start()
+        wb.wait()
+
+    W = img_hbm.shape[-1]
+    pl.run_scoped(
+        run,
+        pltpu.VMEM((2 * _HALO + T, W), jnp.int32),
+        pltpu.VMEM((2 * _HALO + T, W), jnp.int32),
+        pltpu.SemaphoreType.DMA,
+    )
+
+
+def _make_sweep(T, n_bands, Hp, W, downward, connectivity, inner_iters, interpret):
+    kernel = partial(
+        _band_kernel,
+        T=T,
+        n_bands=n_bands,
+        downward=downward,
+        connectivity=connectivity,
+        inner_iters=inner_iters,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n_bands,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((Hp, W), jnp.int32),
+        input_output_aliases={0: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("connectivity", "tile", "max_sweeps", "inner_iters", "interpret"),
+)
+def ccl_sweeps(
+    img: jnp.ndarray,
+    background: Optional[int] = None,
+    connectivity: int = 8,
+    tile: int = 64,
+    max_sweeps: int = 16,
+    inner_iters: int = 16,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """connected_components via Gauss-Seidel band sweeps (single plane [H,W]).
+
+    Returns the same min-linear-index root labels as
+    ops.ccl.connected_components.  ``tile`` is the band height (must divide
+    H); a down+up sweep pair usually converges in 1-2 outer rounds.
+    """
+    H, W = img.shape
+    T = tile
+    assert H % T == 0, (H, T)
+    n_bands = H // T
+
+    v = img.astype(jnp.int32)
+    lin = (
+        jax.lax.broadcasted_iota(jnp.int32, (H, W), 0) * W
+        + jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    )
+    if background is not None:
+        fg = v != background
+        v = jnp.where(fg, v, _BG_VAL - 1 - lin)  # unique, never merges
+    else:
+        fg = jnp.ones((H, W), bool)
+
+    lab_p = jnp.pad(lin, ((_HALO, _HALO), (0, 0)), constant_values=_INF)
+    img_p = jnp.pad(v, ((_HALO, _HALO), (0, 0)), constant_values=_BG_VAL)
+    Hp = H + 2 * _HALO
+
+    down = _make_sweep(T, n_bands, Hp, W, True, connectivity, inner_iters, interpret)
+    up = _make_sweep(T, n_bands, Hp, W, False, connectivity, inner_iters, interpret)
+
+    def body(state):
+        lab_p, _, i = state
+        old = lab_p
+        new = up(down(lab_p, img_p), img_p)
+        return new, jnp.any(new != old), i + 1
+
+    def cond(state):
+        _, changed, i = state
+        return changed & (i < max_sweeps)
+
+    old0 = lab_p
+    lab_p = up(down(lab_p, img_p), img_p)
+    lab_p, _, _ = jax.lax.while_loop(
+        cond, body, (lab_p, jnp.any(lab_p != old0), 1)
+    )
+    lab = lab_p[_HALO : _HALO + H, :]
+    return jnp.where(fg, lab, -1)

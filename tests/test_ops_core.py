@@ -94,6 +94,34 @@ class TestCCL:
         np.testing.assert_array_equal(np.asarray(seg), ref)
 
 
+class TestPallasBandCCL:
+    """The Gauss-Seidel band-sweep kernel must produce bit-identical labels
+    (exercised in interpreter mode on CPU; the TPU path is bench-covered)."""
+
+    @pytest.mark.parametrize(
+        "case", ["structured", "speckle", "binary", "stripe"]
+    )
+    def test_matches_xla_ccl(self, case):
+        from particle_col_image_segmentation_tpu.ops.ccl_tiles import ccl_sweeps
+
+        if case == "structured":
+            img, bg = synthetic_label_plane(seed=1, shape=(128, 128)), None
+        elif case == "speckle":
+            img, bg = random_class_plane((128, 128), 4, seed=2), None
+        elif case == "binary":
+            img = (random_class_plane((128, 128), 2, seed=3) == 1).astype(np.uint8)
+            bg = 0
+        else:  # full-height stripe: worst-case vertical propagation
+            img = np.full((128, 128), 3, np.uint8)
+            img[:, 60:64] = 1
+            bg = None
+        ref = np.asarray(connected_components(jnp.asarray(img), background=bg))
+        got = np.asarray(
+            ccl_sweeps(jnp.asarray(img), background=bg, tile=32, interpret=True)
+        )
+        np.testing.assert_array_equal(got, ref)
+
+
 class TestRegionProps:
     def test_matches_oracle(self):
         img = synthetic_label_plane(seed=9)
