@@ -14,7 +14,16 @@ import numpy as np
 
 
 def read_tiff_stack(path: str) -> np.ndarray:
-    """Read all pages → [N, H, W] (or [H, W] for single-page)."""
+    """Read all pages → [N, H, W] (or [H, W] for single-page).
+
+    Uses the native C++ strip codec (io/native) for uncompressed grayscale
+    TIFFs; PIL handles everything else.
+    """
+    from particle_col_image_segmentation_tpu.io import native
+
+    arr = native.read_tiff(path)
+    if arr is not None:
+        return arr
     from PIL import Image
 
     img = Image.open(path)
@@ -44,9 +53,13 @@ def read_zstack(path: str, num_channels: Optional[int] = None) -> np.ndarray:
 
 def write_tiff(path: str, arr: np.ndarray) -> None:
     """Write one plane (or a stack of planes) as TIFF."""
-    from PIL import Image
-
     arr = np.asarray(arr)
+    if arr.ndim == 2 and arr.dtype in (np.dtype(np.uint8), np.dtype(np.uint16)):
+        from particle_col_image_segmentation_tpu.io import native
+
+        if native.write_tiff(path, arr):
+            return
+    from PIL import Image
     if arr.ndim == 2:
         Image.fromarray(arr).save(path)
     else:
