@@ -220,18 +220,9 @@ def connected_components_auto(
         )
     from particle_col_image_segmentation_tpu.ops.ccl_tiles import ccl_sweeps
 
-    if img.ndim == 2:
-        return ccl_sweeps(
-            img, background=background, connectivity=connectivity, tile=tile
-        )
-    flat = img.reshape((-1,) + img.shape[-2:])
-    out = jax.lax.map(
-        lambda p: ccl_sweeps(
-            p, background=background, connectivity=connectivity, tile=tile
-        ),
-        flat,
+    return ccl_sweeps(
+        img, background=background, connectivity=connectivity, tile=tile
     )
-    return out.reshape(img.shape[:-2] + out.shape[-2:])
 
 
 def label_image(

@@ -121,15 +121,31 @@ def _local_solve(L, V, connectivity: int, inner_iters: int):
 
 
 def _band_kernel(
-    lab_in, img_hbm, lab_io, *, T, n_bands, downward, connectivity, inner_iters
+    lab_in,
+    img_hbm,
+    lab_io,
+    *,
+    T,
+    n_bands,
+    bands_per_plane,
+    slot,
+    downward,
+    connectivity,
+    inner_iters,
 ):
     """One band: DMA window in from the aliased label buffer, solve, write
     the center back in place.  ``lab_in`` is the aliased input ref (unused —
-    all access goes through ``lab_io`` so reads see earlier bands' writes)."""
+    all access goes through ``lab_io`` so reads see earlier bands' writes).
+
+    Bands are per plane: band b of plane p starts at p·slot + b·T in the
+    stacked array (each plane slot carries its own sentinel halos).
+    """
     del lab_in
     i = pl.program_id(0)
     band = i if downward else (n_bands - 1) - i
-    start = band * T  # top of the window in the padded array
+    plane = band // bands_per_plane
+    band_in_plane = band - plane * bands_per_plane
+    start = plane * slot + band_in_plane * T  # top of the window
 
     def run(lab_s, img_s, sem):
         win = 2 * _HALO + T
@@ -162,11 +178,16 @@ def _band_kernel(
     )
 
 
-def _make_sweep(T, n_bands, Hp, W, downward, connectivity, inner_iters, interpret):
+def _make_sweep(
+    T, n_bands, bands_per_plane, slot, Hp, W, downward, connectivity,
+    inner_iters, interpret,
+):
     kernel = partial(
         _band_kernel,
         T=T,
         n_bands=n_bands,
+        bands_per_plane=bands_per_plane,
+        slot=slot,
         downward=downward,
         connectivity=connectivity,
         inner_iters=inner_iters,
@@ -199,34 +220,58 @@ def ccl_sweeps(
     inner_iters: int = 16,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """connected_components via Gauss-Seidel band sweeps (single plane [H,W]).
+    """connected_components via Gauss-Seidel band sweeps.
+
+    Accepts [H, W] or a batch [..., H, W]; batched planes are stacked into
+    one tall array with sentinel gaps (planes cannot merge across gaps and
+    per-plane linear-index labels are already distinct per plane), so every
+    sweep is a single kernel launch for the whole batch.
 
     Returns the same min-linear-index root labels as
-    ops.ccl.connected_components.  ``tile`` is the band height (must divide
-    H); a down+up sweep pair usually converges in 1-2 outer rounds.
+    ops.ccl.connected_components.  ``tile`` is the band height; a down+up
+    sweep pair usually converges in 1-2 outer rounds.
     """
-    H, W = img.shape
+    batch_shape = img.shape[:-2]
+    H, W = img.shape[-2:]
+    B = 1
+    for d in batch_shape:
+        B *= d
+    img2 = img.reshape(B, H, W)
     T = tile
-    assert H % T == 0, (H, T)
-    n_bands = H // T
 
-    v = img.astype(jnp.int32)
+    v = img2.astype(jnp.int32)
     lin = (
-        jax.lax.broadcasted_iota(jnp.int32, (H, W), 0) * W
-        + jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+        jax.lax.broadcasted_iota(jnp.int32, (B, H, W), 1) * W
+        + jax.lax.broadcasted_iota(jnp.int32, (B, H, W), 2)
     )
     if background is not None:
         fg = v != background
         v = jnp.where(fg, v, _BG_VAL - 1 - lin)  # unique, never merges
     else:
-        fg = jnp.ones((H, W), bool)
+        fg = jnp.ones((B, H, W), bool)
 
-    lab_p = jnp.pad(lin, ((_HALO, _HALO), (0, 0)), constant_values=_INF)
-    img_p = jnp.pad(v, ((_HALO, _HALO), (0, 0)), constant_values=_BG_VAL)
-    Hp = H + 2 * _HALO
+    # stack planes vertically with a sentinel gap of 2*_HALO rows between
+    # them (plus _HALO at each end): total rows per plane slot = H + 2*_HALO.
+    slot = H + 2 * _HALO
+    lab_p = jnp.pad(
+        lin, ((0, 0), (_HALO, _HALO), (0, 0)), constant_values=_INF
+    ).reshape(B * slot, W)
+    img_p = jnp.pad(
+        v, ((0, 0), (_HALO, _HALO), (0, 0)), constant_values=_BG_VAL
+    ).reshape(B * slot, W)
+    Hp = B * slot
+    assert H % T == 0, (H, T)
+    bands_per_plane = H // T
+    n_bands = B * bands_per_plane
 
-    down = _make_sweep(T, n_bands, Hp, W, True, connectivity, inner_iters, interpret)
-    up = _make_sweep(T, n_bands, Hp, W, False, connectivity, inner_iters, interpret)
+    down = _make_sweep(
+        T, n_bands, bands_per_plane, slot, Hp, W, True, connectivity,
+        inner_iters, interpret,
+    )
+    up = _make_sweep(
+        T, n_bands, bands_per_plane, slot, Hp, W, False, connectivity,
+        inner_iters, interpret,
+    )
 
     def body(state):
         lab_p, _, i = state
@@ -243,5 +288,6 @@ def ccl_sweeps(
     lab_p, _, _ = jax.lax.while_loop(
         cond, body, (lab_p, jnp.any(lab_p != old0), 1)
     )
-    lab = lab_p[_HALO : _HALO + H, :]
-    return jnp.where(fg, lab, -1)
+    lab = lab_p.reshape(B, slot, W)[:, _HALO : _HALO + H, :]
+    out = jnp.where(fg, lab, -1)
+    return out.reshape(img.shape)

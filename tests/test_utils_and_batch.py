@@ -1,0 +1,139 @@
+"""Tests: manifest, prefetch loader, batch pipeline, viz figures, CLI."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from particle_col_image_segmentation_tpu.config import AnalysisConfig
+from particle_col_image_segmentation_tpu.io.loader import (
+    batched_device_iterator,
+    prefetch_map,
+)
+from particle_col_image_segmentation_tpu.models.batch import run_batch
+from particle_col_image_segmentation_tpu.utils.manifest import RunManifest
+
+from fixtures import synthetic_label_plane
+
+CFG = AnalysisConfig(max_regions=4096)
+
+
+class TestManifest:
+    def test_roundtrip_and_resume(self, tmp_path):
+        p = str(tmp_path / "run.jsonl")
+        m = RunManifest(p)
+        assert not m.is_done("a")
+        m.mark_done("a", meta={"regions": 3})
+        m.mark_done("b")
+        assert m.is_done("a") and m.done_count == 2
+        # new instance reads back state (resume)
+        m2 = RunManifest(p)
+        assert m2.is_done("a") and m2.is_done("b") and not m2.is_done("c")
+
+    def test_torn_tail_ignored(self, tmp_path):
+        p = str(tmp_path / "run.jsonl")
+        RunManifest(p).mark_done("a")
+        with open(p, "a") as f:
+            f.write('{"key": "b", "sta')  # crash mid-write
+        m = RunManifest(p)
+        assert m.is_done("a") and not m.is_done("b")
+
+
+class TestLoader:
+    def test_prefetch_order(self):
+        out = list(prefetch_map(lambda s: np.full((2, 2), int(s)), ["3", "1", "7"]))
+        assert [o[0, 0] for o in out] == [3, 1, 7]
+
+    def test_batched_device_iterator_padding(self):
+        planes = {f"p{i}": np.full((8, 8), i, np.uint8) for i in range(5)}
+        batches = list(
+            batched_device_iterator(lambda k: planes[k], list(planes), batch_size=2)
+        )
+        counts = [c for _, c in batches]
+        assert counts == [2, 2, 1]
+        last = np.asarray(batches[-1][0])
+        assert last.shape == (2, 8, 8)  # padded to full batch
+        assert (last[0] == 4).all() and (last[1] == 4).all()  # repeat-pad
+
+
+class TestBatchPipeline:
+    def test_stats_and_manifest_resume(self, tmp_path):
+        planes = {
+            f"plane{i}": synthetic_label_plane(seed=i, shape=(96, 96))
+            for i in range(3)
+        }
+        manifest = RunManifest(str(tmp_path / "m.jsonl"))
+        stats = dict(
+            run_batch(
+                list(planes), lambda k: planes[k], CFG, batch_size=2,
+                particle_val=2, manifest=manifest,
+            )
+        )
+        assert set(stats) == set(planes)
+        for key, s in stats.items():
+            from scipy import ndimage as ndi
+
+            den = ndi.median_filter(planes[key], size=5)
+            assert s.particle_px == int(np.sum(den == 2))
+            assert s.class_px[2] == s.particle_px
+            assert s.num_regions > 0
+        # resume: everything already done → nothing yielded
+        again = list(
+            run_batch(list(planes), lambda k: planes[k], CFG, batch_size=2,
+                      manifest=manifest)
+        )
+        assert again == []
+
+
+class TestViz:
+    def test_figures_written(self, tmp_path, monkeypatch):
+        from particle_col_image_segmentation_tpu.models import analyze_plane
+        from particle_col_image_segmentation_tpu.viz import (
+            create_plot,
+            create_single_plots,
+            get_color_map,
+            plot_original_vs_merged,
+            visualize_dapi_overlap_results,
+        )
+
+        monkeypatch.chdir(tmp_path)
+        cell_types = {1: "3D05", 2: "Particle", 3: "Background"}
+        img = synthetic_label_plane(seed=6, cell_types=cell_types, shape=(96, 96))
+        res = analyze_plane(img, cell_types, CFG, merged=True)
+        cmap, norm = get_color_map(cell_types)
+        create_single_plots(
+            img, cmap, norm, "t", "out1", res.denoised, res.filled,
+            cell_positions=res.cell_pos, cell_clusters=res.cell_clusters,
+        )
+        assert os.path.getsize("out1_plots.png") > 10000
+        plot_original_vs_merged(
+            res.denoised, res.merged_clusters, res.cell_clusters, cell_types,
+            "t", "out2",
+        )
+        assert os.path.getsize("out2_cell_cluster_pos.png") > 10000
+        create_plot(res.denoised, cmap, norm, "out3.png",
+                    cell_positions=res.cell_pos, cell_clusters=res.cell_clusters)
+        assert os.path.getsize("out3.png") > 10000
+        other = np.where(img == 1, 2, img).astype(np.uint8)
+        visualize_dapi_overlap_results(
+            img, other, img, cmap, norm, cmap, norm, "t", "out4", "RFP"
+        )
+        assert os.path.getsize("out4_dapi_RFP_overlap.png") > 10000
+
+
+class TestCLIParsing:
+    def test_help_and_defaults(self, capsys):
+        from particle_col_image_segmentation_tpu.cli import main
+
+        with pytest.raises(SystemExit):
+            main(["--help"])
+        out = capsys.readouterr().out
+        for sub in ("analyze", "split", "normalize", "refine", "nanosims", "bench"):
+            assert sub in out
+
+    def test_bad_subcommand(self):
+        from particle_col_image_segmentation_tpu.cli import main
+
+        with pytest.raises(SystemExit):
+            main(["frobnicate"])
