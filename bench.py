@@ -86,8 +86,9 @@ def bench_device(batch: np.ndarray) -> float:
     return mp / dt
 
 
-def bench_reference_cpu(plane: np.ndarray) -> float:
-    """Reference path: scipy median + (skimage-equivalent) CCL + regionprops."""
+def bench_reference_cpu(plane: np.ndarray):
+    """Reference path: scipy median + (skimage-equivalent) CCL + regionprops.
+    Returns (MP/s, oracle denoised plane, oracle label ids)."""
     from scipy import ndimage as ndi
 
     from particle_col_image_segmentation_tpu.oracle import ndimage as ond
@@ -98,13 +99,45 @@ def bench_reference_cpu(plane: np.ndarray) -> float:
     regions = ond.regionprops(lab)
     _ = sum(r.area for r in regions if den[r.coords[0][0], r.coords[0][1]] == 2)
     dt = time.perf_counter() - t0
-    return (H * W / 1e6) / dt
+    return (H * W / 1e6) / dt, den, lab
+
+
+def check_mask_parity(plane: np.ndarray, oracle_den, oracle_lab) -> bool:
+    """Exact integer-mask parity of the device pass vs the oracle
+    (the BASELINE.json accuracy contract, checked every bench run)."""
+    import jax.numpy as jnp
+
+    from particle_col_image_segmentation_tpu.config import AnalysisConfig
+    from particle_col_image_segmentation_tpu.models.batch import fused_segment_batch
+    from particle_col_image_segmentation_tpu.utils.metrics import masks_equal
+
+    cfg = AnalysisConfig(max_regions=MAX_REGIONS)
+    seg, num, *_ = fused_segment_batch(jnp.asarray(plane[None]), cfg)
+    dev_seg = np.asarray(seg[0])
+    return masks_equal(dev_seg, oracle_lab)
+
+
+def measure_copy_gbps() -> float:
+    """Effective device bandwidth context (the relay-attached chip runs far
+    below real v5e HBM; this field lets readers normalize)."""
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.ones((2048, 2048), jnp.float32)
+    f = jax.jit(lambda v: v + 1.0)
+    _ = float(jnp.sum(f(x)))
+    t0 = time.perf_counter()
+    accs = [jnp.sum(f(x)) for _ in range(8)]
+    _ = float(sum(accs))
+    dt = (time.perf_counter() - t0) / 8
+    return (2 * x.nbytes / 1e9) / dt
 
 
 def main():
     batch = np.stack([make_plane(s) for s in range(BATCH)])
     device_mps = bench_device(batch)
-    baseline_mps = bench_reference_cpu(batch[0])
+    baseline_mps, oracle_den, oracle_lab = bench_reference_cpu(batch[0])
+    parity = check_mask_parity(batch[0], oracle_den, oracle_lab)
     print(
         json.dumps(
             {
@@ -112,6 +145,8 @@ def main():
                 "value": round(device_mps, 2),
                 "unit": "MP/s/chip",
                 "vs_baseline": round(device_mps / baseline_mps, 2),
+                "mask_exact_parity": bool(parity),
+                "platform_copy_gbps": round(measure_copy_gbps(), 2),
             }
         )
     )

@@ -66,8 +66,15 @@ def fused_segment_batch(
     for v in cell_vals:
         cell_mask = cell_mask | (den == v)
     cell_px = jnp.sum(cell_mask.astype(jnp.int32), axis=(-2, -1))
-    one_hot = jax.nn.one_hot(den.astype(jnp.int32), cfg.num_classes, dtype=jnp.int32)
-    class_px = jnp.sum(one_hot, axis=(-3, -2))
+    # per-class histogram as num_classes fused compare+sums (a materialized
+    # one_hot would be num_classes× the plane in HBM)
+    class_px = jnp.stack(
+        [
+            jnp.sum((den == v).astype(jnp.int32), axis=(-2, -1))
+            for v in range(cfg.num_classes)
+        ],
+        axis=-1,
+    )
     return seg, num, areas, classes, particle_px, cell_px, class_px
 
 
