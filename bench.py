@@ -93,13 +93,16 @@ def bench_reference_cpu(plane: np.ndarray):
 
     from particle_col_image_segmentation_tpu.oracle import ndimage as ond
 
-    t0 = time.perf_counter()
-    den = ndi.median_filter(plane, size=5)
-    lab = ond.label(den, background=-1)
-    regions = ond.regionprops(lab)
-    _ = sum(r.area for r in regions if den[r.coords[0][0], r.coords[0][1]] == 2)
-    dt = time.perf_counter() - t0
-    return (H * W / 1e6) / dt, den, lab
+    best = float("inf")
+    den = lab = None
+    for _ in range(2):  # best-of-2 damps host scheduling noise
+        t0 = time.perf_counter()
+        den = ndi.median_filter(plane, size=5)
+        lab = ond.label(den, background=-1)
+        regions = ond.regionprops(lab)
+        _ = sum(r.area for r in regions if den[r.coords[0][0], r.coords[0][1]] == 2)
+        best = min(best, time.perf_counter() - t0)
+    return (H * W / 1e6) / best, den, lab
 
 
 def check_mask_parity(plane: np.ndarray, oracle_den, oracle_lab) -> bool:

@@ -24,8 +24,8 @@ from particle_col_image_segmentation_tpu.ops import (
     compact_labels,
     connected_components_auto,
     median_label_filter,
-    region_props,
 )
+from particle_col_image_segmentation_tpu.ops.regionprops import region_counts
 from particle_col_image_segmentation_tpu.utils.logging import get_logger
 from particle_col_image_segmentation_tpu.utils.profiling import stage
 
@@ -57,8 +57,8 @@ def fused_segment_batch(
     def per_plane(args):
         r, d = args
         seg, num = compact_labels(r, cfg.max_regions)
-        table = region_props(seg, d, cfg.max_regions)
-        return seg, num, table.area, table.class_id
+        area, class_id = region_counts(seg, d, cfg.max_regions)
+        return seg, num, area, class_id
 
     seg, num, areas, classes = jax.vmap(per_plane)((raw, den))
     particle_px = jnp.sum((den == particle_val).astype(jnp.int32), axis=(-2, -1))

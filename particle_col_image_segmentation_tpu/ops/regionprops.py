@@ -104,6 +104,20 @@ def region_props(seg: jnp.ndarray, img: jnp.ndarray, max_regions: int) -> Region
     )
 
 
+@partial(jax.jit, static_argnames=("max_regions",))
+def region_counts(seg: jnp.ndarray, img: jnp.ndarray, max_regions: int):
+    """Light-weight variant for the throughput path: (area [R+1],
+    class_id [R+1]) only — one scalar scatter-add + one scalar scatter-max,
+    ~5× less scatter traffic than the full RegionTable."""
+    R = max_regions + 1
+    ids = seg.ravel()
+    area = jax.ops.segment_sum(jnp.ones_like(ids), ids, num_segments=R)
+    class_id = jax.ops.segment_max(
+        img.ravel().astype(jnp.int32), ids, num_segments=R
+    )
+    return area, class_id
+
+
 def centroids_int(table: RegionTable) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact truncated centroids ⌊Σrow/area⌋, ⌊Σcol/area⌋ (device int32) —
     the reference's ``int(r.centroid[...])`` lookup coordinates
