@@ -19,17 +19,29 @@ __all__ = ["exchange_rows", "pad_with_halo"]
 def exchange_rows(x: jnp.ndarray, halo: int, axis_name: str = SPACE_AXIS):
     """Fetch ``halo`` boundary rows from the up/down neighbors of this shard.
 
+    Supports halos larger than the shard height via multi-hop ppermute (the
+    bounded-EDT cap can exceed a fine mesh's band height).
+
     Args:
       x: [..., h_local, W] local band.
     Returns:
-      (top, bottom): rows arriving from the previous / next shard; zeros at
-      the global plane edges (non-participating ppermute receivers).
+      (top, bottom): the ``halo`` rows directly above / below this shard's
+      band; zeros where the plane has no such rows (global edges).
     """
     n = jax.lax.axis_size(axis_name)
-    down_perm = [(i, i + 1) for i in range(n - 1)]  # send to next shard
-    up_perm = [(i + 1, i) for i in range(n - 1)]  # send to previous shard
-    top = jax.lax.ppermute(x[..., -halo:, :], axis_name, down_perm)
-    bottom = jax.lax.ppermute(x[..., :halo, :], axis_name, up_perm)
+    h_loc = x.shape[-2]
+    hops = -(-halo // h_loc)  # ceil
+
+    top_parts = []
+    bottom_parts = []
+    for k in range(1, hops + 1):
+        down_perm = [(i, i + k) for i in range(n - k)]
+        up_perm = [(i + k, i) for i in range(n - k)]
+        # shard i-k's full band (zeros when it doesn't exist)
+        top_parts.insert(0, jax.lax.ppermute(x, axis_name, down_perm))
+        bottom_parts.append(jax.lax.ppermute(x, axis_name, up_perm))
+    top = jnp.concatenate(top_parts, axis=-2)[..., -halo:, :]
+    bottom = jnp.concatenate(bottom_parts, axis=-2)[..., :halo, :]
     return top, bottom
 
 
@@ -42,16 +54,29 @@ def pad_with_halo(
 ):
     """[..., h, W] → [..., h+2·halo, W]: neighbor rows where available,
     ``edge_mode`` ('symmetric' reflection or 'constant' fill) at the global
-    plane edges."""
+    plane edges.  'constant' supports halos larger than the band height
+    (multi-hop exchange); 'symmetric' requires halo ≤ h (its only user is
+    the small median window)."""
     n = jax.lax.axis_size(axis_name)
     idx = jax.lax.axis_index(axis_name)
+    h_loc = x.shape[-2]
     top, bottom = exchange_rows(x, halo, axis_name)
     if edge_mode == "symmetric":
+        assert halo <= h_loc, (halo, h_loc)
         edge_top = jnp.flip(x[..., :halo, :], axis=-2)
         edge_bottom = jnp.flip(x[..., -halo:, :], axis=-2)
+        top = jnp.where((idx == 0), edge_top, top)
+        bottom = jnp.where((idx == n - 1), edge_bottom, bottom)
     else:
-        edge_top = jnp.full_like(x[..., :halo, :], fill)
-        edge_bottom = jnp.full_like(x[..., -halo:, :], fill)
-    top = jnp.where((idx == 0), edge_top, top)
-    bottom = jnp.where((idx == n - 1), edge_bottom, bottom)
+        # per-row validity: the r-th top halo row is global row
+        # idx·h − halo + r; rows outside [0, n·h) take the fill value.
+        r = jax.lax.broadcasted_iota(jnp.int32, top.shape[-2:], 0)
+        shape = (1,) * (x.ndim - 2) + top.shape[-2:]
+        r = r.reshape(shape)
+        top_global = idx * h_loc - halo + r
+        top = jnp.where(top_global < 0, jnp.asarray(fill, top.dtype), top)
+        bot_global = (idx + 1) * h_loc + r
+        bottom = jnp.where(
+            bot_global >= n * h_loc, jnp.asarray(fill, bottom.dtype), bottom
+        )
     return jnp.concatenate([top, x, bottom], axis=-2)

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 from particle_col_image_segmentation_tpu.config import AnalysisConfig
+from particle_col_image_segmentation_tpu.ops.edt import edt_sq
 from particle_col_image_segmentation_tpu.ops.filters import median_label_filter_padded
 from particle_col_image_segmentation_tpu.ops.scans import seg_min_scan_bidi
 from particle_col_image_segmentation_tpu.parallel.halo import pad_with_halo
@@ -83,8 +84,11 @@ def _local_pointer_jump(lab, base):
     return jnp.minimum(flat, jnp.where(ok, jumped, _INF)).reshape(shape)
 
 
-def _segment_shard(img, cfg: AnalysisConfig, particle_val: int, max_iters: int):
-    """Body run per shard: [b_loc, h_loc, W] → (den, lab, particle_ct, n_comp)."""
+def _segment_shard(
+    img, cfg: AnalysisConfig, particle_val: int, cell_vals, max_iters: int
+):
+    """Body run per shard: [b_loc, h_loc, W] →
+    (den, lab, particle_ct, n_comp, filled, overlap_ct)."""
     h_loc, W = img.shape[-2:]
     half = cfg.denoise_size // 2
     img_h = pad_with_halo(img, half, edge_mode="symmetric")
@@ -133,20 +137,48 @@ def _segment_shard(img, cfg: AnalysisConfig, particle_val: int, max_iters: int):
     particle_ct = jax.lax.psum(particle_local, SPACE_AXIS)
     n_comp_local = jnp.sum((lab == lin).astype(jnp.int32), axis=(-2, -1))
     n_comp = jax.lax.psum(n_comp_local, SPACE_AXIS)
-    return den, lab, particle_ct, n_comp
+
+    # --- particle fill across shards (labels/analysis.py:95-113 semantics) -
+    # The bounded EDT's influence range is ≤ cap rows, so exchanging a
+    # cap-row halo and computing locally is exact.
+    cap = max(cfg.dilation_radius, cfg.distance_threshold)
+    dt2 = cfg.distance_threshold * cfg.distance_threshold
+    dr2 = cfg.dilation_radius * cfg.dilation_radius
+    filled = den
+    overlap_ct = jnp.zeros(den.shape[:-2], jnp.int32)
+    for sval in cell_vals:
+        pm_ext = pad_with_halo(
+            filled == particle_val, cap, edge_mode="constant", fill=False
+        )
+        d2 = edt_sq(pm_ext, cap=cap)[..., cap:-cap, :]
+        overlap = (filled == sval) & ((d2 < dt2) | (d2 <= dr2))
+        ov_local = jnp.sum(overlap.astype(jnp.int32), axis=(-2, -1))
+        overlap_ct = overlap_ct + jax.lax.psum(ov_local, SPACE_AXIS)
+        filled = jnp.where(overlap, jnp.asarray(particle_val, den.dtype), filled)
+    return den, lab, particle_ct, n_comp, filled, overlap_ct
 
 
 def make_sharded_segment_fn(
-    mesh, cfg: AnalysisConfig, particle_val: int = 2, max_iters: int = 128
+    mesh,
+    cfg: AnalysisConfig,
+    particle_val: int = 2,
+    cell_vals=(1,),
+    max_iters: int = 128,
 ):
     """Build the jitted sharded step: [B,H,W] uint8 →
-    (den [B,H,W], labels [B,H,W] global-root ids, particle_px [B], n_comp [B]).
+    (den [B,H,W], labels [B,H,W] global-root ids, particle_px [B],
+     n_comp [B], filled [B,H,W], overlap_px [B]).
 
-    B shards over "data", H over "space".
+    B shards over "data", H over "space"; the full per-plane pipeline
+    (denoise → CCL → stats → particle fill) runs inside one shard_map.
     """
     fn = jax.shard_map(
         partial(
-            _segment_shard, cfg=cfg, particle_val=particle_val, max_iters=max_iters
+            _segment_shard,
+            cfg=cfg,
+            particle_val=particle_val,
+            cell_vals=tuple(cell_vals),
+            max_iters=max_iters,
         ),
         mesh=mesh,
         in_specs=P(DATA_AXIS, SPACE_AXIS, None),
@@ -155,12 +187,16 @@ def make_sharded_segment_fn(
             P(DATA_AXIS, SPACE_AXIS, None),
             P(DATA_AXIS),
             P(DATA_AXIS),
+            P(DATA_AXIS, SPACE_AXIS, None),
+            P(DATA_AXIS),
         ),
     )
     return jax.jit(fn)
 
 
-def sharded_segment_batch(batch, mesh, cfg: AnalysisConfig, particle_val: int = 2):
+def sharded_segment_batch(
+    batch, mesh, cfg: AnalysisConfig, particle_val: int = 2, cell_vals=(1,)
+):
     """Convenience wrapper: run the sharded step on a host batch."""
-    fn = make_sharded_segment_fn(mesh, cfg, particle_val)
+    fn = make_sharded_segment_fn(mesh, cfg, particle_val, cell_vals)
     return fn(jnp.asarray(batch))

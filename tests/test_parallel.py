@@ -13,6 +13,7 @@ import jax
 
 from particle_col_image_segmentation_tpu.config import AnalysisConfig
 from particle_col_image_segmentation_tpu.oracle import ndimage as ond
+from particle_col_image_segmentation_tpu.oracle import reference_pipeline as rp
 from particle_col_image_segmentation_tpu.parallel import (
     make_mesh,
     sharded_segment_batch,
@@ -40,11 +41,12 @@ def test_sharded_matches_oracle(n_data, n_space):
     batch = np.stack(
         [synthetic_label_plane(seed=s, shape=(H, W)) for s in range(B)]
     )
-    den, labels, particle_px, n_comp = sharded_segment_batch(
+    den, labels, particle_px, n_comp, filled, overlap_px = sharded_segment_batch(
         batch, mesh, CFG, particle_val=2
     )
     den = np.asarray(den)
     labels = np.asarray(labels)
+    filled = np.asarray(filled)
     for b in range(B):
         ref_den = ndi.median_filter(batch[b], size=5)
         np.testing.assert_array_equal(den[b], ref_den)
@@ -52,6 +54,13 @@ def test_sharded_matches_oracle(n_data, n_space):
         assert int(n_comp[b]) == ref_n
         np.testing.assert_array_equal(_compact(labels[b]), ref_lab)
         assert int(particle_px[b]) == int(np.sum(ref_den == 2))
+        # particle fill parity (reference fill_particle_area semantics)
+        ref_filled, ref_area = rp.recreate_particle_area(
+            ref_den.copy(), {1: "3D05", 2: "Particle", 3: "Background"},
+            int(np.sum(ref_den == 2)), CFG,
+        )
+        np.testing.assert_array_equal(filled[b], ref_filled)
+        assert int(particle_px[b]) + int(overlap_px[b]) == ref_area
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
@@ -61,7 +70,7 @@ def test_sharded_cross_boundary_component():
     B, H, W = 4, 64, 64
     batch = np.full((B, H, W), 3, np.uint8)
     batch[:, :, 30:34] = 1  # vertical stripe through all 4 row-shards
-    _, labels, _, n_comp = sharded_segment_batch(batch, mesh, CFG, particle_val=2)
+    _, labels, _, n_comp, _, _ = sharded_segment_batch(batch, mesh, CFG, particle_val=2)
     labels = np.asarray(labels)
     for b in range(B):
         stripe = labels[b][:, 30:34]
