@@ -9,7 +9,7 @@ reference's synchronous per-file loop (tiff_analysis.py:107-153).
 from __future__ import annotations
 
 import concurrent.futures as cf
-from typing import Callable, Iterable, Iterator, List, Optional, Sequence
+from typing import Callable, Iterator, List, Sequence
 
 import numpy as np
 

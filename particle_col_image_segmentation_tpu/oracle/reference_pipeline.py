@@ -10,7 +10,7 @@ when ``AnalysisConfig.strict_reference_errors`` is set.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 from scipy import ndimage as ndi

@@ -9,7 +9,7 @@ SURVEY §2.6) is not reproduced — we overlay on a copy.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 
