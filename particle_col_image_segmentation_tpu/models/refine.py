@@ -30,7 +30,7 @@ from particle_col_image_segmentation_tpu.ops import (
     edt,
     local_maxima,
     region_props,
-    watershed,
+    watershed_auto,
 )
 from particle_col_image_segmentation_tpu.ops.pairwise import (
     min_dist_to_set,
@@ -51,7 +51,7 @@ def refine_plane_device(
     maxima = local_maxima(distance)
     raw = connected_components_auto(maxima.astype(jnp.uint8), background=0, num_classes=2)
     markers, num = compact_labels(raw, max_regions)
-    labels = watershed(boundary_map.astype(jnp.float32), markers, binary_mask)
+    labels = watershed_auto(boundary_map.astype(jnp.float32), markers, binary_mask)
     table = region_props(labels, jnp.ones_like(labels, jnp.uint8), max_regions)
     return labels, markers, num, table, distance
 

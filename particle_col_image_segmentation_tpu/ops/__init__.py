@@ -22,4 +22,7 @@ from particle_col_image_segmentation_tpu.ops.morphology import (  # noqa: F401
     fill_holes,
     local_maxima,
 )
-from particle_col_image_segmentation_tpu.ops.watershed import watershed  # noqa: F401
+from particle_col_image_segmentation_tpu.ops.watershed import (  # noqa: F401
+    watershed,
+    watershed_auto,
+)

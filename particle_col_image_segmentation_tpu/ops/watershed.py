@@ -1,17 +1,21 @@
-"""Marker-based watershed on TPU (minimax-path flooding).
+"""Marker-based watershed on TPU (two-phase minimax flooding).
 
 Replaces skimage.segmentation.watershed (reference: refine_boundaries.py:73)
-with an iteration-order-independent formulation: each masked pixel is
-assigned the marker reachable over the path whose *maximum relief value* is
-smallest (ties broken by smaller marker id).  This is the classic
-topographic-distance watershed; it agrees with skimage's priority-flood
-everywhere except on plateau/tie pixels, where skimage's FIFO insertion
-order is inherently sequential (SURVEY.md §7 hard-part 2 — parity is
-measured as boundary IoU, per BASELINE.json).
+with an iteration-order-independent formulation in two confluent phases:
 
-Implementation: Bellman-Ford-style relaxation of (cost, label) over the
-4-neighborhood inside ``lax.while_loop``; each step is a handful of fused
-shifts/selects, and convergence takes O(basin diameter) iterations.
+  1. **costs**: every masked pixel's minimax distance to the seed set —
+     min over paths of the maximum relief along the path (Bellman-Ford-style
+     relaxation of a min/max semilattice → unique fixpoint);
+  2. **labels**: with costs FIXED, the smallest marker id reachable through
+     "optimal edges" (n → p is optimal iff max(cost[n], img[p]) == cost[p])
+     — min-propagation on a fixed graph → unique fixpoint.
+
+A joint (cost, label) relaxation is monotone but NOT confluent (a label can
+ratchet onto a justification that later disappears), so different schedules
+(Jacobi vs Gauss-Seidel, XLA vs Pallas) would disagree; the two-phase split
+makes every schedule produce identical output.  Agreement with skimage's
+sequential priority flood is by boundary IoU (plateau ties differ;
+BASELINE.json contract).
 """
 
 from __future__ import annotations
@@ -22,9 +26,30 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-__all__ = ["watershed"]
+__all__ = ["watershed", "watershed_auto"]
 
-_INF = jnp.float32(jnp.finfo(jnp.float32).max)
+_INF = 3.4e38
+_BIG_LAB = jnp.iinfo(jnp.int32).max
+
+
+def _offsets(connectivity: int):
+    offsets = [(-1, 0), (1, 0), (0, -1), (0, 1)]
+    if connectivity == 2:
+        offsets += [(-1, -1), (-1, 1), (1, -1), (1, 1)]
+    return offsets
+
+
+def _shifted(x, dy, dx, fill):
+    H, W = x.shape
+    sl_src = (
+        slice(max(0, -dy), H - max(0, dy)),
+        slice(max(0, -dx), W - max(0, dx)),
+    )
+    sl_dst = (
+        slice(max(0, dy), H - max(0, -dy)),
+        slice(max(0, dx), W - max(0, -dx)),
+    )
+    return jnp.full((H, W), fill, x.dtype).at[sl_dst].set(x[sl_src])
 
 
 @partial(jax.jit, static_argnames=("connectivity", "max_iters"))
@@ -48,54 +73,67 @@ def watershed(
     H, W = image.shape
     img = image.astype(jnp.float32)
     lab0 = markers.astype(jnp.int32)
-    if mask is None:
-        mask = jnp.ones((H, W), bool)
-    else:
-        mask = mask.astype(bool)
-    seeded = (lab0 > 0) & mask
-    cost0 = jnp.where(seeded, img, _INF)
-    lab0 = jnp.where(seeded, lab0, 0)
+    m = jnp.ones((H, W), bool) if mask is None else mask.astype(bool)
+    seeded = (lab0 > 0) & m
+    cost0 = jnp.where(seeded, img, jnp.float32(_INF))
+    offsets = _offsets(connectivity)
 
-    offsets4 = [(-1, 0), (1, 0), (0, -1), (0, 1)]
-    offsets8 = offsets4 + [(-1, -1), (-1, 1), (1, -1), (1, 1)]
-    offsets = offsets8 if connectivity == 2 else offsets4
-
-    big_lab = jnp.int32(jnp.iinfo(jnp.int32).max)
-
-    def body(state):
-        cost, lab, _, i = state
-        best_cost, best_lab = cost, jnp.where(lab > 0, lab, big_lab)
+    # ---- phase 1: minimax costs --------------------------------------
+    def cost_body(state):
+        cost, _, i = state
+        best = cost
         for dy, dx in offsets:
-            sl_src = (
-                slice(max(0, -dy), H - max(0, dy)),
-                slice(max(0, -dx), W - max(0, dx)),
-            )
-            sl_dst = (
-                slice(max(0, dy), H - max(0, -dy)),
-                slice(max(0, dx), W - max(0, -dx)),
-            )
-            n_cost = jnp.full((H, W), _INF).at[sl_dst].set(cost[sl_src])
-            n_lab = jnp.full((H, W), big_lab).at[sl_dst].set(
-                jnp.where(lab[sl_src] > 0, lab[sl_src], big_lab)
-            )
-            cand_cost = jnp.maximum(n_cost, img)  # path max through this pixel
-            better = (cand_cost < best_cost) | (
-                (cand_cost == best_cost) & (n_lab < best_lab)
-            )
-            best_cost = jnp.where(better, cand_cost, best_cost)
-            best_lab = jnp.where(better, n_lab, best_lab)
-        # seeds keep their own (cost, label); unmasked pixels stay 0
-        new_cost = jnp.where(seeded, cost0, jnp.where(mask, best_cost, _INF))
-        new_lab_raw = jnp.where(best_lab == big_lab, 0, best_lab)
-        new_lab = jnp.where(seeded, lab0, jnp.where(mask, new_lab_raw, 0))
-        changed = jnp.any((new_lab != lab) | (new_cost != cost))
-        return new_cost, new_lab, changed, i + 1
+            nc = _shifted(cost, dy, dx, jnp.float32(_INF))
+            best = jnp.minimum(best, jnp.maximum(nc, img))
+        new = jnp.where(seeded, cost0, jnp.where(m, best, jnp.float32(_INF)))
+        return new, jnp.any(new != cost), i + 1
 
     def cond(state):
-        _, _, changed, i = state
+        _, changed, i = state
         return changed & (i < max_iters)
 
-    _, lab, _, _ = jax.lax.while_loop(
-        cond, body, (cost0, lab0, jnp.bool_(True), 0)
+    cost, _, _ = jax.lax.while_loop(
+        cond, cost_body, (cost0, jnp.bool_(True), 0)
     )
-    return lab
+
+    # ---- phase 2: min labels over optimal edges ----------------------
+    lab_init = jnp.where(seeded, lab0, _BIG_LAB)
+
+    def lab_body(state):
+        lab, _, i = state
+        best = lab
+        for dy, dx in offsets:
+            nc = _shifted(cost, dy, dx, jnp.float32(_INF))
+            nl = _shifted(lab, dy, dx, _BIG_LAB)
+            optimal = jnp.maximum(nc, img) == cost
+            best = jnp.minimum(best, jnp.where(optimal, nl, _BIG_LAB))
+        new = jnp.where(seeded, lab0, jnp.where(m, best, _BIG_LAB))
+        return new, jnp.any(new != lab), i + 1
+
+    lab, _, _ = jax.lax.while_loop(
+        cond, lab_body, (lab_init, jnp.bool_(True), 0)
+    )
+    reached = m & (cost < _INF) & (lab != _BIG_LAB)
+    return jnp.where(reached, lab, 0)
+
+def watershed_auto(
+    image: jnp.ndarray,
+    markers: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    connectivity: int = 1,
+) -> jnp.ndarray:
+    """watershed with automatic kernel selection: the Pallas band sweeps on
+    TPU backends (band-divisible heights), the XLA fixpoint elsewhere.
+    Both produce identical labels (two-phase confluence)."""
+    backend = jax.default_backend()
+    H = image.shape[-2]
+    tile = next((t for t in (64, 32, 16, 8) if H % t == 0), None)
+    if tile is None or backend in ("cpu", "gpu"):
+        return watershed(image, markers, mask, connectivity=connectivity)
+    from particle_col_image_segmentation_tpu.ops.watershed_tiles import (
+        watershed_sweeps,
+    )
+
+    return watershed_sweeps(
+        image, markers, mask, connectivity=connectivity, tile=tile
+    )

@@ -129,6 +129,53 @@ def _iou(a, b):
     return np.sum(a & b) / max(1, np.sum(a | b))
 
 
+class TestWatershedBandSweeps:
+    """The Pallas two-phase band watershed must be bit-identical to the XLA
+    kernel on every relief, including the schedule-divergence stress case
+    (random noise, where a joint cost+label relaxation would differ)."""
+
+    @pytest.mark.parametrize("seed", [0, 1])
+    def test_random_relief_bit_parity(self, seed):
+        from particle_col_image_segmentation_tpu.ops.watershed_tiles import (
+            watershed_sweeps,
+        )
+
+        rng = np.random.default_rng(seed)
+        img = rng.random((64, 64)).astype(np.float32)
+        mk = np.zeros((64, 64), np.int32)
+        mk[10, 10] = 2
+        mk[50, 50] = 1
+        mk[30, 60] = 3
+        ref = np.asarray(watershed(jnp.asarray(img), jnp.asarray(mk)))
+        got = np.asarray(
+            watershed_sweeps(jnp.asarray(img), jnp.asarray(mk), tile=32, interpret=True)
+        )
+        np.testing.assert_array_equal(got, ref)
+
+    def test_masked_structured_bit_parity(self):
+        from particle_col_image_segmentation_tpu.ops.watershed_tiles import (
+            watershed_sweeps,
+        )
+
+        m = np.zeros((96, 96), bool)
+        yy, xx = np.mgrid[:96, :96]
+        for cy, cx in ((48, 30), (48, 66)):
+            m |= (yy - cy) ** 2 + (xx - cx) ** 2 <= 300
+        relief = (1.0 - ndi.distance_transform_edt(m) / 16.0).clip(0, 1).astype(np.float32)
+        mk = np.zeros((96, 96), np.int32)
+        mk[48, 30] = 1
+        mk[48, 66] = 2
+        ref = np.asarray(watershed(jnp.asarray(relief), jnp.asarray(mk), jnp.asarray(m)))
+        got = np.asarray(
+            watershed_sweeps(
+                jnp.asarray(relief), jnp.asarray(mk), jnp.asarray(m),
+                tile=32, interpret=True,
+            )
+        )
+        np.testing.assert_array_equal(got, ref)
+        assert (got[~m] == 0).all() and (got[m] > 0).all()
+
+
 class TestWatershed:
     def test_two_basin_exact(self):
         img = np.zeros((5, 9), np.float32)
