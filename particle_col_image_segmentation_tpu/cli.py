@@ -83,6 +83,7 @@ def main(argv=None) -> int:
     p.add_argument("--channel", type=int, default=RefineConfig().boundary_channel)
     p.add_argument("--threshold", type=float, default=RefineConfig().boundary_threshold)
     p.add_argument("--out", default=None, help="write refined labels to this .h5")
+    p.add_argument("--csv", default=None, help="write per-cell stats to this CSV")
 
     p = sub.add_parser("nanosims", help="NanoSIMS 5-isotope ROI analysis")
     p.add_argument("mat_folder")
@@ -113,7 +114,10 @@ def main(argv=None) -> int:
             load_h5_plane,
             save_h5_plane,
         )
-        from particle_col_image_segmentation_tpu.models.refine import refine_boundaries
+        from particle_col_image_segmentation_tpu.models.refine import (
+            refine_boundaries,
+            write_refine_csv,
+        )
 
         cfg = RefineConfig(
             boundary_threshold=args.threshold, boundary_channel=args.channel
@@ -124,6 +128,9 @@ def main(argv=None) -> int:
         if args.out:
             save_h5_plane(args.out, result.labels)
             print("labels written to", args.out)
+        if args.csv:
+            write_refine_csv(result, args.csv)
+            print("cell stats written to", args.csv)
     elif args.command == "nanosims":
         from particle_col_image_segmentation_tpu.config import NanoSIMSConfig
         from particle_col_image_segmentation_tpu.models.nanosims import run_nanosims

@@ -58,7 +58,65 @@ def _particle_value(cell_types):
     raise ValueError("cell_types has no Particle class")
 
 
-@partial(jax.jit, static_argnames=("cell_types", "cfg", "compute_merge", "denoise"))
+@partial(jax.jit, static_argnames=("cfg", "denoise", "particle_val"))
+def _stage_segment(img, cfg: AnalysisConfig, denoise: bool, particle_val: int):
+    den = (
+        median_label_filter(img, cfg.denoise_size, cfg.num_classes)
+        if denoise
+        else img
+    )
+    raw = connected_components_auto(den, background=None, num_classes=cfg.num_classes)
+    seg, num = compact_labels(raw, cfg.max_regions)
+    table = region_props(seg, den, cfg.max_regions)
+    particle_area = jnp.sum((den == particle_val).astype(jnp.int32))
+    return den, seg, num, table, particle_area
+
+
+@partial(jax.jit, static_argnames=("cfg", "particle_val", "strain_vals"))
+def _stage_fill(den, cfg: AnalysisConfig, particle_val: int, strain_vals):
+    # Sequential over strains on purpose: pixels absorbed for strain k expand
+    # the particle mask seen by strain k+1, exactly as the reference's loop
+    # reassigns ds_arr each iteration (tiff_analysis.py:931-1015).
+    cap = max(cfg.dilation_radius, cfg.distance_threshold)
+    dt2 = cfg.distance_threshold * cfg.distance_threshold
+    dr2 = cfg.dilation_radius * cfg.dilation_radius
+    filled = den
+    overlaps = []
+    for sval in strain_vals:
+        particle_mask = filled == particle_val
+        cell_mask = filled == sval
+        d2 = edt_sq(particle_mask, cap=cap)
+        overlap = cell_mask & ((d2 < dt2) | (d2 <= dr2))
+        overlaps.append(jnp.sum(overlap.astype(jnp.int32)))
+        filled = jnp.where(overlap, jnp.uint8(particle_val), filled)
+    overlap_counts = (
+        jnp.stack(overlaps) if overlaps else jnp.zeros((0,), jnp.int32)
+    )
+    return filled, overlap_counts
+
+
+@partial(jax.jit, static_argnames=("cfg", "strain_vals"))
+def _stage_merge(den, table: RegionTable, cfg: AnalysisConfig, strain_vals):
+    # For each context (each strain's class mask, then the union of all
+    # strain masks): dilate by disk(r), label, and read the component root
+    # under every region's truncated centroid (tiff_analysis.py:826-851).
+    # Host groups regions by root.
+    H, W = den.shape
+    icy, icx = centroids_int(table)
+    icy = jnp.clip(icy, 0, H - 1)
+    icx = jnp.clip(icx, 0, W - 1)
+    masks = [den == sval for sval in strain_vals]
+    union = jnp.zeros((H, W), bool)
+    for m in masks:
+        union = union | m
+    ctx_masks = jnp.stack(masks + [union])
+    dil = dilate_disk(ctx_masks, cfg.merge_disk_radius)
+    ctx_raw = connected_components_auto(
+        dil.astype(jnp.uint8), background=0, num_classes=2
+    )
+    return ctx_raw[:, icy, icx]
+
+
 def analyze_plane_device(
     img: jnp.ndarray,
     cell_types: Tuple[Tuple[int, str], ...],
@@ -67,6 +125,12 @@ def analyze_plane_device(
     denoise: bool = True,
 ) -> PlaneDeviceOut:
     """Full device analysis of one label plane.
+
+    Orchestrates three separately-jitted stages — segment, particle fill,
+    merge-grouping — with device-resident intermediates.  The split keeps
+    each compile tractable (one fused graph of everything strains the
+    compiler) and lets stages cache across cell-type variants; it can also
+    be wrapped in an outer jit for a fully fused graph on small planes.
 
     Args:
       img: [H, W] small-int class plane (raw, pre-denoise).
@@ -78,61 +142,23 @@ def analyze_plane_device(
         denoised (the reference's deduped-DAPI and fused-channel re-analyses
         at tiff_analysis.py:168,206 skip the filter).
     """
-    H, W = img.shape
     strain_pairs = strain_values_of(cell_types)
+    strain_vals = tuple(v for v, _ in strain_pairs)
     particle_val = _particle_value(cell_types)
 
-    den = (
-        median_label_filter(img, cfg.denoise_size, cfg.num_classes)
-        if denoise
-        else img
+    img = jnp.asarray(img)
+    den, seg, num, table, particle_area = _stage_segment(
+        img, cfg=cfg, denoise=denoise, particle_val=particle_val
     )
-    raw = connected_components_auto(den, background=None, num_classes=cfg.num_classes)
-    seg, num = compact_labels(raw, cfg.max_regions)
-    table = region_props(seg, den, cfg.max_regions)
-    particle_area = jnp.sum((den == particle_val).astype(jnp.int32))
-
-    # --- particle fill (reference :931-1015) -----------------------------
-    # Sequential over strains on purpose: pixels absorbed for strain k expand
-    # the particle mask seen by strain k+1, exactly as the reference's loop
-    # reassigns ds_arr each iteration.
-    cap = max(cfg.dilation_radius, cfg.distance_threshold)
-    dt2 = cfg.distance_threshold * cfg.distance_threshold
-    dr2 = cfg.dilation_radius * cfg.dilation_radius
-    filled = den
-    overlaps = []
-    for sval, _ in strain_pairs:
-        particle_mask = filled == particle_val
-        cell_mask = filled == sval
-        d2 = edt_sq(particle_mask, cap=cap)
-        overlap = cell_mask & ((d2 < dt2) | (d2 <= dr2))
-        overlaps.append(jnp.sum(overlap.astype(jnp.int32)))
-        filled = jnp.where(overlap, jnp.uint8(particle_val), filled)
-    overlap_counts = (
-        jnp.stack(overlaps) if overlaps else jnp.zeros((0,), jnp.int32)
+    filled, overlap_counts = _stage_fill(
+        den, cfg=cfg, particle_val=particle_val, strain_vals=strain_vals
     )
-
-    # --- proximity-merge grouping inputs (reference :826-851) ------------
-    # For each context (each strain's class mask, then the union of all
-    # strain masks): dilate by disk(r), label, and read the component root
-    # under every region's truncated centroid.  Host groups regions by root.
-    icy, icx = centroids_int(table)
-    icy = jnp.clip(icy, 0, H - 1)
-    icx = jnp.clip(icx, 0, W - 1)
     if compute_merge:
-        masks = [den == sval for sval, _ in strain_pairs]
-        union = jnp.zeros((H, W), bool)
-        for m in masks:
-            union = union | m
-        # one batched dilation + CCL over all contexts (strains ∪ union)
-        ctx_masks = jnp.stack(masks + [union])
-        dil = dilate_disk(ctx_masks, cfg.merge_disk_radius)
-        ctx_raw = connected_components_auto(
-            dil.astype(jnp.uint8), background=0, num_classes=2
-        )
-        g_ctx = ctx_raw[:, icy, icx]
+        g_ctx = _stage_merge(den, table, cfg=cfg, strain_vals=strain_vals)
     else:
-        g_ctx = jnp.full((len(strain_pairs) + 1, icy.shape[0]), -1, jnp.int32)
+        g_ctx = jnp.full(
+            (len(strain_vals) + 1, cfg.max_regions + 1), -1, jnp.int32
+        )
 
     return PlaneDeviceOut(
         den=den,

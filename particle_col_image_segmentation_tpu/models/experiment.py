@@ -129,7 +129,6 @@ def process_multiple_h5_files(
     master_cell_pos: Dict[str, list] = {}
     master_cell_clusters: Dict[str, list] = {}
     channel_ds_arrs: Dict[str, np.ndarray] = {}
-    channel_raw_arrs: Dict[str, np.ndarray] = {}
     dapi_cell_types = None
     results: Dict[str, PlaneAnalysis] = {}
     cell_strains = classmaps.get_strains_from_path(cur_folder)
@@ -144,8 +143,9 @@ def process_multiple_h5_files(
         ds_arr = normalize_ds_arr(load_h5_plane(full_file_path), cfg)
         res = analyze_plane(ds_arr, cell_types, cfg, merged=False)
         results[channel] = res
-        channel_ds_arrs[channel] = res.denoised
-        channel_raw_arrs[channel] = ds_arr
+        # keep the device array — fusion/dedup consume it on device; figures
+        # trigger the host transfer lazily via res.denoised
+        channel_ds_arrs[channel] = res._denoised_dev
 
         overlap_arr = None
         if channel == "RFP":

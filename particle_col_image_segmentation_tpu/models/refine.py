@@ -104,6 +104,24 @@ def refine_boundaries(
     )
 
 
+def write_refine_csv(result: RefineResult, path: str) -> None:
+    """Per-cell table for the refined segmentation: the reference docstring's
+    goal (2) deliverable (cell id, position, area, nearest-neighbor px)."""
+    import csv
+
+    with open(path, "w") as f:
+        w = csv.writer(f)
+        w.writerow(["cell", "x_pos", "y_pos", "area_px", "nn_distance_px"])
+        for i in range(result.num_cells):
+            cy, cx = result.centroids[i]
+            nn = result.nn_distances[i]
+            w.writerow(
+                [i + 1, round(float(cx), 2), round(float(cy), 2),
+                 int(result.areas[i]),
+                 "" if not np.isfinite(nn) else round(float(nn), 3)]
+            )
+
+
 def cross_strain_distances(
     a_centroids: np.ndarray, b_centroids: np.ndarray
 ) -> Dict[str, np.ndarray]:

@@ -30,16 +30,33 @@ from particle_col_image_segmentation_tpu.ops import centroids_f64
 
 @dataclasses.dataclass
 class PlaneAnalysis:
-    """Host-side result of one plane, mirroring the reference's outputs."""
+    """Host-side result of one plane, mirroring the reference's outputs.
+
+    ``denoised`` / ``filled`` stay on device until first access — full-plane
+    device→host transfers are only paid by consumers that need pixels
+    (figures), not by the CSV path.
+    """
 
     cell_pos: Dict[str, List[Region]]
     cell_clusters: Dict[str, List[Region]]
     particle_area: int  # pre-fill particle pixels (reference :752-760)
     merged_clusters: Dict[str, List[dict]]
-    denoised: np.ndarray
-    filled: np.ndarray  # plane after particle fill (reference :931-950)
+    _denoised_dev: object
+    _filled_dev: object  # plane after particle fill (reference :931-950)
     filled_particle_area: int  # particle_area + absorbed overlap
     num_regions: int
+
+    @property
+    def denoised(self) -> np.ndarray:
+        if not isinstance(self._denoised_dev, np.ndarray):
+            self._denoised_dev = np.asarray(self._denoised_dev)
+        return self._denoised_dev
+
+    @property
+    def filled(self) -> np.ndarray:
+        if not isinstance(self._filled_dev, np.ndarray):
+            self._filled_dev = np.asarray(self._filled_dev)
+        return self._filled_dev
 
 
 def _as_static(cell_types: Dict[int, str]) -> Tuple[Tuple[int, str], ...]:
@@ -139,8 +156,8 @@ def analyze_plane(
         cell_clusters=cell_clusters,
         particle_area=int(out.particle_area),
         merged_clusters=merged_clusters,
-        denoised=np.asarray(out.den),
-        filled=np.asarray(out.filled),
+        _denoised_dev=out.den,
+        _filled_dev=out.filled,
         filled_particle_area=int(out.particle_area) + int(np.sum(np.asarray(out.overlap_counts))),
         num_regions=num,
     )
@@ -151,15 +168,21 @@ def _group_regions(regions: List[Region], g_row: np.ndarray) -> List[dict]:
 
     ``g_row[label]`` is the dilated-mask component root under the region's
     truncated centroid (-1 = background → region silently dropped, matching
-    the reference's ``dilated_label_value > 0`` guard).
+    the reference's ``dilated_label_value > 0`` guard).  Single O(N) pass —
+    the reference rescans all regions per group (O(N²), SURVEY §2.6).
     """
-    groups: List[dict] = []
-    processed = set()
+    members: dict = {}
     for region in regions:
         g = int(g_row[region.label])
-        if g < 0 or g in processed:
+        if g >= 0:
+            members.setdefault(g, []).append(region)
+    groups: List[dict] = []
+    emitted = set()
+    for region in regions:  # group order = first-member order (reference)
+        g = int(g_row[region.label])
+        if g < 0 or g in emitted:
             continue
-        touching = [r for r in regions if int(g_row[r.label]) == g]
+        touching = members[g]
         areas = [r.area for r in touching]
         centroid = np.average([r.centroid for r in touching], axis=0, weights=areas)
         groups.append(
@@ -175,5 +198,5 @@ def _group_regions(regions: List[Region], g_row: np.ndarray) -> List[dict]:
                 ),
             }
         )
-        processed.add(g)
+        emitted.add(g)
     return groups

@@ -42,6 +42,18 @@ class TestRefine:
         res = refine_boundaries(stack, RefineConfig(boundary_channel=3))
         assert res.num_cells == 2
 
+    def test_refine_csv(self, tmp_path):
+        from particle_col_image_segmentation_tpu.models.refine import write_refine_csv
+
+        mask, prob = _touching_cells_probability()
+        res = refine_boundaries(prob)
+        p = str(tmp_path / "cells.csv")
+        write_refine_csv(res, p)
+        lines = open(p).read().strip().splitlines()
+        assert lines[0] == "cell,x_pos,y_pos,area_px,nn_distance_px"
+        assert len(lines) == 1 + res.num_cells
+        assert lines[1].startswith("1,")
+
     def test_cross_strain_distances(self):
         a = np.array([[0.0, 0.0], [10.0, 0.0]])
         b = np.array([[0.0, 3.0]])
