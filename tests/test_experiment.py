@@ -88,6 +88,71 @@ class TestSingleFileFlow:
 
 
 class TestMultiChannelFlow:
+    def test_three_channel_6b07_c3m10(self, tmp_path):
+        """The 6B07+C3M10 condition: RFP carries no cell class (module
+        docstring rule), DAPI dedups against GFP, fusion remaps RFP 1→4, 2→5."""
+        folder = tmp_path / "6B07_C3M10" / "48h" / "Tp_2_48h_60X_3"
+        folder.mkdir(parents=True)
+        rfp_types = {1: "Particle", 2: "Background"}
+        dapi_types = {1: "6B07", 2: "Particle", 3: "Background"}
+        gfp_types = {1: "C3M10", 2: "Particle", 3: "Background"}
+        rfp = synthetic_label_plane(
+            seed=41, cell_types=rfp_types, shape=(160, 160),
+            n_cells_per_strain=0, n_clusters_per_strain=0,
+        )
+        dapi = synthetic_label_plane(seed=42, cell_types=dapi_types, shape=(160, 160))
+        gfp = synthetic_label_plane(seed=43, cell_types=gfp_types, shape=(160, 160))
+        files = [
+            "Tp_2_48h_60X_3_RFP_labels.h5",
+            "Tp_2_48h_60X_3_DAPI_labels.h5",
+            "Tp_2_48h_60X_3_GFP_labels.h5",
+        ]
+        for f, arr in zip(files, (rfp, dapi, gfp)):
+            save_h5_plane(str(folder / f), arr)
+
+        experiment.process_multiple_h5_files(str(folder), files, CFG, make_figures=False)
+
+        density_csv = folder.parent / "6B07_C3M10_48h_cell_density_info.csv"
+        combined_csv = folder / "Tp_2_48h_60X_3_cell_pos_combined.csv"
+        assert density_csv.exists() and combined_csv.exists()
+
+        # oracle replication
+        den_rfp = rp.denoise(rfp, CFG)
+        den_dapi = rp.denoise(dapi, CFG)
+        den_gfp = rp.denoise(gfp, CFG)
+        pos_r, cl_r, pa_r, _ = rp.get_cell_positions_and_areas(den_rfp, rfp_types, cfg=CFG)
+        _, rfp_area = rp.recreate_particle_area(den_rfp.copy(), rfp_types, pa_r, CFG)
+        assert pos_r == {}  # no cell class on RFP
+        pos_d, cl_d, _, _ = rp.get_cell_positions_and_areas(den_dapi, dapi_types, cfg=CFG)
+        pos_g, cl_g, _, _ = rp.get_cell_positions_and_areas(den_gfp, gfp_types, cfg=CFG)
+        master_pos = {**pos_d, **pos_g}
+        master_cl = {**cl_d, **cl_g}
+        dapi_updated = rp.combine_cell_positions_and_clusters(den_dapi, den_gfp, CFG)
+        pos_d2, cl_d2, _, _ = rp.get_cell_positions_and_areas(dapi_updated, dapi_types, cfg=CFG)
+        master_pos["6B07"] = pos_d2["6B07"]
+        master_cl["6B07"] = cl_d2["6B07"]
+        counts, dens, ratios = rp.get_cell_counts_and_densities(
+            master_pos, master_cl, rfp_area, CFG
+        )
+        exp_dir = tmp_path / "expected3"
+        exp_dir.mkdir()
+        write_density_info(str(exp_dir / "density.csv"), "Tp_2_48h_60X_3", dens, ratios, counts)
+        assert _read(density_csv) == _read(exp_dir / "density.csv")
+        write_cell_position_info(master_pos, master_cl, str(exp_dir / "combined.csv"), rfp_area, CFG)
+        assert _read(combined_csv) == _read(exp_dir / "combined.csv")
+
+        # fused plane: RFP base remap 1→4, 2→5 then stamp 6B07(2)/C3M10(3)
+        fused = rp.get_rfp_base_arr(den_rfp.copy(), ["6B07", "C3M10"])
+        fused = rp.combine_channels(
+            fused, {"RFP": den_rfp, "DAPI": den_dapi, "GFP": den_gfp},
+            ["6B07", "C3M10"],
+        )
+        from particle_col_image_segmentation_tpu.config import BASE_TYPE_MAP as BTM
+        _, _, _, merged = rp.get_cell_positions_and_areas(fused, BTM, merged=True, cfg=CFG)
+        merged_csv = folder / "Tp_2_48h_60X_3_merged_cell_pos.csv"
+        write_merged_cell_position_info(merged, str(exp_dir / "merged.csv"), rfp_area, CFG)
+        assert _read(merged_csv) == _read(exp_dir / "merged.csv")
+
     def test_two_channel_3d05_6b07(self, tmp_path):
         folder = tmp_path / "3D05_6B07" / "24h" / "Tp_1_24h_60X_7"
         folder.mkdir(parents=True)
