@@ -170,6 +170,9 @@ def _roi_scan(labels: jnp.ndarray, isotopes: jnp.ndarray, num_rois: int, out_siz
     Centroids follow MATLAB's regionprops-on-a-double-matrix semantics: only
     pixels whose resized value floors to 1 count (ref :164-165), 1-based
     (x, y) coordinates.
+
+    ``num_rois`` is static — callers round it up to a bucket (see
+    _roi_bucket) so varying ROI counts reuse one compiled scan.
     """
     n_iso = isotopes.shape[0]
     Hs, Ws = out_size, out_size
@@ -221,8 +224,12 @@ def analyze_roi_class(
             0, np.zeros((0, 7)), np.zeros((0, 4)), np.zeros((0, 2)),
             np.asarray(labels), {k: np.zeros(mask.shape) for k in ("N", "C", "O17", "O18")},
         )
-    sums, cents = _roi_scan(labels, iso_stack, n, acq)
-    sums = np.asarray(sums, np.float64)
+    # round the scan length up to a bucket so varying ROI counts reuse one
+    # compiled scan; padded ids have empty masks → zero rows, sliced off
+    bucket = max(16, 1 << (n - 1).bit_length())
+    sums, cents = _roi_scan(labels, iso_stack, bucket, acq)
+    sums = np.asarray(sums, np.float64)[:n]
+    cents = np.asarray(cents)[:n]
     c12, c13, n14, n15, o16, o17, o18 = (sums[:, i] for i in range(7))
     with np.errstate(invalid="ignore", divide="ignore"):
         acts = np.stack(

@@ -68,10 +68,7 @@ def _propagate_fixpoint(seed, allowed, same_row, same_col, connectivity, max_ite
         x, _, i = state
         new = _neighbor_or(x, allowed, connectivity)
         new = seg_or_scan_bidi(new, same_row, axis=-1) & allowed
-        newt = seg_or_scan_bidi(
-            jnp.swapaxes(new, -1, -2), jnp.swapaxes(same_col, -1, -2), axis=-1
-        )
-        new = jnp.swapaxes(newt, -1, -2) & allowed
+        new = seg_or_scan_bidi(new, same_col, axis=-2) & allowed
         return new, jnp.any(new != x), i + 1
 
     def cond(state):
@@ -186,11 +183,8 @@ def local_maxima(
             # equality between the neighbor (src) and this pixel (dst position)
             eq = jnp.zeros(img.shape, bool).at[sl_dst].set(img[sl_src] == img[sl_dst])
             new = new | (shifted_bad & eq)
-        new = new | (seg_or_scan_bidi(new, same_row, axis=-1))
-        newt = seg_or_scan_bidi(
-            jnp.swapaxes(new, -1, -2), jnp.swapaxes(same_col, -1, -2), axis=-1
-        )
-        new = new | jnp.swapaxes(newt, -1, -2)
+        new = new | seg_or_scan_bidi(new, same_row, axis=-1)
+        new = new | seg_or_scan_bidi(new, same_col, axis=-2)
         return new, jnp.any(new != bad), i + 1
 
     def cond(state):
