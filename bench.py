@@ -120,6 +120,37 @@ def check_mask_parity(plane: np.ndarray, oracle_den, oracle_lab) -> bool:
     return masks_equal(dev_seg, oracle_lab)
 
 
+def watershed_boundary_iou() -> float:
+    """Watershed parity vs the oracle priority flood (BASELINE config #3
+    contract): boundary IoU on a 512² touching-particle relief."""
+    import jax.numpy as jnp
+    from scipy import ndimage as ndi
+
+    from particle_col_image_segmentation_tpu.models.refine import refine_boundaries
+    from particle_col_image_segmentation_tpu.oracle import ndimage as ond
+    from particle_col_image_segmentation_tpu.utils.metrics import boundary_iou
+
+    n = 512
+    rng = np.random.default_rng(0)
+    m = np.zeros((n, n), bool)
+    yy, xx = np.mgrid[:n, :n]
+    for _ in range(30):  # touching cell pairs
+        cy, cx = rng.integers(40, n - 40, 2)
+        r2 = int(rng.integers(150, 400))
+        m |= (yy - cy) ** 2 + (xx - cx) ** 2 <= r2
+        m |= (yy - cy) ** 2 + (xx - cx - int(1.5 * np.sqrt(r2))) ** 2 <= r2
+    dist = ndi.distance_transform_edt(m)
+    prob = (1.0 - dist / max(1.0, dist.max())).astype(np.float32)
+    res = refine_boundaries(prob)
+
+    binary = prob < 0.5
+    odist = ndi.distance_transform_edt(binary)
+    omax = ond.local_maxima(odist)
+    omark = ond.label(omax.astype(np.uint8))
+    oref = ond.watershed(prob, omark, mask=binary)
+    return boundary_iou(res.labels, oref)
+
+
 def measure_copy_gbps() -> float:
     """Effective device bandwidth context (the relay-attached chip runs far
     below real v5e HBM; this field lets readers normalize)."""
@@ -149,6 +180,7 @@ def main():
                 "unit": "MP/s/chip",
                 "vs_baseline": round(device_mps / baseline_mps, 2),
                 "mask_exact_parity": bool(parity),
+                "watershed_boundary_iou": round(watershed_boundary_iou(), 4),
                 "platform_copy_gbps": round(measure_copy_gbps(), 2),
             }
         )

@@ -63,19 +63,54 @@ def label(
     position of each component's first pixel (skimage ordering).
     """
     image = np.asarray(image)
-    structure = _STRUCT8 if connectivity == 2 else None  # None → cross (4-conn)
-    provisional = np.zeros(image.shape, dtype=np.int64)
-    offset = 0
-    for v in np.unique(image):
-        if v == background:
-            continue
-        comp, n = ndi.label(image == v, structure=structure)
-        mask = comp > 0
-        provisional[mask] = comp[mask] + offset
-        offset += n
+    uniq_vals = np.unique(image)
+    if len(uniq_vals) > 16:
+        provisional = _label_graph(image, background, connectivity)
+    else:
+        structure = _STRUCT8 if connectivity == 2 else None  # None → 4-conn
+        provisional = np.zeros(image.shape, dtype=np.int64)
+        offset = 0
+        for v in uniq_vals:
+            if v == background:
+                continue
+            comp, n = ndi.label(image == v, structure=structure)
+            mask = comp > 0
+            provisional[mask] = comp[mask] + offset
+            offset += n
     out, n = _relabel_raster_order(provisional)
     if return_num:
         return out, n
+    return out
+
+
+def _label_graph(image: np.ndarray, background, connectivity: int) -> np.ndarray:
+    """Equal-value CCL via one sparse connected-components pass — the
+    per-value scipy loop is O(#distinct values) and explodes on float images
+    (e.g. distance transforms)."""
+    from scipy.sparse import coo_matrix
+    from scipy.sparse.csgraph import connected_components as cc
+
+    H, W = image.shape
+    idx = np.arange(H * W).reshape(H, W)
+    fg = np.ones((H, W), bool) if background is None else image != background
+    rows_list, cols_list = [], []
+    offsets = [(0, 1), (1, 0)]
+    if connectivity == 2:
+        offsets += [(1, 1), (1, -1)]
+    for dy, dx in offsets:
+        a = (slice(0, H - dy), slice(max(0, -dx), W - max(0, dx)))
+        b = (slice(dy, H), slice(max(0, dx), W - max(0, -dx)))
+        eq = (image[a] == image[b]) & fg[a] & fg[b]
+        rows_list.append(idx[a][eq])
+        cols_list.append(idx[b][eq])
+    r = np.concatenate(rows_list)
+    c = np.concatenate(cols_list)
+    g = coo_matrix(
+        (np.ones(len(r), bool), (r, c)), shape=(H * W, H * W)
+    )
+    n, comp = cc(g, directed=False)
+    out = comp.reshape(H, W).astype(np.int64) + 1
+    out[~fg] = 0
     return out
 
 
