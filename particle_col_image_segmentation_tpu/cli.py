@@ -91,6 +91,7 @@ def main(argv=None) -> int:
     p.add_argument("--bound-png", default=None)
     p.add_argument("--out-dir", default=".")
     p.add_argument("--compat-green-o-bug", action="store_true")
+    p.add_argument("--no-figures", action="store_true", dest="ns_no_figures")
 
     sub.add_parser("bench", help="run the throughput benchmark")
 
@@ -137,7 +138,8 @@ def main(argv=None) -> int:
 
         cfg = NanoSIMSConfig(compat_green_o_bug=args.compat_green_o_bug)
         result = run_nanosims(
-            args.mat_folder, args.rois_png, args.bound_png, args.out_dir, cfg
+            args.mat_folder, args.rois_png, args.bound_png, args.out_dir, cfg,
+            make_figures=not args.ns_no_figures,
         )
         print(
             f"red ROIs: {result.red.num_rois}, green ROIs: {result.green.num_rois}; "

@@ -328,10 +328,12 @@ def run_nanosims(
     bound_png: Optional[str] = None,
     out_dir: str = ".",
     cfg: NanoSIMSConfig = NanoSIMSConfig(),
+    make_figures: bool = True,
 ) -> NanoSIMSResult:
     """End-to-end NanoSIMS driver: load .mat images + painted PNGs, write
     data.csv / data_xy.csv / data_dist_nearest.csv / data_dist_nearest_bound.csv
-    (ref :237,:256,:268,:309)."""
+    (ref :237,:256,:268,:309) plus the reference's figure exports
+    (rois_clear / annotations / cell position / agg_boundary)."""
     import os
 
     from PIL import Image
@@ -348,10 +350,12 @@ def run_nanosims(
             os.path.join(out_dir, "data_dist_nearest.csv"),
             np.column_stack([result.all_data, result.nearest]),
         )
+    bound_mask_img = None
     if bound_png is not None:
         bound_rgb = np.asarray(Image.open(bound_png).convert("RGB"))
         acq = next(iter(isotopes.values())).shape[0]
         bd = boundary_distances(result, bound_rgb, acq, cfg)
+        bound_mask_img = boundary_class_mask(crop_to_content(bound_rgb))
         base = (
             np.column_stack([result.all_data, result.nearest])
             if result.nearest is not None
@@ -360,6 +364,16 @@ def run_nanosims(
         write_matrix_csv(
             os.path.join(out_dir, "data_dist_nearest_bound.csv"),
             np.column_stack([base, bd]),
+        )
+    if make_figures:
+        from particle_col_image_segmentation_tpu.viz.nanosims_figures import save_all
+
+        save_all(
+            result,
+            crop_to_content(rois_rgb),
+            to_uint8_display(isotopes["N14C12"]),
+            out_dir,
+            bound_mask=bound_mask_img,
         )
     return result
 

@@ -1,0 +1,104 @@
+"""NanoSIMS figures (reference .m export_fig outputs).
+
+Counterparts: rois_clear.png (:87-88), annotations.png (:236 — ROI indices
+drawn at centroids), "cell position.png" (:246-250 — red/green centroid
+scatter over the N14C12 display image), agg_boundary.png (:294-297 —
+aggregate boundary overlay).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+
+
+def save_rois_figure(rois_rgb: np.ndarray, out_path: str) -> None:
+    """The cropped painted-ROI image (reference :87-88)."""
+    fig, ax = plt.subplots(figsize=(8, 8))
+    ax.imshow(rois_rgb)
+    ax.axis("off")
+    fig.savefig(out_path, bbox_inches="tight", dpi=300)
+    plt.close(fig)
+
+
+def save_annotations_figure(result, rois_rgb: np.ndarray, out_path: str) -> None:
+    """Painted ROIs with per-ROI indices at painted-space centroids
+    (reference :167-169, :231-233, :236)."""
+    fig, ax = plt.subplots(figsize=(8, 8))
+    ax.imshow(rois_rgb)
+    for cls in (result.red, result.green):
+        lab = cls.labels
+        for i in range(1, cls.num_rois + 1):
+            ys, xs = np.nonzero(lab == i)
+            if len(ys):
+                ax.text(xs.mean(), ys.mean(), str(i), fontsize=6, color="w")
+    ax.axis("off")
+    fig.savefig(out_path, bbox_inches="tight", dpi=300)
+    plt.close(fig)
+
+
+def save_cell_position_figure(
+    result, n14c12_img: np.ndarray, out_path: str
+) -> None:
+    """Red/green ROI centroids over the N14C12 display image
+    (reference :246-250)."""
+    fig, ax = plt.subplots(figsize=(8, 8))
+    ax.imshow(n14c12_img, cmap="gray")
+    if result.red.num_rois:
+        ax.scatter(
+            result.red.positions[:, 0] - 1, result.red.positions[:, 1] - 1,
+            marker=".", c="r",
+        )
+    if result.green.num_rois:
+        ax.scatter(
+            result.green.positions[:, 0] - 1, result.green.positions[:, 1] - 1,
+            marker=".", c="g",
+        )
+    ax.axis("off")
+    fig.savefig(out_path, bbox_inches="tight", dpi=300)
+    plt.close(fig)
+
+
+def save_boundary_figure(
+    bound_mask: np.ndarray, n14c12_img: np.ndarray, out_path: str
+) -> None:
+    """Aggregate boundary over the N14C12 display image (reference :294-297)."""
+    import jax.numpy as jnp
+
+    from particle_col_image_segmentation_tpu.ops import boundary_mask as bmask
+
+    bd = np.asarray(bmask(jnp.asarray(bound_mask)))
+    fig, ax = plt.subplots(figsize=(8, 8))
+    ax.imshow(n14c12_img, cmap="gray")
+    ys, xs = np.nonzero(bd)
+    hp, wp = bound_mask.shape
+    hi, wi = n14c12_img.shape
+    ax.scatter(xs * (wi / wp), ys * (hi / hp), s=0.5, c="r")
+    ax.axis("off")
+    fig.savefig(out_path, bbox_inches="tight", dpi=300)
+    plt.close(fig)
+
+
+def save_all(
+    result,
+    rois_rgb: np.ndarray,
+    n14c12_img: np.ndarray,
+    out_dir: str,
+    bound_mask: Optional[np.ndarray] = None,
+) -> None:
+    save_rois_figure(rois_rgb, os.path.join(out_dir, "rois_clear.png"))
+    save_annotations_figure(result, rois_rgb, os.path.join(out_dir, "annotations.png"))
+    save_cell_position_figure(
+        result, n14c12_img, os.path.join(out_dir, "cell position.png")
+    )
+    if bound_mask is not None:
+        save_boundary_figure(
+            bound_mask, n14c12_img, os.path.join(out_dir, "agg_boundary.png")
+        )

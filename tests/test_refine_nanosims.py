@@ -167,6 +167,29 @@ class TestNanoSIMS:
         bound_rows = open(out / "data_dist_nearest_bound.csv").read().strip().splitlines()
         assert len(bound_rows[0].split(",")) == 19  # 17 + nearest + bound dist
 
+    def test_display_images(self):
+        iso = self._isotopes()
+        imgs = nanosims.display_images(iso)
+        for key in ("C12", "N15ratioimg", "C13ratimg", "O18ratioimg", "N14C12ESIratio"):
+            assert imgs[key].dtype == np.uint8
+            assert imgs[key].max() == 255  # normalized to full scale
+
+    def test_figures_written(self, tmp_path):
+        iso = self._isotopes()
+        rgb = _painted_rois()
+        res = nanosims.analyze_nanosims(iso, rgb)
+        from particle_col_image_segmentation_tpu.viz.nanosims_figures import save_all
+
+        bound = np.zeros(rgb.shape[:2], bool)
+        bound[40:50, 10:80] = True
+        save_all(res, rgb, nanosims.to_uint8_display(iso["N14C12"]), str(tmp_path),
+                 bound_mask=bound)
+        import os
+
+        for f in ("rois_clear.png", "annotations.png", "cell position.png",
+                  "agg_boundary.png"):
+            assert os.path.getsize(tmp_path / f) > 5000, f
+
     def test_green_o_bug_compat(self):
         iso = self._isotopes()
         rgb = _painted_rois()
