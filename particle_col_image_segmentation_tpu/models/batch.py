@@ -21,11 +21,13 @@ import numpy as np
 from particle_col_image_segmentation_tpu.config import AnalysisConfig, DEFAULT_CONFIG
 from particle_col_image_segmentation_tpu.io.loader import batched_device_iterator
 from particle_col_image_segmentation_tpu.ops import (
-    compact_labels,
     connected_components_auto,
     median_label_filter,
 )
-from particle_col_image_segmentation_tpu.ops.regionprops import region_counts
+from particle_col_image_segmentation_tpu.ops.ccl import compact_labels_auto
+from particle_col_image_segmentation_tpu.ops.regionprops_tiles import (
+    region_counts_auto,
+)
 from particle_col_image_segmentation_tpu.utils.logging import get_logger
 from particle_col_image_segmentation_tpu.utils.profiling import stage
 
@@ -53,14 +55,10 @@ def fused_segment_batch(
     particle_px [B], cell_px [B], class_px [B,num_classes])."""
     den = median_label_filter(imgs, cfg.denoise_size, cfg.num_classes)
     raw = connected_components_auto(den, background=None, num_classes=cfg.num_classes)
-
-    def per_plane(args):
-        r, d = args
-        seg, num = compact_labels(r, cfg.max_regions)
-        area, class_id = region_counts(seg, d, cfg.max_regions)
-        return seg, num, area, class_id
-
-    seg, num, areas, classes = jax.vmap(per_plane)((raw, den))
+    # gather-free compaction + MXU histogram tables on TPU (scatter/gather
+    # fallbacks elsewhere); both batched over the leading axis in one launch
+    seg, num = compact_labels_auto(raw, cfg.max_regions)
+    areas, classes = region_counts_auto(seg, den, cfg.max_regions)
     particle_px = jnp.sum((den == particle_val).astype(jnp.int32), axis=(-2, -1))
     cell_mask = jnp.zeros(den.shape, bool)
     for v in cell_vals:

@@ -187,6 +187,85 @@ def compact_labels(
     return seg.reshape(H, W), num
 
 
+@partial(jax.jit, static_argnames=("max_regions", "tile", "interpret"))
+def compact_labels_sweeps(
+    raw: jnp.ndarray,
+    max_regions: int,
+    tile: int = 64,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """compact_labels without the 4M-element gather (TPU band-sweep path).
+
+    ``prefix[flat]`` in compact_labels is a whole-plane random gather —
+    slower on TPU than the CCL that produced the labels.  This variant
+    computes the same ids gather-free:
+
+      1. root-rank image: rank[p] = #roots at-or-before p in raster order —
+         the within-row cumsum rides the MXU as ``is_root @ upper_tri``
+         (0/1 bf16 operands, f32 accumulation; counts ≤ W < 2²⁴, exact),
+         the across-row base is a cumsum over H scalars per plane;
+      2. seed L = rank at root pixels, +INF elsewhere, and min-propagate
+         through each component with the same Gauss-Seidel band sweeps as
+         the CCL itself (ops/ccl_tiles.min_propagate, value image = raw:
+         component-constant, so propagation never crosses components).
+
+    Ids are identical to compact_labels (rank of the component's root in
+    raster order, skimage ordering).  Accepts [H, W] or [B, H, W].
+    """
+    del max_regions
+    from particle_col_image_segmentation_tpu.ops.ccl_tiles import min_propagate
+
+    batched = raw.ndim == 3
+    raw3 = raw if batched else raw[None]
+    B, H, W = raw3.shape
+    lin = (
+        jax.lax.broadcasted_iota(jnp.int32, (B, H, W), 1) * W
+        + jax.lax.broadcasted_iota(jnp.int32, (B, H, W), 2)
+    )
+    fg = raw3 >= 0
+    is_root = (raw3 == lin) & fg
+
+    upper = (
+        jax.lax.broadcasted_iota(jnp.int32, (W, W), 0)
+        <= jax.lax.broadcasted_iota(jnp.int32, (W, W), 1)
+    ).astype(jnp.bfloat16)
+    rowcum = jnp.einsum(
+        "bhi,ij->bhj",
+        is_root.astype(jnp.bfloat16),
+        upper,
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)
+    row_tot = rowcum[..., -1]  # [B, H]
+    base = jnp.cumsum(row_tot, axis=-1) - row_tot  # exclusive over rows
+    rank = base[..., None] + rowcum
+    num = base[:, -1] + row_tot[:, -1]
+
+    seed = jnp.where(is_root, rank, _INF)
+    # bg pixels (raw = -1) hold no seed and share no value with fg (≥ 0),
+    # so they keep +INF and are masked to 0 below.
+    lab = min_propagate(seed, raw3, tile=tile, interpret=interpret)
+    seg = jnp.where(fg, lab, 0)
+    if not batched:
+        seg, num = seg[0], num[0]
+    else:
+        num = num.reshape(raw.shape[:-2])
+    return seg, num
+
+
+def compact_labels_auto(
+    raw: jnp.ndarray, max_regions: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Backend dispatch: band-sweep compaction on TPU, gather path elsewhere."""
+    H = raw.shape[-2]
+    tile = _pick_band_tile(H)
+    on_tpu = jax.default_backend() not in ("cpu", "gpu")
+    if on_tpu and tile is not None:
+        return compact_labels_sweeps(raw, max_regions, tile=tile)
+    if raw.ndim == 3:
+        return jax.vmap(lambda r: compact_labels(r, max_regions))(raw)
+    return compact_labels(raw, max_regions)
+
+
 def _pick_band_tile(H: int):
     for t in (64, 32, 16, 8):
         if H % t == 0:

@@ -211,56 +211,41 @@ def _make_sweep(
     jax.jit,
     static_argnames=("connectivity", "tile", "max_sweeps", "inner_iters", "interpret"),
 )
-def ccl_sweeps(
-    img: jnp.ndarray,
-    background: Optional[int] = None,
+def min_propagate(
+    lab: jnp.ndarray,
+    val: jnp.ndarray,
     connectivity: int = 8,
     tile: int = 64,
     max_sweeps: int = 16,
     inner_iters: int = 16,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """connected_components via Gauss-Seidel band sweeps.
+    """Propagate the min of ``lab`` within each equal-``val`` component.
 
-    Accepts [H, W] or a batch [..., H, W]; batched planes are stacked into
-    one tall array with sentinel gaps (planes cannot merge across gaps and
-    per-plane linear-index labels are already distinct per plane), so every
-    sweep is a single kernel launch for the whole batch.
-
-    Returns the same min-linear-index root labels as
-    ops.ccl.connected_components.  ``tile`` is the band height; a down+up
-    sweep pair usually converges in 1-2 outer rounds.
+    The general core of the band-sweep machinery: ``ccl_sweeps`` is
+    ``min_propagate(linear_index, class_image)``; compact-id propagation
+    (ops/ccl.py compact_labels_sweeps) seeds ``lab`` with the root rank at
+    root pixels and +INF elsewhere.  [..., H, W] int32 in/out; ``val`` may
+    hold any int32 values above _BG_VAL (the halo sentinel).
     """
-    batch_shape = img.shape[:-2]
-    H, W = img.shape[-2:]
+    batch_shape = lab.shape[:-2]
+    H, W = lab.shape[-2:]
     B = 1
     for d in batch_shape:
         B *= d
-    img2 = img.reshape(B, H, W)
+    lab2 = lab.reshape(B, H, W).astype(jnp.int32)
+    val2 = val.reshape(B, H, W).astype(jnp.int32)
     T = tile
+    assert H % T == 0, (H, T)
 
-    v = img2.astype(jnp.int32)
-    lin = (
-        jax.lax.broadcasted_iota(jnp.int32, (B, H, W), 1) * W
-        + jax.lax.broadcasted_iota(jnp.int32, (B, H, W), 2)
-    )
-    if background is not None:
-        fg = v != background
-        v = jnp.where(fg, v, _BG_VAL - 1 - lin)  # unique, never merges
-    else:
-        fg = jnp.ones((B, H, W), bool)
-
-    # stack planes vertically with a sentinel gap of 2*_HALO rows between
-    # them (plus _HALO at each end): total rows per plane slot = H + 2*_HALO.
     slot = H + 2 * _HALO
     lab_p = jnp.pad(
-        lin, ((0, 0), (_HALO, _HALO), (0, 0)), constant_values=_INF
+        lab2, ((0, 0), (_HALO, _HALO), (0, 0)), constant_values=_INF
     ).reshape(B * slot, W)
     img_p = jnp.pad(
-        v, ((0, 0), (_HALO, _HALO), (0, 0)), constant_values=_BG_VAL
+        val2, ((0, 0), (_HALO, _HALO), (0, 0)), constant_values=_BG_VAL
     ).reshape(B * slot, W)
     Hp = B * slot
-    assert H % T == 0, (H, T)
     bands_per_plane = H // T
     n_bands = B * bands_per_plane
 
@@ -288,6 +273,55 @@ def ccl_sweeps(
     lab_p, _, _ = jax.lax.while_loop(
         cond, body, (lab_p, jnp.any(lab_p != old0), 1)
     )
-    lab = lab_p.reshape(B, slot, W)[:, _HALO : _HALO + H, :]
+    out = lab_p.reshape(B, slot, W)[:, _HALO : _HALO + H, :]
+    return out.reshape(lab.shape)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("connectivity", "tile", "max_sweeps", "inner_iters", "interpret"),
+)
+def ccl_sweeps(
+    img: jnp.ndarray,
+    background: Optional[int] = None,
+    connectivity: int = 8,
+    tile: int = 64,
+    max_sweeps: int = 16,
+    inner_iters: int = 16,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """connected_components via Gauss-Seidel band sweeps.
+
+    Accepts [H, W] or a batch [..., H, W]; batched planes are stacked into
+    one tall array with sentinel gaps (planes cannot merge across gaps and
+    per-plane linear-index labels are already distinct per plane), so every
+    sweep is a single kernel launch for the whole batch.
+
+    Returns the same min-linear-index root labels as
+    ops.ccl.connected_components.  ``tile`` is the band height; a down+up
+    sweep pair usually converges in 1-2 outer rounds.
+    """
+    batch_shape = img.shape[:-2]
+    H, W = img.shape[-2:]
+    B = 1
+    for d in batch_shape:
+        B *= d
+    img2 = img.reshape(B, H, W)
+
+    v = img2.astype(jnp.int32)
+    lin = (
+        jax.lax.broadcasted_iota(jnp.int32, (B, H, W), 1) * W
+        + jax.lax.broadcasted_iota(jnp.int32, (B, H, W), 2)
+    )
+    if background is not None:
+        fg = v != background
+        v = jnp.where(fg, v, _BG_VAL - 1 - lin)  # unique, never merges
+    else:
+        fg = jnp.ones((B, H, W), bool)
+
+    lab = min_propagate(
+        lin, v, connectivity=connectivity, tile=tile, max_sweeps=max_sweeps,
+        inner_iters=inner_iters, interpret=interpret,
+    )
     out = jnp.where(fg, lab, -1)
     return out.reshape(img.shape)
