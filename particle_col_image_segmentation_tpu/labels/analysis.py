@@ -22,12 +22,15 @@ from particle_col_image_segmentation_tpu.config import AnalysisConfig, CELL_TYPE
 from particle_col_image_segmentation_tpu.ops import (
     RegionTable,
     centroids_int,
-    compact_labels,
     connected_components_auto,
     dilate_disk,
     edt_sq,
     median_label_filter,
-    region_props,
+)
+from particle_col_image_segmentation_tpu.ops.ccl import compact_labels_auto
+from particle_col_image_segmentation_tpu.ops.regionprops_tiles import (
+    region_props_auto,
+    region_sums_mxu,
 )
 
 __all__ = ["PlaneDeviceOut", "analyze_plane_device", "dapi_dedup_device", "strain_values_of"]
@@ -66,8 +69,8 @@ def _stage_segment(img, cfg: AnalysisConfig, denoise: bool, particle_val: int):
         else img
     )
     raw = connected_components_auto(den, background=None, num_classes=cfg.num_classes)
-    seg, num = compact_labels(raw, cfg.max_regions)
-    table = region_props(seg, den, cfg.max_regions)
+    seg, num = compact_labels_auto(raw, cfg.max_regions)
+    table = region_props_auto(seg, den, cfg.max_regions)
     particle_area = jnp.sum((den == particle_val).astype(jnp.int32))
     return den, seg, num, table, particle_area
 
@@ -185,14 +188,24 @@ def dapi_dedup_device(
     dapi_mask = dapi == 1
     other_mask = other == 1
     raw = connected_components_auto(dapi_mask.astype(jnp.uint8), background=0, num_classes=2)
-    seg, _ = compact_labels(raw, cfg.max_regions)
+    seg, _ = compact_labels_auto(raw, cfg.max_regions)
     R = cfg.max_regions + 1
-    ids = seg.ravel()
-    area = jax.ops.segment_sum(jnp.ones_like(ids), ids, num_segments=R)
-    ov = jax.ops.segment_sum(
-        other_mask.ravel().astype(jnp.int32), ids, num_segments=R
-    )
+    on_tpu = jax.default_backend() not in ("cpu", "gpu")
+    if on_tpu and dapi.shape[-2] % 8 == 0:
+        area, ov = region_sums_mxu(
+            seg, other_mask.astype(jnp.int32), cfg.max_regions
+        )
+    else:
+        ids = seg.ravel()
+        area = jax.ops.segment_sum(jnp.ones_like(ids), ids, num_segments=R)
+        ov = jax.ops.segment_sum(
+            other_mask.ravel().astype(jnp.int32), ids, num_segments=R
+        )
     frac = ov.astype(jnp.float32) / jnp.maximum(area, 1).astype(jnp.float32)
     remove = (frac > cfg.dapi_overlap_threshold) & (jnp.arange(R) > 0)
-    remove_px = remove[seg] & dapi_mask
+    from particle_col_image_segmentation_tpu.ops.regionprops_tiles import (
+        table_lookup_auto,
+    )
+
+    remove_px = (table_lookup_auto(seg, remove.astype(jnp.int32)) > 0) & dapi_mask
     return jnp.where(remove_px, jnp.uint8(2), dapi)

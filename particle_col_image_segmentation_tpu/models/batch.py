@@ -59,20 +59,19 @@ def fused_segment_batch(
     # fallbacks elsewhere); both batched over the leading axis in one launch
     seg, num = compact_labels_auto(raw, cfg.max_regions)
     areas, classes = region_counts_auto(seg, den, cfg.max_regions)
-    particle_px = jnp.sum((den == particle_val).astype(jnp.int32), axis=(-2, -1))
-    cell_mask = jnp.zeros(den.shape, bool)
-    for v in cell_vals:
-        cell_mask = cell_mask | (den == v)
-    cell_px = jnp.sum(cell_mask.astype(jnp.int32), axis=(-2, -1))
-    # per-class histogram as num_classes fused compare+sums (a materialized
-    # one_hot would be num_classes× the plane in HBM)
+    # Every pixel belongs to exactly one class-homogeneous region (background
+    # is labeled too), so all pixel histograms reduce over the [R+1] tables
+    # instead of the plane — O(R) work.  Requires num ≤ cfg.max_regions
+    # (ids past capacity are dropped from the tables); callers check ``num``.
     class_px = jnp.stack(
         [
-            jnp.sum((den == v).astype(jnp.int32), axis=(-2, -1))
+            jnp.sum(jnp.where(classes == v, areas, 0), axis=-1)
             for v in range(cfg.num_classes)
         ],
         axis=-1,
     )
+    particle_px = class_px[..., particle_val]
+    cell_px = sum(class_px[..., v] for v in cell_vals)
     return seg, num, areas, classes, particle_px, cell_px, class_px
 
 

@@ -80,22 +80,8 @@ def _counts_kernel(seg_ref, img_ref, out_ref, *, T: int, Qp: int):
     out_ref[:, :] = acc
 
 
-@partial(jax.jit, static_argnames=("max_regions", "rows_per_chunk", "interpret"))
-def region_counts_mxu(
-    seg: jnp.ndarray,
-    img: jnp.ndarray,
-    max_regions: int,
-    rows_per_chunk: int = 32,
-    interpret: bool = False,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """(area [..., R+1], class_id [..., R+1]) from compact ids — MXU path.
-
-    Drop-in for ops.regionprops.region_counts; accepts [H, W] or [B, H, W].
-    """
-    R = max_regions + 1
-    batched = seg.ndim == 3
-    seg3 = seg if batched else seg[None]
-    img3 = img if batched else img[None]
+def _run_counts(seg3, img3, R, rows_per_chunk, interpret):
+    """[B,H,W] ids + values → (area [B,R], val_sum [B,R]) int32, exact."""
     B, H, W = seg3.shape
     T = rows_per_chunk
     assert H % T == 0, (H, T)
@@ -115,11 +101,293 @@ def region_counts_mxu(
     )(seg3.astype(jnp.int32), img3.astype(jnp.int32))
 
     area = out[:, :, :_M].reshape(B, Qp * _M)[:, :R]
-    class_sum = out[:, :, _M:].reshape(B, Qp * _M)[:, :R]
+    val_sum = out[:, :, _M:].reshape(B, Qp * _M)[:, :R]
+    return area, val_sum
+
+
+@partial(jax.jit, static_argnames=("max_regions", "rows_per_chunk", "interpret"))
+def region_counts_mxu(
+    seg: jnp.ndarray,
+    img: jnp.ndarray,
+    max_regions: int,
+    rows_per_chunk: int = 32,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(area [..., R+1], class_id [..., R+1]) from compact ids — MXU path.
+
+    Drop-in for ops.regionprops.region_counts; accepts [H, W] or [B, H, W].
+    Empty rows hold class 0 (the scatter path's segment_max identity is
+    INT32_MIN there) — callers mask by area > 0.
+    """
+    batched = seg.ndim == 3
+    seg3 = seg if batched else seg[None]
+    img3 = img if batched else img[None]
+    area, class_sum = _run_counts(
+        seg3, img3, max_regions + 1, rows_per_chunk, interpret
+    )
     class_id = class_sum // jnp.maximum(area, 1)
     if not batched:
         area, class_id = area[0], class_id[0]
     return area, class_id
+
+
+@partial(jax.jit, static_argnames=("max_regions", "rows_per_chunk", "interpret"))
+def region_sums_mxu(
+    seg: jnp.ndarray,
+    vals: jnp.ndarray,
+    max_regions: int,
+    rows_per_chunk: int = 32,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(area [..., R+1], Σvals [..., R+1]) per region — exact for small
+    non-negative int ``vals`` (≤ 255; bf16-exact operand range)."""
+    batched = seg.ndim == 3
+    seg3 = seg if batched else seg[None]
+    val3 = vals if batched else vals[None]
+    area, vsum = _run_counts(seg3, val3, max_regions + 1, rows_per_chunk, interpret)
+    if not batched:
+        area, vsum = area[0], vsum[0]
+    return area, vsum
+
+
+_BIG = jnp.iinfo(jnp.int32).max
+
+
+def _table_kernel(seg_ref, img_ref, out_ref, *, T: int, Qp: int, track_cols: bool):
+    """One [T, W] chunk of the full-table pass.
+
+    Output columns (blocks of 128): area | class_sum | sc_hi | sc_lo |
+    sr_hi | sr_lo | -min_r | max_r.  Row sums ride the tiny [Qp, 128]
+    count table (row index is constant within a row); column sums ride two
+    extra one-hot channels in the matmul.  ``track_cols=False`` (the
+    transposed bbox pass) keeps only area | -min_r | max_r.
+    """
+    chunk = pl.program_id(1)
+    n_sum = out_ref.shape[-1] - 2 * _M  # sum channels; last two are -min/max
+
+    @pl.when(chunk == 0)
+    def _init():
+        out_ref[0, :, :n_sum] = jnp.zeros((Qp, n_sum), jnp.int32)
+        out_ref[0, :, n_sum:] = jnp.full((Qp, 2 * _M), -_BIG, jnp.int32)
+
+    W = seg_ref.shape[-1]
+    nch = 4 if track_cols else 1
+    q_iota = jax.lax.broadcasted_iota(jnp.int32, (Qp, W), 0)
+    c_iota = jax.lax.broadcasted_iota(jnp.int32, (nch * _M, W), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+
+    acc = out_ref[0, :, :n_sum]
+    neg_minr = out_ref[0, :, n_sum : n_sum + _M]
+    maxr = out_ref[0, :, n_sum + _M :]
+    for r in range(T):
+        r_glob = chunk * T + r
+        ids = seg_ref[0, r : r + 1, :]
+        q = ids // _M
+        m = ids % _M
+        a = (q_iota == q).astype(jnp.bfloat16)
+        hit = (c_iota % _M) == m
+        if track_cols:
+            img = img_ref[0, r : r + 1, :].astype(jnp.int32)
+            blk = c_iota // _M
+            scale = jnp.where(
+                blk == 0,
+                1,
+                jnp.where(blk == 1, img, jnp.where(blk == 2, col // 256, col % 256)),
+            )
+        else:
+            scale = 1
+        b = jnp.where(hit, scale, 0).astype(jnp.bfloat16)
+        sums = jax.lax.dot_general(
+            a,
+            b,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)
+        counts = sums[:, :_M]
+        if track_cols:
+            acc = acc + jnp.concatenate(
+                [sums, (r_glob // 256) * counts, (r_glob % 256) * counts], axis=-1
+            )
+        else:
+            acc = acc + counts
+        present = counts > 0
+        neg_minr = jnp.maximum(neg_minr, jnp.where(present, -r_glob, -_BIG))
+        maxr = jnp.maximum(maxr, jnp.where(present, r_glob, -_BIG))
+    out_ref[0, :, :n_sum] = acc
+    out_ref[0, :, n_sum : n_sum + _M] = neg_minr
+    out_ref[0, :, n_sum + _M :] = maxr
+
+
+def _run_table(seg3, img3, R, rows_per_chunk, interpret, track_cols):
+    B, H, W = seg3.shape
+    T = rows_per_chunk
+    assert H % T == 0, (H, T)
+    Qp = _round_up(-(-R // _M), 16)
+    n_out = (6 if track_cols else 1) + 2  # sum channels + (-min, max)
+
+    operands = [seg3.astype(jnp.int32)]
+    in_specs = [pl.BlockSpec((1, T, W), lambda b, c: (b, c, 0))]
+    if track_cols:
+        operands.append(img3.astype(jnp.int32))
+        in_specs.append(pl.BlockSpec((1, T, W), lambda b, c: (b, c, 0)))
+    else:
+        operands.append(seg3[:, :1, :1].astype(jnp.int32))  # unused stub
+        in_specs.append(pl.BlockSpec((1, 1, 1), lambda b, c: (b, 0, 0)))
+
+    kernel = partial(_table_kernel, T=T, Qp=Qp, track_cols=track_cols)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, H // T),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, Qp, n_out * _M), lambda b, c: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, Qp, n_out * _M), jnp.int32),
+        interpret=interpret,
+    )(*operands)
+
+    def tab(k):
+        return out[:, :, k * _M : (k + 1) * _M].reshape(B, Qp * _M)[:, :R]
+
+    return [tab(k) for k in range(n_out)]
+
+
+@partial(jax.jit, static_argnames=("max_regions", "rows_per_chunk", "interpret"))
+def region_table_mxu(
+    seg: jnp.ndarray,
+    img: jnp.ndarray,
+    max_regions: int,
+    rows_per_chunk: int = 32,
+    interpret: bool = False,
+):
+    """Full RegionTable via the MXU — drop-in for ops.regionprops.region_props.
+
+    Two passes: the natural orientation accumulates area, class, exact
+    (hi, lo) centroid sums, and row extremes; a pass over the transposed
+    plane reuses the same kernel for column extremes.  Identical tables to
+    region_props on valid rows (empty rows: zeros here vs scatter
+    identities there; ``valid`` masks both).
+    """
+    from particle_col_image_segmentation_tpu.ops.regionprops import RegionTable
+
+    R = max_regions + 1
+    batched = seg.ndim == 3
+    seg3 = seg if batched else seg[None]
+    img3 = img if batched else img[None]
+
+    area, class_sum, sc_hi, sc_lo, sr_hi, sr_lo, neg_minr, maxr = _run_table(
+        seg3, img3, R, rows_per_chunk, interpret, track_cols=True
+    )
+    segT = jnp.swapaxes(seg3, -1, -2)
+    _, neg_minc, maxc = _run_table(
+        segT, img3, R, rows_per_chunk, interpret, track_cols=False
+    )
+
+    class_id = class_sum // jnp.maximum(area, 1)
+    bbox = jnp.stack([-neg_minr, -neg_minc, maxr + 1, maxc + 1], axis=-1)
+    valid = (area > 0) & (jnp.arange(R)[None, :] > 0)
+    table = RegionTable(
+        area=area,
+        sr_hi=sr_hi,
+        sr_lo=sr_lo,
+        sc_hi=sc_hi,
+        sc_lo=sc_lo,
+        bbox=bbox,
+        class_id=class_id,
+        valid=valid,
+    )
+    if not batched:
+        table = RegionTable(*(t[0] for t in table))
+    return table
+
+
+def region_props_auto(seg: jnp.ndarray, img: jnp.ndarray, max_regions: int):
+    """Backend dispatch for the full table: MXU on TPU, scatters elsewhere."""
+    from particle_col_image_segmentation_tpu.ops.regionprops import region_props
+
+    on_tpu = jax.default_backend() not in ("cpu", "gpu")
+    H, W = seg.shape[-2:]
+    if on_tpu and H % 8 == 0 and W % 8 == 0:
+        rpc = 32 if (H % 32 == 0 and W % 32 == 0) else 8
+        return region_table_mxu(seg, img, max_regions, rows_per_chunk=rpc)
+    if seg.ndim == 3:
+        return jax.vmap(lambda s, d: region_props(s, d, max_regions))(seg, img)
+    return region_props(seg, img, max_regions)
+
+
+def _lookup_kernel(seg_ref, tab_ref, out_ref, *, T: int, Qp: int):
+    """out[p] = table[seg[p]] for one [T, W] chunk, gather-free.
+
+    U = table-as-[Qp,128] @ one-hot(m) puts T[q, m_p] in every q-row of a
+    [Qp, W] tile; a q-match select + sublane reduction picks each pixel's
+    own row.  The MXU does the "gather"; no random addressing anywhere.
+    """
+    W = seg_ref.shape[-1]
+    q_iota = jax.lax.broadcasted_iota(jnp.int32, (Qp, W), 0)
+    m_iota = jax.lax.broadcasted_iota(jnp.int32, (_M, W), 0)
+    tab = tab_ref[0].astype(jnp.bfloat16)  # [Qp, 128], values ≤ 255 exact
+    for r in range(T):
+        ids = seg_ref[0, r : r + 1, :]
+        q = ids // _M
+        m = ids % _M
+        m1h = (m_iota == m).astype(jnp.bfloat16)  # [128, W]
+        u = jax.lax.dot_general(
+            tab,
+            m1h,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [Qp, W] = T[q, m_p]
+        picked = jnp.sum(jnp.where(q_iota == q, u, 0.0), axis=0, keepdims=True)
+        out_ref[0, r : r + 1, :] = picked.astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("rows_per_chunk", "interpret"))
+def table_lookup_mxu(
+    seg: jnp.ndarray,
+    table: jnp.ndarray,
+    rows_per_chunk: int = 32,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Scatter/gather-free ``table[seg]`` broadcast of a per-region table
+    back to pixels.  Exact for int table values in [0, 255] (bf16-exact
+    operand range); ids past the table length read 0.
+
+    ``seg``: [H, W] or [B, H, W] int ids; ``table``: [R] or [B, R] int.
+    """
+    batched = seg.ndim == 3
+    seg3 = seg if batched else seg[None]
+    tab2 = table if table.ndim == 2 else table[None]
+    B, H, W = seg3.shape
+    R = tab2.shape[-1]
+    T = rows_per_chunk
+    assert H % T == 0, (H, T)
+    Qp = _round_up(-(-R // _M), 16)
+    tab_pad = jnp.zeros((B, Qp * _M), jnp.int32).at[:, :R].set(
+        tab2.astype(jnp.int32)
+    ).reshape(B, Qp, _M)
+
+    kernel = partial(_lookup_kernel, T=T, Qp=Qp)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, H // T),
+        in_specs=[
+            pl.BlockSpec((1, T, W), lambda b, c: (b, c, 0)),
+            pl.BlockSpec((1, Qp, _M), lambda b, c: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, T, W), lambda b, c: (b, c, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, H, W), jnp.int32),
+        interpret=interpret,
+    )(seg3.astype(jnp.int32), tab_pad)
+    return out if batched else out[0]
+
+
+def table_lookup_auto(seg: jnp.ndarray, table: jnp.ndarray) -> jnp.ndarray:
+    """Backend dispatch for table[seg]: MXU broadcast on TPU, gather elsewhere."""
+    on_tpu = jax.default_backend() not in ("cpu", "gpu")
+    if on_tpu and seg.shape[-2] % 8 == 0:
+        rpc = 32 if seg.shape[-2] % 32 == 0 else 8
+        return table_lookup_mxu(seg, table, rows_per_chunk=rpc)
+    if seg.ndim == 3 and table.ndim == 2:
+        return jax.vmap(lambda s, t: t[s])(seg, table)
+    return table.astype(jnp.int32)[seg]
 
 
 def region_counts_auto(

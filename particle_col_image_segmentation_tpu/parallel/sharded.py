@@ -84,11 +84,90 @@ def _local_pointer_jump(lab, base):
     return jnp.minimum(flat, jnp.where(ok, jumped, _INF)).reshape(shape)
 
 
+def _value_jump(vals, lab, base):
+    """vals[p] ← min(vals[p], vals[root of p]) for on-shard roots (labels are
+    global linear indices; base = first global index of the local band)."""
+    shape = vals.shape
+    flat_v = vals.reshape(shape[:-2] + (-1,))
+    flat_l = lab.reshape(shape[:-2] + (-1,))
+    size = flat_v.shape[-1]
+    local = flat_l - base
+    ok = (local >= 0) & (local < size)
+    idx = jnp.clip(local, 0, size - 1)
+    jumped = jnp.take_along_axis(flat_v, idx, axis=-1)
+    return jnp.minimum(flat_v, jnp.where(ok, jumped, _INF)).reshape(shape)
+
+
+def _compact_and_tables_shard(lab, lin, den, base, max_regions, max_iters):
+    """Global compact ids + region tables from converged global root labels.
+
+    Shards hold contiguous row bands in space-axis order, so the global
+    raster rank of a root = (roots on earlier shards) + (local raster rank):
+    one all_gather of per-shard root counts + a local cumsum.  Ranks then
+    min-propagate from roots through their components with the same halo-
+    exchange fixpoint as the CCL (value image = the root labels themselves,
+    exactly component-constant), accelerated by root-gather jumps.  Tables
+    are shard-local segment sums psum-reduced over the space axis.
+    """
+    is_root = lab == lin
+    local_counts = jnp.sum(is_root.astype(jnp.int32), axis=(-2, -1))  # [b_loc]
+    sidx = jax.lax.axis_index(SPACE_AXIS)
+    all_counts = jax.lax.all_gather(local_counts, SPACE_AXIS)  # [n_space, b_loc]
+    shard_ids = jax.lax.broadcasted_iota(jnp.int32, all_counts.shape, 0)
+    before = jnp.sum(jnp.where(shard_ids < sidx, all_counts, 0), axis=0)
+
+    ir = is_root.astype(jnp.int32)
+    row_tot = jnp.sum(ir, axis=-1)  # [b_loc, h_loc]
+    row_base = jnp.cumsum(row_tot, axis=-1) - row_tot
+    rank = before[..., None, None] + row_base[..., None] + jnp.cumsum(ir, axis=-1)
+
+    seed0 = jnp.where(is_root, rank, _INF)
+
+    def body(state):
+        s, _, i = state
+        s_p = pad_with_halo(s, 1, edge_mode="constant", fill=_INF)
+        l_p = pad_with_halo(lab, 1, edge_mode="constant", fill=-7)
+        s_p = jnp.pad(s_p, [(0, 0)] * (s.ndim - 1) + [(1, 1)], constant_values=_INF)
+        l_p = jnp.pad(l_p, [(0, 0)] * (s.ndim - 1) + [(1, 1)], constant_values=-7)
+        new = _neighbor_min_padded(s_p, l_p)
+        new = _local_scans(new, lab)
+        new = _value_jump(new, lab, base)
+        changed_local = jnp.any(new != s).astype(jnp.int32)
+        changed = jax.lax.psum(
+            jax.lax.psum(changed_local, SPACE_AXIS), DATA_AXIS
+        )
+        return new, changed > 0, i + 1
+
+    def cond(state):
+        _, changed, i = state
+        return changed & (i < max_iters)
+
+    seed, _, _ = jax.lax.while_loop(cond, body, (seed0, jnp.bool_(True), 0))
+    seg = jnp.where(seed == _INF, 0, seed)
+
+    R = max_regions + 1
+    b_loc = seg.shape[0]
+
+    def tables_one(s2, v2):
+        ids = s2.ravel()
+        area = jax.ops.segment_sum(jnp.ones_like(ids), ids, num_segments=R)
+        csum = jax.ops.segment_sum(v2.ravel().astype(jnp.int32), ids, num_segments=R)
+        return area, csum
+
+    area_l, csum_l = jax.vmap(tables_one)(seg, den)
+    area = jax.lax.psum(area_l, SPACE_AXIS)
+    csum = jax.lax.psum(csum_l, SPACE_AXIS)
+    class_id = csum // jnp.maximum(area, 1)
+    del b_loc
+    return seg, area, class_id
+
+
 def _segment_shard(
-    img, cfg: AnalysisConfig, particle_val: int, cell_vals, max_iters: int
+    img, cfg: AnalysisConfig, particle_val: int, cell_vals, max_iters: int,
+    with_tables: bool = False,
 ):
     """Body run per shard: [b_loc, h_loc, W] →
-    (den, lab, particle_ct, n_comp, filled, overlap_ct)."""
+    (den, lab, particle_ct, n_comp, filled, overlap_ct[, seg, area, class_id])."""
     h_loc, W = img.shape[-2:]
     half = cfg.denoise_size // 2
     img_h = pad_with_halo(img, half, edge_mode="symmetric")
@@ -155,7 +234,12 @@ def _segment_shard(
         ov_local = jnp.sum(overlap.astype(jnp.int32), axis=(-2, -1))
         overlap_ct = overlap_ct + jax.lax.psum(ov_local, SPACE_AXIS)
         filled = jnp.where(overlap, jnp.asarray(particle_val, den.dtype), filled)
-    return den, lab, particle_ct, n_comp, filled, overlap_ct
+    if not with_tables:
+        return den, lab, particle_ct, n_comp, filled, overlap_ct
+    seg, area, class_id = _compact_and_tables_shard(
+        lab, lin, den, base, cfg.max_regions, max_iters
+    )
+    return den, lab, particle_ct, n_comp, filled, overlap_ct, seg, area, class_id
 
 
 def make_sharded_segment_fn(
@@ -164,14 +248,35 @@ def make_sharded_segment_fn(
     particle_val: int = 2,
     cell_vals=(1,),
     max_iters: int = 128,
+    with_tables: bool = False,
 ):
     """Build the jitted sharded step: [B,H,W] uint8 →
     (den [B,H,W], labels [B,H,W] global-root ids, particle_px [B],
      n_comp [B], filled [B,H,W], overlap_px [B]).
 
+    With ``with_tables`` the step additionally returns the same per-region
+    outputs as the single-chip fused pass (models/batch.py):
+    seg [B,H,W] global compact ids (skimage raster order), area [B,R+1],
+    class_id [B,R+1] — tables replicated across the space axis.
+
     B shards over "data", H over "space"; the full per-plane pipeline
-    (denoise → CCL → stats → particle fill) runs inside one shard_map.
+    (denoise → CCL → compaction → tables → particle fill) runs inside one
+    shard_map.
     """
+    plane_specs = (
+        P(DATA_AXIS, SPACE_AXIS, None),
+        P(DATA_AXIS, SPACE_AXIS, None),
+        P(DATA_AXIS),
+        P(DATA_AXIS),
+        P(DATA_AXIS, SPACE_AXIS, None),
+        P(DATA_AXIS),
+    )
+    if with_tables:
+        plane_specs = plane_specs + (
+            P(DATA_AXIS, SPACE_AXIS, None),
+            P(DATA_AXIS),
+            P(DATA_AXIS),
+        )
     fn = jax.shard_map(
         partial(
             _segment_shard,
@@ -179,17 +284,11 @@ def make_sharded_segment_fn(
             particle_val=particle_val,
             cell_vals=tuple(cell_vals),
             max_iters=max_iters,
+            with_tables=with_tables,
         ),
         mesh=mesh,
         in_specs=P(DATA_AXIS, SPACE_AXIS, None),
-        out_specs=(
-            P(DATA_AXIS, SPACE_AXIS, None),
-            P(DATA_AXIS, SPACE_AXIS, None),
-            P(DATA_AXIS),
-            P(DATA_AXIS),
-            P(DATA_AXIS, SPACE_AXIS, None),
-            P(DATA_AXIS),
-        ),
+        out_specs=plane_specs,
     )
     return jax.jit(fn)
 

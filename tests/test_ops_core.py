@@ -250,3 +250,59 @@ class TestScatterFreeTables:
             ref, ref_n = ond.label(den, background=-1, return_num=True)
             assert int(num[b]) == ref_n
             np.testing.assert_array_equal(np.asarray(seg[b]), ref)
+
+    def test_region_table_mxu_matches_scatter(self):
+        from particle_col_image_segmentation_tpu.ops import label_image, region_props
+        from particle_col_image_segmentation_tpu.ops.regionprops_tiles import (
+            region_table_mxu,
+        )
+
+        img = synthetic_label_plane(seed=19, shape=(64, 128))
+        seg, _ = label_image(jnp.asarray(img), background=-1, max_regions=2048)
+        t0 = region_props(seg, jnp.asarray(img), max_regions=2048)
+        t1 = region_table_mxu(
+            seg, jnp.asarray(img), max_regions=2048, rows_per_chunk=8,
+            interpret=True,
+        )
+        v = np.asarray(t0.valid)
+        assert np.array_equal(np.asarray(t1.valid), v)
+        for f in ("area", "sr_hi", "sr_lo", "sc_hi", "sc_lo", "class_id", "bbox"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(t0, f))[v], np.asarray(getattr(t1, f))[v], err_msg=f
+            )
+
+    def test_region_sums_mxu(self):
+        from particle_col_image_segmentation_tpu.ops.regionprops_tiles import (
+            region_sums_mxu,
+        )
+
+        rng = np.random.default_rng(8)
+        seg = rng.integers(0, 300, (32, 128)).astype(np.int32)
+        vals = rng.integers(0, 2, (32, 128)).astype(np.int32)  # overlap mask
+        area, vsum = region_sums_mxu(
+            jnp.asarray(seg), jnp.asarray(vals), 511, rows_per_chunk=8,
+            interpret=True,
+        )
+        import jax as _jax
+
+        ref_area = _jax.ops.segment_sum(
+            jnp.ones(seg.size, jnp.int32), jnp.asarray(seg.ravel()), num_segments=512
+        )
+        ref_sum = _jax.ops.segment_sum(
+            jnp.asarray(vals.ravel()), jnp.asarray(seg.ravel()), num_segments=512
+        )
+        np.testing.assert_array_equal(np.asarray(area), np.asarray(ref_area))
+        np.testing.assert_array_equal(np.asarray(vsum), np.asarray(ref_sum))
+
+    def test_table_lookup_mxu(self):
+        from particle_col_image_segmentation_tpu.ops.regionprops_tiles import (
+            table_lookup_mxu,
+        )
+
+        rng = np.random.default_rng(3)
+        seg = rng.integers(0, 900, (32, 128)).astype(np.int32)
+        tab = rng.integers(0, 256, 900).astype(np.int32)
+        got = table_lookup_mxu(
+            jnp.asarray(seg), jnp.asarray(tab), rows_per_chunk=8, interpret=True
+        )
+        np.testing.assert_array_equal(np.asarray(got), tab[seg])

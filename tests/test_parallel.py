@@ -77,3 +77,38 @@ def test_sharded_cross_boundary_component():
         assert len(np.unique(stripe)) == 1
         # full-height stripe splits the background → stripe + 2 bg halves
         assert int(n_comp[b]) == 3
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+@pytest.mark.parametrize("n_data,n_space", [(2, 4), (4, 2)])
+def test_sharded_tables_match_fused(n_data, n_space):
+    """with_tables: global compact ids + psum'd region tables must equal the
+    single-device fused pass exactly."""
+    import jax.numpy as jnp
+
+    from particle_col_image_segmentation_tpu.models.batch import (
+        fused_segment_batch,
+    )
+    from particle_col_image_segmentation_tpu.parallel.sharded import (
+        make_sharded_segment_fn,
+    )
+
+    mesh = make_mesh(n_data=n_data, n_space=n_space)
+    B, H, W = n_data * 2, 64, 64
+    batch = np.stack(
+        [synthetic_label_plane(seed=100 + s, shape=(H, W)) for s in range(B)]
+    )
+    fn = make_sharded_segment_fn(mesh, CFG, particle_val=2, with_tables=True)
+    (den, labels, particle_px, n_comp, filled, overlap_px,
+     seg, area, class_id) = fn(jnp.asarray(batch))
+
+    ref = fused_segment_batch(jnp.asarray(batch), CFG)
+    rseg, rnum, rarea, rclass, rpart, _, _ = ref
+    np.testing.assert_array_equal(np.asarray(seg), np.asarray(rseg))
+    np.testing.assert_array_equal(np.asarray(n_comp), np.asarray(rnum))
+    np.testing.assert_array_equal(np.asarray(area), np.asarray(rarea))
+    valid = np.asarray(rarea) > 0
+    np.testing.assert_array_equal(
+        np.asarray(class_id)[valid], np.asarray(rclass)[valid]
+    )
+    np.testing.assert_array_equal(np.asarray(particle_px), np.asarray(rpart))
