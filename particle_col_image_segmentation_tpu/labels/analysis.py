@@ -69,7 +69,7 @@ def _stage_segment(img, cfg: AnalysisConfig, denoise: bool, particle_val: int):
         else img
     )
     raw = connected_components_auto(den, background=None, num_classes=cfg.num_classes)
-    seg, num = compact_labels_auto(raw, cfg.max_regions)
+    seg, num = compact_labels_auto(raw, cfg.max_regions, val=den)
     table = region_props_auto(seg, den, cfg.max_regions)
     particle_area = jnp.sum((den == particle_val).astype(jnp.int32))
     return den, seg, num, table, particle_area
@@ -117,7 +117,11 @@ def _stage_merge(den, table: RegionTable, cfg: AnalysisConfig, strain_vals):
     ctx_raw = connected_components_auto(
         dil.astype(jnp.uint8), background=0, num_classes=2
     )
-    return ctx_raw[:, icy, icx]
+    # flat take_along_axis: a 1-D gather per context lowers far better on
+    # TPU than [:, icy, icx] advanced indexing (batched 2-D gather)
+    S = ctx_raw.shape[0]
+    flat_idx = jnp.broadcast_to((icy * W + icx)[None, :], (S, icy.shape[0]))
+    return jnp.take_along_axis(ctx_raw.reshape(S, H * W), flat_idx, axis=-1)
 
 
 def analyze_plane_device(
@@ -188,7 +192,7 @@ def dapi_dedup_device(
     dapi_mask = dapi == 1
     other_mask = other == 1
     raw = connected_components_auto(dapi_mask.astype(jnp.uint8), background=0, num_classes=2)
-    seg, _ = compact_labels_auto(raw, cfg.max_regions)
+    seg, _ = compact_labels_auto(raw, cfg.max_regions, val=dapi_mask.astype(jnp.uint8))
     R = cfg.max_regions + 1
     on_tpu = jax.default_backend() not in ("cpu", "gpu")
     if on_tpu and dapi.shape[-2] % 8 == 0:

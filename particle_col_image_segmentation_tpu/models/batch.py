@@ -57,7 +57,7 @@ def fused_segment_batch(
     raw = connected_components_auto(den, background=None, num_classes=cfg.num_classes)
     # gather-free compaction + MXU histogram tables on TPU (scatter/gather
     # fallbacks elsewhere); both batched over the leading axis in one launch
-    seg, num = compact_labels_auto(raw, cfg.max_regions)
+    seg, num = compact_labels_auto(raw, cfg.max_regions, val=den)
     areas, classes = region_counts_auto(seg, den, cfg.max_regions)
     # Every pixel belongs to exactly one class-homogeneous region (background
     # is labeled too), so all pixel histograms reduce over the [R+1] tables

@@ -4,6 +4,7 @@ from particle_col_image_segmentation_tpu.ops.filters import (  # noqa: F401
 )
 from particle_col_image_segmentation_tpu.ops.ccl import (  # noqa: F401
     compact_labels,
+    compact_labels_auto,
     connected_components,
     connected_components_auto,
     label_image,
@@ -17,10 +18,25 @@ from particle_col_image_segmentation_tpu.ops.regionprops import (  # noqa: F401
 from particle_col_image_segmentation_tpu.ops.edt import edt, edt_sq  # noqa: F401
 from particle_col_image_segmentation_tpu.ops.morphology import (  # noqa: F401
     boundary_mask,
+    close_disk,
     dilate_disk,
     erode_disk,
     fill_holes,
     local_maxima,
+    open_disk,
+)
+from particle_col_image_segmentation_tpu.ops.regionprops_tiles import (  # noqa: F401
+    region_counts_auto,
+    region_counts_mxu,
+    region_props_auto,
+    region_sums_mxu,
+    region_table_mxu,
+    table_lookup_auto,
+    table_lookup_mxu,
+)
+from particle_col_image_segmentation_tpu.ops.threshold import (  # noqa: F401
+    otsu_threshold,
+    threshold_and_count,
 )
 from particle_col_image_segmentation_tpu.ops.watershed import (  # noqa: F401
     watershed,

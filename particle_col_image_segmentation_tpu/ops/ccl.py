@@ -193,6 +193,7 @@ def compact_labels_sweeps(
     max_regions: int,
     tile: int = 64,
     interpret: bool = False,
+    val: jnp.ndarray = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """compact_labels without the 4M-element gather (TPU band-sweep path).
 
@@ -211,6 +212,11 @@ def compact_labels_sweeps(
 
     Ids are identical to compact_labels (rank of the component's root in
     raster order, skimage ordering).  Accepts [H, W] or [B, H, W].
+
+    ``val``: optional value image to propagate through instead of ``raw`` —
+    any image whose neighbor-equality relation is "same component" works,
+    and the denoised uint8 class plane (for background=None labelings)
+    rides HBM at ¼ the traffic.  Pixels where raw < 0 never seed either way.
     """
     del max_regions
     from particle_col_image_segmentation_tpu.ops.ccl_tiles import min_propagate
@@ -243,7 +249,8 @@ def compact_labels_sweeps(
     seed = jnp.where(is_root, rank, _INF)
     # bg pixels (raw = -1) hold no seed and share no value with fg (≥ 0),
     # so they keep +INF and are masked to 0 below.
-    lab = min_propagate(seed, raw3, tile=tile, interpret=interpret)
+    vimg = raw3 if val is None else val.reshape(raw3.shape)
+    lab = min_propagate(seed, vimg, tile=tile, interpret=interpret)
     seg = jnp.where(fg, lab, 0)
     if not batched:
         seg, num = seg[0], num[0]
@@ -253,14 +260,14 @@ def compact_labels_sweeps(
 
 
 def compact_labels_auto(
-    raw: jnp.ndarray, max_regions: int
+    raw: jnp.ndarray, max_regions: int, val: jnp.ndarray = None
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Backend dispatch: band-sweep compaction on TPU, gather path elsewhere."""
     H = raw.shape[-2]
     tile = _pick_band_tile(H)
     on_tpu = jax.default_backend() not in ("cpu", "gpu")
     if on_tpu and tile is not None:
-        return compact_labels_sweeps(raw, max_regions, tile=tile)
+        return compact_labels_sweeps(raw, max_regions, tile=tile, val=val)
     if raw.ndim == 3:
         return jax.vmap(lambda r: compact_labels(r, max_regions))(raw)
     return compact_labels(raw, max_regions)

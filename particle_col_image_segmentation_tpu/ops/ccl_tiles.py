@@ -32,6 +32,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 _INF = jnp.iinfo(jnp.int32).max
 _BG_VAL = -(2**30)  # image sentinel outside the plane / on background
+_U8_SENTINEL = 255  # halo sentinel when the value image rides as uint8
 _HALO = 8
 
 
@@ -124,6 +125,7 @@ def _band_kernel(
     lab_in,
     img_hbm,
     lab_io,
+    flag_ref,
     *,
     T,
     n_bands,
@@ -139,6 +141,9 @@ def _band_kernel(
 
     Bands are per plane: band b of plane p starts at p·slot + b·T in the
     stacked array (each plane slot carries its own sentinel halos).
+
+    ``flag_ref`` gets 1 iff this band's center rows changed — the sweep's
+    change summary, so convergence needs no whole-plane comparison outside.
     """
     del lab_in
     i = pl.program_id(0)
@@ -159,7 +164,16 @@ def _band_kernel(
         )
         cp2.start()
         cp2.wait()
-        L = _local_solve(lab_s[:, :], img_s[:, :], connectivity, inner_iters)
+        # value image may ride HBM as uint8 (¼ the sweep read traffic);
+        # compute always in int32 (8-bit vector ops are restricted in Mosaic)
+        V = img_s[:, :].astype(jnp.int32)
+        if img_s.dtype == jnp.uint8:
+            V = jnp.where(V == _U8_SENTINEL, _BG_VAL, V)
+        L = _local_solve(lab_s[:, :], V, connectivity, inner_iters)
+        changed = jnp.any(L[_HALO : _HALO + T, :] != lab_s[_HALO : _HALO + T, :])
+        flag_ref[0, :, :] = jnp.broadcast_to(
+            changed.astype(jnp.int32), flag_ref.shape[-2:]
+        )
         lab_s[:, :] = L
         wb = pltpu.make_async_copy(
             lab_s.at[pl.ds(_HALO, T), :],
@@ -173,7 +187,7 @@ def _band_kernel(
     pl.run_scoped(
         run,
         pltpu.VMEM((2 * _HALO + T, W), jnp.int32),
-        pltpu.VMEM((2 * _HALO + T, W), jnp.int32),
+        pltpu.VMEM((2 * _HALO + T, W), img_hbm.dtype),
         pltpu.SemaphoreType.DMA,
     )
 
@@ -199,8 +213,14 @@ def _make_sweep(
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-        out_shape=jax.ShapeDtypeStruct((Hp, W), jnp.int32),
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Hp, W), jnp.int32),
+            jax.ShapeDtypeStruct((n_bands, 8, 128), jnp.int32),
+        ),
         input_output_aliases={0: 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
@@ -226,7 +246,9 @@ def min_propagate(
     ``min_propagate(linear_index, class_image)``; compact-id propagation
     (ops/ccl.py compact_labels_sweeps) seeds ``lab`` with the root rank at
     root pixels and +INF elsewhere.  [..., H, W] int32 in/out; ``val`` may
-    hold any int32 values above _BG_VAL (the halo sentinel).
+    hold any int32 values above _BG_VAL (the halo sentinel) — or uint8
+    values < 255, which ride HBM at ¼ the sweep read traffic (the kernel
+    casts in VMEM; 255 is the uint8 halo sentinel).
     """
     batch_shape = lab.shape[:-2]
     H, W = lab.shape[-2:]
@@ -234,7 +256,10 @@ def min_propagate(
     for d in batch_shape:
         B *= d
     lab2 = lab.reshape(B, H, W).astype(jnp.int32)
-    val2 = val.reshape(B, H, W).astype(jnp.int32)
+    as_u8 = val.dtype == jnp.uint8
+    val2 = val.reshape(B, H, W)
+    if not as_u8:
+        val2 = val2.astype(jnp.int32)
     T = tile
     assert H % T == 0, (H, T)
 
@@ -243,7 +268,9 @@ def min_propagate(
         lab2, ((0, 0), (_HALO, _HALO), (0, 0)), constant_values=_INF
     ).reshape(B * slot, W)
     img_p = jnp.pad(
-        val2, ((0, 0), (_HALO, _HALO), (0, 0)), constant_values=_BG_VAL
+        val2,
+        ((0, 0), (_HALO, _HALO), (0, 0)),
+        constant_values=_U8_SENTINEL if as_u8 else _BG_VAL,
     ).reshape(B * slot, W)
     Hp = B * slot
     bands_per_plane = H // T
@@ -258,21 +285,27 @@ def min_propagate(
         inner_iters, interpret,
     )
 
+    # Converged ⇔ one full sweep (either direction) changed nothing: then
+    # every band is at a local fixpoint given unchanged neighbors, i.e. a
+    # global fixpoint.  The per-band flags make that check free (no plane
+    # comparison), and per-sweep granularity with alternating direction
+    # typically saves one sweep vs pair-wise rounds (down, up, confirm).
     def body(state):
         lab_p, _, i = state
-        old = lab_p
-        new = up(down(lab_p, img_p), img_p)
-        return new, jnp.any(new != old), i + 1
+        lab_p, flags = jax.lax.cond(
+            i % 2 == 0,
+            lambda lp: down(lp, img_p),
+            lambda lp: up(lp, img_p),
+            lab_p,
+        )
+        return lab_p, jnp.any(flags != 0), i + 1
 
     def cond(state):
         _, changed, i = state
-        return changed & (i < max_sweeps)
+        return changed & (i < 2 * max_sweeps)
 
-    old0 = lab_p
-    lab_p = up(down(lab_p, img_p), img_p)
-    lab_p, _, _ = jax.lax.while_loop(
-        cond, body, (lab_p, jnp.any(lab_p != old0), 1)
-    )
+    lab_p, f0 = down(lab_p, img_p)
+    lab_p, _, _ = jax.lax.while_loop(cond, body, (lab_p, jnp.any(f0 != 0), 1))
     out = lab_p.reshape(B, slot, W)[:, _HALO : _HALO + H, :]
     return out.reshape(lab.shape)
 
@@ -308,15 +341,17 @@ def ccl_sweeps(
         B *= d
     img2 = img.reshape(B, H, W)
 
-    v = img2.astype(jnp.int32)
     lin = (
         jax.lax.broadcasted_iota(jnp.int32, (B, H, W), 1) * W
         + jax.lax.broadcasted_iota(jnp.int32, (B, H, W), 2)
     )
     if background is not None:
+        v = img2.astype(jnp.int32)
         fg = v != background
         v = jnp.where(fg, v, _BG_VAL - 1 - lin)  # unique, never merges
     else:
+        # keep uint8 values on HBM (¼ sweep read traffic); labels stay int32
+        v = img2 if img2.dtype == jnp.uint8 else img2.astype(jnp.int32)
         fg = jnp.ones((B, H, W), bool)
 
     lab = min_propagate(

@@ -36,11 +36,23 @@ def edt_sq(feature: jnp.ndarray, cap: int) -> jnp.ndarray:
     """
     feature = feature.astype(bool)
     c1 = cap + 1
-    # phase 1: per-ROW distance to the nearest feature in the same row
-    # (log-depth scans along lanes)
-    right = directional_distance(feature, axis=-1, cap=c1)
-    left = jnp.flip(directional_distance(jnp.flip(feature, -1), axis=-1, cap=c1), -1)
-    dh = jnp.minimum(right, left)
+    # phase 1: per-ROW distance to the nearest feature in the same row.
+    # Small caps: 2·cap+1 direct lane taps beat the log-depth scans (only
+    # distances ≤ cap matter, and each scan step is a lane relayout).
+    if cap <= 8:
+        W = feature.shape[-1]
+        padw = [(0, 0)] * (feature.ndim - 1) + [(cap, cap)]
+        fpad = jnp.pad(feature, padw, constant_values=False)
+        dh = jnp.full(feature.shape, c1, jnp.int32)
+        for dx in range(-cap, cap + 1):
+            sl = (Ellipsis, slice(cap + dx, cap + dx + W))
+            dh = jnp.where(fpad[sl], jnp.minimum(dh, abs(dx)), dh)
+    else:
+        right = directional_distance(feature, axis=-1, cap=c1)
+        left = jnp.flip(
+            directional_distance(jnp.flip(feature, -1), axis=-1, cap=c1), -1
+        )
+        dh = jnp.minimum(right, left)
     dh2 = (dh * dh).astype(jnp.int32)
 
     # phase 2: min-plus over row offsets.  Shifting along the SUBLANE axis

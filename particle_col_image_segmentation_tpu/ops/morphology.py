@@ -23,6 +23,8 @@ from particle_col_image_segmentation_tpu.ops.scans import seg_or_scan_bidi
 __all__ = [
     "dilate_disk",
     "erode_disk",
+    "open_disk",
+    "close_disk",
     "fill_holes",
     "local_maxima",
     "boundary_mask",
@@ -37,6 +39,18 @@ def dilate_disk(mask: jnp.ndarray, radius: int) -> jnp.ndarray:
 def erode_disk(mask: jnp.ndarray, radius: int) -> jnp.ndarray:
     """binary_erosion with disk(radius), True border (skimage semantics)."""
     return ~dilate_disk(~mask.astype(bool), radius)
+
+
+def open_disk(mask: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """binary_opening (erode then dilate) with disk(radius) — removes
+    features thinner than the disk (BASELINE config #3 morphology)."""
+    return dilate_disk(erode_disk(mask, radius), radius)
+
+
+def close_disk(mask: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """binary_closing (dilate then erode) with disk(radius) — fills gaps
+    narrower than the disk."""
+    return erode_disk(dilate_disk(mask, radius), radius)
 
 
 def _neighbor_or(x: jnp.ndarray, allowed: jnp.ndarray, connectivity: int = 4):

@@ -1,0 +1,72 @@
+"""Intensity thresholding on device (BASELINE config #1: Otsu + CCL count).
+
+The reference consumes pre-classified Ilastik label maps, so it never
+thresholds raw intensities itself — but the framework's raw-TIFF entry path
+(BASELINE.json config #1: "Otsu threshold + connected-components particle
+count" on 16-bit planes) needs one.  Classic Otsu on a device-computed
+histogram: all per-bin statistics are vectorized prefix sums, no
+data-dependent control flow.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["histogram", "otsu_threshold", "threshold_and_count"]
+
+
+@partial(jax.jit, static_argnames=("bins",))
+def histogram(img: jnp.ndarray, bins: int = 256) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(counts [bins], bin centers [bins]) over the image's [min, max] range —
+    skimage.filters.threshold_otsu binning semantics."""
+    x = img.astype(jnp.float32)
+    lo = jnp.min(x)
+    hi = jnp.max(x)
+    span = jnp.maximum(hi - lo, 1e-12)
+    idx = jnp.clip(((x - lo) / span * bins).astype(jnp.int32), 0, bins - 1)
+    counts = jnp.zeros((bins,), jnp.int32).at[idx.ravel()].add(1)
+    centers = lo + (jnp.arange(bins, dtype=jnp.float32) + 0.5) * span / bins
+    return counts, centers
+
+
+@partial(jax.jit, static_argnames=("bins",))
+def otsu_threshold(img: jnp.ndarray, bins: int = 256) -> jnp.ndarray:
+    """Otsu's threshold: the bin-center cut maximizing between-class variance
+    σ²_b(t) = ω₀ω₁(μ₀ − μ₁)².  Pixels > threshold are foreground."""
+    counts, centers = histogram(img, bins)
+    c = counts.astype(jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
+    w0 = jnp.cumsum(c)
+    w1 = w0[-1] - w0
+    m = jnp.cumsum(c * centers)
+    mu0 = m / jnp.maximum(w0, 1e-12)
+    mu1 = (m[-1] - m) / jnp.maximum(w1, 1e-12)
+    var_b = w0 * w1 * (mu0 - mu1) ** 2
+    # cuts with an empty class score 0 and never win on non-constant images
+    var_b = jnp.where((w0 > 0) & (w1 > 0), var_b, -1.0)
+    return centers[jnp.argmax(var_b)]
+
+
+@partial(jax.jit, static_argnames=("max_regions", "min_area"))
+def threshold_and_count(
+    img: jnp.ndarray, max_regions: int = 4096, min_area: int = 1
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """BASELINE config #1 as one fused graph: Otsu → binary mask → CCL →
+    particle count.  Returns (mask, compact labels, count of components with
+    area ≥ min_area)."""
+    from particle_col_image_segmentation_tpu.ops.ccl import (
+        compact_labels,
+        connected_components,
+    )
+    from particle_col_image_segmentation_tpu.ops.regionprops import region_counts
+
+    t = otsu_threshold(img)
+    mask = img.astype(jnp.float32) > t
+    raw = connected_components(mask.astype(jnp.uint8), background=0, num_classes=2)
+    seg, num = compact_labels(raw, max_regions)
+    area, _ = region_counts(seg, mask.astype(jnp.int32), max_regions)
+    count = jnp.sum((area[1:] >= min_area).astype(jnp.int32))
+    return mask, seg, count

@@ -306,3 +306,35 @@ class TestScatterFreeTables:
             jnp.asarray(seg), jnp.asarray(tab), rows_per_chunk=8, interpret=True
         )
         np.testing.assert_array_equal(np.asarray(got), tab[seg])
+
+
+class TestBandSweepConvergence:
+    """Per-sweep convergence flags must not exit early on shapes needing many
+    alternating rounds (spiral = worst case for Gauss-Seidel sweeps)."""
+
+    def test_spiral(self):
+        from particle_col_image_segmentation_tpu.ops.ccl import connected_components
+        from particle_col_image_segmentation_tpu.ops.ccl_tiles import ccl_sweeps
+
+        n = 64
+        img = np.zeros((n, n), np.uint8)
+        # rectangular spiral of 1s on a 0 background
+        top, bot, left, right = 0, n - 1, 0, n - 1
+        while left < right and top < bot:
+            img[top, left:right + 1] = 1
+            img[top:bot + 1, right] = 1
+            img[bot, left + 2:right + 1] = 1
+            img[top + 2:bot + 1, left + 2] = 1
+            top += 2
+            bot -= 2
+            left += 2
+            right -= 2
+        ref = np.asarray(connected_components(jnp.asarray(img), background=0,
+                                              max_iters=4096))
+        got = np.asarray(
+            ccl_sweeps(jnp.asarray(img), background=0, tile=8,
+                       max_sweeps=256, interpret=True)
+        )
+        np.testing.assert_array_equal(got, ref)
+        # the whole spiral is ONE component
+        assert len(np.unique(ref[img == 1])) == 1

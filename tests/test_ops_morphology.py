@@ -222,3 +222,71 @@ class TestWatershed:
         assert out[10, 10] == 3 and out[30, 30] == 1
         assert (out[~mask] == 0).all()
         assert (out[mask] > 0).all()
+
+
+class TestOpenCloseThreshold:
+    def test_open_close(self):
+        from particle_col_image_segmentation_tpu.ops.morphology import (
+            close_disk,
+            dilate_disk,
+            erode_disk,
+            open_disk,
+        )
+
+        rng = np.random.default_rng(0)
+        m = np.zeros((64, 64), bool)
+        yy, xx = np.mgrid[:64, :64]
+        m |= (yy - 20) ** 2 + (xx - 20) ** 2 <= 100
+        m[40, 40] = True  # single-pixel speck
+        m[(yy - 45) ** 2 + (xx - 15) ** 2 <= 64] = True
+        m[45, 12:19] = False  # thin gap
+        got_open = np.asarray(open_disk(jnp.asarray(m), 2))
+        ref_open = np.asarray(
+            dilate_disk(erode_disk(jnp.asarray(m), 2), 2)
+        )
+        np.testing.assert_array_equal(got_open, ref_open)
+        assert not got_open[40, 40]  # speck removed
+        got_close = np.asarray(close_disk(jnp.asarray(m), 2))
+        assert got_close[45, 15]  # gap filled
+        assert got_close[m].all()  # closing is extensive
+        del rng
+
+    def test_otsu_matches_numpy_oracle(self):
+        from particle_col_image_segmentation_tpu.ops.threshold import (
+            otsu_threshold,
+        )
+
+        rng = np.random.default_rng(1)
+        img = np.concatenate(
+            [rng.normal(80, 10, 3000), rng.normal(180, 12, 2000)]
+        ).reshape(50, 100).astype(np.float32)
+
+        def oracle_otsu(x, bins=256):
+            counts, edges = np.histogram(x, bins=bins)
+            centers = (edges[:-1] + edges[1:]) / 2
+            w0 = np.cumsum(counts).astype(float)
+            w1 = w0[-1] - w0
+            m = np.cumsum(counts * centers)
+            mu0 = m / np.maximum(w0, 1e-12)
+            mu1 = (m[-1] - m) / np.maximum(w1, 1e-12)
+            var_b = np.where((w0 > 0) & (w1 > 0), w0 * w1 * (mu0 - mu1) ** 2, -1)
+            return centers[np.argmax(var_b)]
+
+        got = float(otsu_threshold(jnp.asarray(img)))
+        ref = oracle_otsu(img)
+        # binning conventions differ by half a bin; same class split matters
+        assert abs(got - ref) < (img.max() - img.min()) / 256 * 2
+        assert 100 < got < 160  # separates the two modes
+
+    def test_threshold_and_count(self):
+        from particle_col_image_segmentation_tpu.ops.threshold import (
+            threshold_and_count,
+        )
+
+        img = np.full((64, 64), 100.0, np.float32)
+        yy, xx = np.mgrid[:64, :64]
+        for cy, cx in [(16, 16), (16, 48), (48, 16), (48, 48)]:
+            img[(yy - cy) ** 2 + (xx - cx) ** 2 <= 36] = 900.0
+        mask, seg, count = threshold_and_count(jnp.asarray(img), max_regions=64)
+        assert int(count) == 4
+        assert np.array_equal(np.asarray(mask), img > 500)
