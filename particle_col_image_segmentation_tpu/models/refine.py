@@ -25,11 +25,11 @@ import numpy as np
 from particle_col_image_segmentation_tpu.config import RefineConfig
 from particle_col_image_segmentation_tpu.ops import (
     centroids_f64,
-    compact_labels,
+    compact_labels_auto,
     connected_components_auto,
     edt,
     local_maxima,
-    region_props,
+    region_props_auto,
     watershed_auto,
 )
 from particle_col_image_segmentation_tpu.ops.pairwise import (
@@ -50,9 +50,11 @@ def refine_plane_device(
     distance = edt(~binary_mask, cap=cfg.edt_cap)
     maxima = local_maxima(distance)
     raw = connected_components_auto(maxima.astype(jnp.uint8), background=0, num_classes=2)
-    markers, num = compact_labels(raw, max_regions)
+    markers, num = compact_labels_auto(
+        raw, max_regions, val=maxima.astype(jnp.uint8)
+    )
     labels = watershed_auto(boundary_map.astype(jnp.float32), markers, binary_mask)
-    table = region_props(labels, jnp.ones_like(labels, jnp.uint8), max_regions)
+    table = region_props_auto(labels, jnp.ones_like(labels, jnp.uint8), max_regions)
     return labels, markers, num, table, distance
 
 

@@ -246,11 +246,17 @@ def compact_labels_sweeps(
     rank = base[..., None] + rowcum
     num = base[:, -1] + row_tot[:, -1]
 
-    seed = jnp.where(is_root, rank, _INF)
-    # bg pixels (raw = -1) hold no seed and share no value with fg (≥ 0),
-    # so they keep +INF and are masked to 0 below.
+    # Seeds: rank at roots, 0 on background (bg shares no value with fg, so
+    # 0 never leaks — and it makes every non-fg pixel non-INF from the
+    # start).  Propagated values can only ever be a component's OWN seed
+    # (propagation cannot cross components), so the fixpoint is reached
+    # exactly when no +INF remains — converge_on="inf" skips the confirm
+    # sweep a change-based check would need.
+    seed = jnp.where(is_root, rank, jnp.where(fg, _INF, 0))
     vimg = raw3 if val is None else val.reshape(raw3.shape)
-    lab = min_propagate(seed, vimg, tile=tile, interpret=interpret)
+    lab = min_propagate(
+        seed, vimg, tile=tile, interpret=interpret, converge_on="inf"
+    )
     seg = jnp.where(fg, lab, 0)
     if not batched:
         seg, num = seg[0], num[0]

@@ -134,6 +134,7 @@ def _band_kernel(
     downward,
     connectivity,
     inner_iters,
+    converge_on,
 ):
     """One band: DMA window in from the aliased label buffer, solve, write
     the center back in place.  ``lab_in`` is the aliased input ref (unused —
@@ -142,8 +143,11 @@ def _band_kernel(
     Bands are per plane: band b of plane p starts at p·slot + b·T in the
     stacked array (each plane slot carries its own sentinel halos).
 
-    ``flag_ref`` gets 1 iff this band's center rows changed — the sweep's
-    change summary, so convergence needs no whole-plane comparison outside.
+    ``flag_ref`` gets the band's convergence summary, so the outer loop
+    needs no whole-plane comparison: with converge_on="change", 1 iff the
+    center rows changed; with converge_on="inf", 1 iff any center pixel is
+    still +INF (single-seed propagations are done exactly when every pixel
+    is reached — values can only ever be the component's own seed).
     """
     del lab_in
     i = pl.program_id(0)
@@ -170,9 +174,13 @@ def _band_kernel(
         if img_s.dtype == jnp.uint8:
             V = jnp.where(V == _U8_SENTINEL, _BG_VAL, V)
         L = _local_solve(lab_s[:, :], V, connectivity, inner_iters)
-        changed = jnp.any(L[_HALO : _HALO + T, :] != lab_s[_HALO : _HALO + T, :])
+        center = L[_HALO : _HALO + T, :]
+        if converge_on == "inf":
+            flag = jnp.any(center == _INF)
+        else:
+            flag = jnp.any(center != lab_s[_HALO : _HALO + T, :])
         flag_ref[0, :, :] = jnp.broadcast_to(
-            changed.astype(jnp.int32), flag_ref.shape[-2:]
+            flag.astype(jnp.int32), flag_ref.shape[-2:]
         )
         lab_s[:, :] = L
         wb = pltpu.make_async_copy(
@@ -194,7 +202,7 @@ def _band_kernel(
 
 def _make_sweep(
     T, n_bands, bands_per_plane, slot, Hp, W, downward, connectivity,
-    inner_iters, interpret,
+    inner_iters, interpret, converge_on="change",
 ):
     kernel = partial(
         _band_kernel,
@@ -205,6 +213,7 @@ def _make_sweep(
         downward=downward,
         connectivity=connectivity,
         inner_iters=inner_iters,
+        converge_on=converge_on,
     )
     return pl.pallas_call(
         kernel,
@@ -229,7 +238,10 @@ def _make_sweep(
 
 @partial(
     jax.jit,
-    static_argnames=("connectivity", "tile", "max_sweeps", "inner_iters", "interpret"),
+    static_argnames=(
+        "connectivity", "tile", "max_sweeps", "inner_iters", "interpret",
+        "converge_on",
+    ),
 )
 def min_propagate(
     lab: jnp.ndarray,
@@ -239,6 +251,7 @@ def min_propagate(
     max_sweeps: int = 16,
     inner_iters: int = 16,
     interpret: bool = False,
+    converge_on: str = "change",
 ) -> jnp.ndarray:
     """Propagate the min of ``lab`` within each equal-``val`` component.
 
@@ -278,11 +291,11 @@ def min_propagate(
 
     down = _make_sweep(
         T, n_bands, bands_per_plane, slot, Hp, W, True, connectivity,
-        inner_iters, interpret,
+        inner_iters, interpret, converge_on,
     )
     up = _make_sweep(
         T, n_bands, bands_per_plane, slot, Hp, W, False, connectivity,
-        inner_iters, interpret,
+        inner_iters, interpret, converge_on,
     )
 
     # Converged ⇔ one full sweep (either direction) changed nothing: then
