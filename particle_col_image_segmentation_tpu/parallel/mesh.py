@@ -30,3 +30,33 @@ def make_mesh(
     use = n_data * n_space
     arr = np.array(devices[:use]).reshape(n_data, n_space)
     return Mesh(arr, (DATA_AXIS, SPACE_AXIS))
+
+
+def initialize_multihost(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> Mesh:
+    """Multi-host entry point (SURVEY §2.8: DCN-spanning meshes).
+
+    Calls ``jax.distributed.initialize`` (auto-detecting on TPU pods when no
+    arguments are given), then builds the global mesh over every device in
+    the slice — data-parallel across hosts (batch stays host-local through
+    the loader), spatial axis within each host so halo exchange rides ICI,
+    never DCN.  Single-process environments skip initialization and return
+    the local mesh.
+    """
+    if coordinator_address is not None or num_processes not in (None, 1):
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    elif num_processes is None:
+        try:  # pod auto-detection (no-op off-pod / already initialized)
+            jax.distributed.initialize()
+        except Exception:  # noqa: BLE001 — single-host fallback is the point
+            pass
+    total = len(jax.devices())
+    n_space = min(jax.local_device_count(), total)
+    return make_mesh(n_data=total // n_space, n_space=n_space)
