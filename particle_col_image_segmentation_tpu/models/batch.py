@@ -75,6 +75,48 @@ def fused_segment_batch(
     return seg, num, areas, classes, particle_px, cell_px, class_px
 
 
+def make_fused_segment_fn(
+    mesh, cfg: AnalysisConfig, particle_val: int = 2, cell_vals=(1,)
+):
+    """Data-parallel fused pass over a mesh: shard_map over the "data" axis,
+    each device running the whole per-plane pipeline shard-locally.
+
+    This (not plain jit over a NamedSharding) is the multi-chip path: the
+    Pallas kernels inside are not auto-partitionable, and planes are
+    independent, so the correct decomposition is per-shard execution with
+    no cross-device communication at all.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from particle_col_image_segmentation_tpu.parallel.mesh import DATA_AXIS
+
+    body = partial(
+        fused_segment_batch,
+        cfg=cfg,
+        particle_val=particle_val,
+        cell_vals=tuple(cell_vals),
+    )
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=P(DATA_AXIS),
+        out_specs=(
+            P(DATA_AXIS),  # seg
+            P(DATA_AXIS),  # num
+            P(DATA_AXIS),  # areas
+            P(DATA_AXIS),  # classes
+            P(DATA_AXIS),  # particle_px
+            P(DATA_AXIS),  # cell_px
+            P(DATA_AXIS),  # class_px
+        ),
+        # every output is data-varying and the body is communication-free;
+        # the replication checker trips on iota seeds inside the fixpoint
+        # loops (replicated carry meets varying image), so skip it
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
 def run_batch(
     paths: Sequence[str],
     load_fn: Callable[[str], np.ndarray],
@@ -84,22 +126,37 @@ def run_batch(
     cell_vals: Tuple[int, ...] = (1,),
     manifest=None,
     sharding=None,
+    mesh=None,
 ) -> Iterator[Tuple[str, PlaneStats]]:
     """Stream per-plane stats for every path; skips manifest-completed units.
 
-    ``sharding`` may be a NamedSharding over the mesh data axis to run the
-    fused pass data-parallel across devices.
+    Pass ``mesh`` to run data-parallel across devices (shard_map over the
+    "data" axis; ``batch_size`` must be a multiple of the axis size).  The
+    legacy ``sharding`` argument only places the input batch.
     """
     todo = [p for p in paths if manifest is None or not manifest.is_done(p)]
     if len(todo) < len(paths):
         _log.info("manifest: skipping %d completed planes", len(paths) - len(todo))
+    segment_fn = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from particle_col_image_segmentation_tpu.parallel.mesh import DATA_AXIS
+
+        n_data = mesh.shape[DATA_AXIS]
+        assert batch_size % n_data == 0, (batch_size, n_data)
+        segment_fn = make_fused_segment_fn(mesh, cfg, particle_val, cell_vals)
+        sharding = NamedSharding(mesh, P(DATA_AXIS))
     it = batched_device_iterator(
         load_fn, todo, batch_size=batch_size, sharding=sharding
     )
     idx = 0
     for dev_batch, count in it:
         with stage("fused_segment", megapixels=count * dev_batch.shape[-1] * dev_batch.shape[-2] / 1e6):
-            out = fused_segment_batch(dev_batch, cfg, particle_val, cell_vals)
+            if segment_fn is not None:
+                out = segment_fn(dev_batch)
+            else:
+                out = fused_segment_batch(dev_batch, cfg, particle_val, cell_vals)
         _, num, _, _, particle_px, cell_px, class_px = out
         num = np.asarray(num)
         particle_px = np.asarray(particle_px)

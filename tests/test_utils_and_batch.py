@@ -6,6 +6,8 @@ import os
 import numpy as np
 import pytest
 
+import jax
+
 from particle_col_image_segmentation_tpu.config import AnalysisConfig
 from particle_col_image_segmentation_tpu.io.loader import (
     batched_device_iterator,
@@ -137,3 +139,34 @@ class TestCLIParsing:
 
         with pytest.raises(SystemExit):
             main(["frobnicate"])
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_run_batch_mesh_matches_single_device():
+    """run_batch(mesh=...) (shard_map data-parallel) must yield identical
+    per-plane stats to the single-device path."""
+    from particle_col_image_segmentation_tpu.parallel.mesh import make_mesh
+
+    planes = {
+        f"p{i}": synthetic_label_plane(seed=60 + i, shape=(64, 64))
+        for i in range(8)
+    }
+    mesh = make_mesh(n_data=4, n_space=1)
+    got = dict(
+        (path, s)
+        for path, s in run_batch(
+            list(planes), lambda k: planes[k], CFG, batch_size=4, mesh=mesh
+        )
+    )
+    ref = dict(
+        (path, s)
+        for path, s in run_batch(
+            list(planes), lambda k: planes[k], CFG, batch_size=4
+        )
+    )
+    assert set(got) == set(ref)
+    for k in ref:
+        assert got[k].num_regions == ref[k].num_regions
+        assert got[k].particle_px == ref[k].particle_px
+        assert got[k].cell_px == ref[k].cell_px
+        np.testing.assert_array_equal(got[k].class_px, ref[k].class_px)
