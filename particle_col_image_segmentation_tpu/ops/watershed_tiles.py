@@ -180,8 +180,8 @@ def _make_sweep(kernel_fn, n_in, T, n_bands, Hp, W, out_dtype, downward,
     return pl.pallas_call(
         kernel,
         grid=(n_bands,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * n_in,
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_in,
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((Hp, W), out_dtype),
         input_output_aliases={0: 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),

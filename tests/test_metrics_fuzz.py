@@ -78,3 +78,63 @@ def test_fuzz_dilation_parity(seed):
     m = random_binary((72, 72), p=float(rng.uniform(0.01, 0.3)), seed=seed)
     ours = np.asarray(dilate_disk(jnp.asarray(m), r))
     np.testing.assert_array_equal(ours, ond.binary_dilation(m, ond.disk(r)))
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_scatter_free_kernels(seed):
+    """Randomized parity of the MXU-table kernel family (interpret mode)
+    against the scatter/gather paths: compaction, counts, full table,
+    lookup — shapes, class counts, and background varied per seed."""
+    from particle_col_image_segmentation_tpu.ops.ccl import (
+        compact_labels,
+        compact_labels_sweeps,
+        connected_components,
+    )
+    from particle_col_image_segmentation_tpu.ops.regionprops import (
+        region_counts,
+        region_props,
+    )
+    from particle_col_image_segmentation_tpu.ops.regionprops_tiles import (
+        region_counts_mxu,
+        region_table_mxu,
+        table_lookup_mxu,
+    )
+
+    rng = np.random.default_rng(200 + seed)
+    h = int(rng.choice([32, 64]))
+    w = int(rng.choice([128, 256]))
+    n_classes = int(rng.integers(2, 6))
+    bg = int(rng.integers(0, 2)) or None  # None or 1
+    img = rng.integers(0, n_classes, (h, w)).astype(np.uint8)
+
+    raw = connected_components(
+        jnp.asarray(img), background=bg, num_classes=n_classes
+    )
+    R = h * w  # capacity ≥ any possible component count
+    s0, n0 = compact_labels(raw, R)
+    # alternate between raw-valued and uint8 class-valued propagation
+    val = jnp.asarray(img) if seed % 2 == 0 and bg is None else None
+    s1, n1 = compact_labels_sweeps(raw, R, tile=8, interpret=True, val=val)
+    assert int(n0) == int(n1)
+    np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))
+
+    a0, c0 = region_counts(s0, jnp.asarray(img), R)
+    a1, c1 = region_counts_mxu(s0, jnp.asarray(img), R, rows_per_chunk=8,
+                               interpret=True)
+    np.testing.assert_array_equal(np.asarray(a0), np.asarray(a1))
+    valid = np.asarray(a0) > 0
+    np.testing.assert_array_equal(np.asarray(c0)[valid], np.asarray(c1)[valid])
+
+    t0 = region_props(s0, jnp.asarray(img), R)
+    t1 = region_table_mxu(s0, jnp.asarray(img), R, rows_per_chunk=8,
+                          interpret=True)
+    v = np.asarray(t0.valid)
+    for f in ("area", "sr_hi", "sr_lo", "sc_hi", "sc_lo", "class_id", "bbox"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(t0, f))[v], np.asarray(getattr(t1, f))[v],
+            err_msg=f,
+        )
+
+    tab = rng.integers(0, 256, R + 1).astype(np.int32)
+    lk = table_lookup_mxu(s0, jnp.asarray(tab), rows_per_chunk=8, interpret=True)
+    np.testing.assert_array_equal(np.asarray(lk), tab[np.asarray(s0)])
