@@ -25,7 +25,9 @@ from particle_col_image_segmentation_tpu.ops import (
     connected_components_auto,
     dilate_disk,
     edt_sq,
-    median_label_filter,
+)
+from particle_col_image_segmentation_tpu.ops.filters_tiles import (
+    median_label_filter_auto,
 )
 from particle_col_image_segmentation_tpu.ops.ccl import compact_labels_auto
 from particle_col_image_segmentation_tpu.ops.regionprops_tiles import (
@@ -64,7 +66,7 @@ def _particle_value(cell_types):
 @partial(jax.jit, static_argnames=("cfg", "denoise", "particle_val"))
 def _stage_segment(img, cfg: AnalysisConfig, denoise: bool, particle_val: int):
     den = (
-        median_label_filter(img, cfg.denoise_size, cfg.num_classes)
+        median_label_filter_auto(img, cfg.denoise_size, cfg.num_classes)
         if denoise
         else img
     )

@@ -20,11 +20,11 @@ import numpy as np
 
 from particle_col_image_segmentation_tpu.config import AnalysisConfig, DEFAULT_CONFIG
 from particle_col_image_segmentation_tpu.io.loader import batched_device_iterator
-from particle_col_image_segmentation_tpu.ops import (
-    connected_components_auto,
-    median_label_filter,
-)
+from particle_col_image_segmentation_tpu.ops import connected_components_auto
 from particle_col_image_segmentation_tpu.ops.ccl import compact_labels_auto
+from particle_col_image_segmentation_tpu.ops.filters_tiles import (
+    median_label_filter_auto,
+)
 from particle_col_image_segmentation_tpu.ops.regionprops_tiles import (
     region_counts_auto,
 )
@@ -53,7 +53,7 @@ def fused_segment_batch(
 ):
     """[B,H,W] → (seg [B,H,W], num [B], area-table [B,R+1], class-table,
     particle_px [B], cell_px [B], class_px [B,num_classes])."""
-    den = median_label_filter(imgs, cfg.denoise_size, cfg.num_classes)
+    den = median_label_filter_auto(imgs, cfg.denoise_size, cfg.num_classes)
     raw = connected_components_auto(den, background=None, num_classes=cfg.num_classes)
     # gather-free compaction + MXU histogram tables on TPU (scatter/gather
     # fallbacks elsewhere); both batched over the leading axis in one launch

@@ -224,40 +224,21 @@ def compact_labels_sweeps(
     batched = raw.ndim == 3
     raw3 = raw if batched else raw[None]
     B, H, W = raw3.shape
-    lin = (
-        jax.lax.broadcasted_iota(jnp.int32, (B, H, W), 1) * W
-        + jax.lax.broadcasted_iota(jnp.int32, (B, H, W), 2)
-    )
-    fg = raw3 >= 0
-    is_root = (raw3 == lin) & fg
-
-    upper = (
-        jax.lax.broadcasted_iota(jnp.int32, (W, W), 0)
-        <= jax.lax.broadcasted_iota(jnp.int32, (W, W), 1)
-    ).astype(jnp.bfloat16)
-    rowcum = jnp.einsum(
-        "bhi,ij->bhj",
-        is_root.astype(jnp.bfloat16),
-        upper,
-        preferred_element_type=jnp.float32,
-    ).astype(jnp.int32)
-    row_tot = rowcum[..., -1]  # [B, H]
-    base = jnp.cumsum(row_tot, axis=-1) - row_tot  # exclusive over rows
-    rank = base[..., None] + rowcum
-    num = base[:, -1] + row_tot[:, -1]
-
-    # Seeds: rank at roots, 0 on background (bg shares no value with fg, so
-    # 0 never leaks — and it makes every non-fg pixel non-INF from the
-    # start).  Propagated values can only ever be a component's OWN seed
-    # (propagation cannot cross components), so the fixpoint is reached
-    # exactly when no +INF remains — converge_on="inf" skips the confirm
-    # sweep a change-based check would need.
-    seed = jnp.where(is_root, rank, jnp.where(fg, _INF, 0))
+    # Seeding, ranks, and root counting all happen INSIDE the first down
+    # sweep (init="rank", ops/ccl_tiles._rank_init_kernel): a running root
+    # count in SMEM across the raster-ordered band grid replaces the
+    # whole-plane cumsum/einsum, and ``raw`` is read exactly once.
+    # Background (raw < 0) seeds 0 — it shares no value with fg, so 0 never
+    # leaks, and every non-fg pixel is non-INF from the start.  Propagated
+    # values can only ever be a component's OWN seed, so the fixpoint is
+    # reached exactly when no +INF remains (converge_on="inf" — no confirm
+    # sweep).
     vimg = raw3 if val is None else val.reshape(raw3.shape)
-    lab = min_propagate(
-        seed, vimg, tile=tile, interpret=interpret, converge_on="inf"
+    seg, band_counts = min_propagate(
+        raw3, vimg, tile=tile, interpret=interpret, converge_on="inf",
+        init="rank",
     )
-    seg = jnp.where(fg, lab, 0)
+    num = jnp.sum(band_counts, axis=-1)
     if not batched:
         seg, num = seg[0], num[0]
     else:

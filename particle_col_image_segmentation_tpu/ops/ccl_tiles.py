@@ -1,23 +1,34 @@
-"""Pallas band-sweep connected-components labeling (Gauss-Seidel).
+"""Pallas band-sweep label propagation (Gauss-Seidel) — CCL + compaction.
 
 The XLA CCL (ops/ccl.py) pays ~5 ms of HBM round-trip per fixpoint
-iteration.  This kernel instead:
+iteration.  This kernel family instead:
 
-  * splits the plane into full-width row bands of T rows (+8-row halos);
+  * splits each plane into full-width row bands of T rows (+8-row halos);
   * solves each band to a local fixpoint entirely in VMEM (scans + neighbor
     min — pure VPU work, no HBM traffic per inner iteration);
   * writes the band back IN PLACE (input/output aliased, manual DMA), so the
     sequential grid execution on the core makes each sweep Gauss-Seidel:
     a top-down sweep propagates labels the full plane height in ONE pass;
-  * alternates sweep direction (down, up) until a global fixpoint.
+  * alternates sweep direction per-sweep until a full sweep changes nothing
+    (per-band change flags — no whole-plane comparisons outside);
+  * batches planes CONTIGUOUSLY (global 8-row pads only): rows outside the
+    owning plane are masked to the sentinel in VMEM, so no per-plane gap
+    rows are ever materialized;
+  * seeds in-kernel: ``init="linear"`` synthesizes the linear-index seed in
+    the first down sweep (no whole-plane iota in HBM); ``init="rank"``
+    additionally computes each root's raster rank with a running SMEM root
+    count across the raster-ordered band grid — the entire skimage-style
+    label compaction fused into sweep 1, with "no +INF remains" as the
+    convergence certificate (values can only ever be a component's own
+    seed, so no confirm sweep);
+  * value images may ride HBM as uint8 (¼ the sweep read traffic).
 
 Min-propagation is a confluent semilattice update, so sweep order cannot
 change the fixpoint — results are bit-identical to ops.ccl
 (determinism-by-construction, SURVEY.md §5).
 
-Alignment discipline: bands are full-width and 8-row aligned; the only
-padding is an 8-row sentinel frame top and bottom — no lane-misaligned
-slice ever occurs (cf. ops/filters.py on why that matters).
+Alignment discipline: bands are full-width and 8-row aligned — no
+lane-misaligned slice ever occurs (cf. ops/filters.py on why that matters).
 """
 
 from __future__ import annotations
@@ -128,20 +139,26 @@ def _band_kernel(
     flag_ref,
     *,
     T,
+    H,
     n_bands,
     bands_per_plane,
-    slot,
     downward,
     connectivity,
     inner_iters,
     converge_on,
+    init_linear=False,
 ):
     """One band: DMA window in from the aliased label buffer, solve, write
     the center back in place.  ``lab_in`` is the aliased input ref (unused —
     all access goes through ``lab_io`` so reads see earlier bands' writes).
 
-    Bands are per plane: band b of plane p starts at p·slot + b·T in the
-    stacked array (each plane slot carries its own sentinel halos).
+    Planes pack CONTIGUOUSLY (global 8-row pads only): window rows whose
+    per-plane row index falls outside [0, H) get the sentinel value in VMEM,
+    so components never cross plane boundaries and no per-plane gap rows are
+    materialized.  With ``init_linear`` (the CCL's first down sweep) the
+    label window is synthesized in VMEM — linear indices for center/below,
+    DMA only for the 8 halo rows above (already written this sweep) — so no
+    whole-plane iota is ever materialized in HBM.
 
     ``flag_ref`` gets the band's convergence summary, so the outer loop
     needs no whole-plane comparison: with converge_on="change", 1 iff the
@@ -154,13 +171,20 @@ def _band_kernel(
     band = i if downward else (n_bands - 1) - i
     plane = band // bands_per_plane
     band_in_plane = band - plane * bands_per_plane
-    start = plane * slot + band_in_plane * T  # top of the window
+    start = plane * H + band_in_plane * T  # window top in the padded buffer
+    win = 2 * _HALO + T
+    W = img_hbm.shape[-1]
 
     def run(lab_s, img_s, sem):
-        win = 2 * _HALO + T
-        cp1 = pltpu.make_async_copy(
-            lab_io.at[pl.ds(start, win), :], lab_s, sem
-        )
+        if init_linear:
+            cp1 = pltpu.make_async_copy(
+                lab_io.at[pl.ds(start, _HALO), :], lab_s.at[pl.ds(0, _HALO), :],
+                sem,
+            )
+        else:
+            cp1 = pltpu.make_async_copy(
+                lab_io.at[pl.ds(start, win), :], lab_s, sem
+            )
         cp1.start()
         cp1.wait()
         cp2 = pltpu.make_async_copy(
@@ -168,17 +192,32 @@ def _band_kernel(
         )
         cp2.start()
         cp2.wait()
+
+        rows = jax.lax.broadcasted_iota(jnp.int32, (win, W), 0)
+        row_in_plane = band_in_plane * T + rows - _HALO
+        in_plane = (row_in_plane >= 0) & (row_in_plane < H)
+
         # value image may ride HBM as uint8 (¼ the sweep read traffic);
         # compute always in int32 (8-bit vector ops are restricted in Mosaic)
         V = img_s[:, :].astype(jnp.int32)
         if img_s.dtype == jnp.uint8:
             V = jnp.where(V == _U8_SENTINEL, _BG_VAL, V)
-        L = _local_solve(lab_s[:, :], V, connectivity, inner_iters)
+        V = jnp.where(in_plane, V, _BG_VAL)  # plane boundary = sentinel
+
+        if init_linear:
+            cols = jax.lax.broadcasted_iota(jnp.int32, (win, W), 1)
+            lin = jnp.where(in_plane, row_in_plane * W + cols, _INF)
+            halo_rows = rows < _HALO
+            L0 = jnp.where(halo_rows, lab_s[:, :], lin)
+        else:
+            L0 = lab_s[:, :]
+
+        L = _local_solve(L0, V, connectivity, inner_iters)
         center = L[_HALO : _HALO + T, :]
         if converge_on == "inf":
             flag = jnp.any(center == _INF)
         else:
-            flag = jnp.any(center != lab_s[_HALO : _HALO + T, :])
+            flag = jnp.any(center != L0[_HALO : _HALO + T, :])
         flag_ref[0, :, :] = jnp.broadcast_to(
             flag.astype(jnp.int32), flag_ref.shape[-2:]
         )
@@ -191,29 +230,29 @@ def _band_kernel(
         wb.start()
         wb.wait()
 
-    W = img_hbm.shape[-1]
     pl.run_scoped(
         run,
-        pltpu.VMEM((2 * _HALO + T, W), jnp.int32),
-        pltpu.VMEM((2 * _HALO + T, W), img_hbm.dtype),
+        pltpu.VMEM((win, W), jnp.int32),
+        pltpu.VMEM((win, W), img_hbm.dtype),
         pltpu.SemaphoreType.DMA,
     )
 
 
 def _make_sweep(
-    T, n_bands, bands_per_plane, slot, Hp, W, downward, connectivity,
-    inner_iters, interpret, converge_on="change",
+    T, H, n_bands, bands_per_plane, Hp, W, downward, connectivity,
+    inner_iters, interpret, converge_on="change", init_linear=False,
 ):
     kernel = partial(
         _band_kernel,
         T=T,
+        H=H,
         n_bands=n_bands,
         bands_per_plane=bands_per_plane,
-        slot=slot,
         downward=downward,
         connectivity=connectivity,
         inner_iters=inner_iters,
         converge_on=converge_on,
+        init_linear=init_linear,
     )
     return pl.pallas_call(
         kernel,
@@ -236,11 +275,209 @@ def _make_sweep(
     )
 
 
+def _lane_cumsum(x):
+    """Inclusive cumsum along lanes (axis 1) — Hillis-Steele shifts."""
+    n = x.shape[1]
+    k = 1
+    while k < n:
+        x = x + _shift(x, 0, k, 0)
+        k *= 2
+    return x
+
+
+def _sublane_cumsum(x):
+    """Inclusive cumsum along sublanes (axis 0)."""
+    n = x.shape[0]
+    k = 1
+    while k < n:
+        x = x + _shift(x, k, 0, 0)
+        k *= 2
+    return x
+
+
+def _rank_init_kernel(
+    raw_hbm,
+    img_hbm,
+    lab_io,
+    flag_ref,
+    cnt_ref,
+    lab_s,
+    raw_s,
+    img_s,
+    base_ref,
+    sem,
+    *,
+    T,
+    H,
+    bands_per_plane,
+    connectivity,
+    inner_iters,
+):
+    """Compact-id seeding fused into the first down sweep.
+
+    A root's compact id is its 1-based raster rank among the plane's roots.
+    The down sweep visits bands in raster order, so a running root count in
+    SMEM (reset at each plane's first band) plus an in-window raster cumsum
+    gives every root its rank with no whole-plane cumsum/einsum and no seed
+    materialization: ``raw`` is read exactly once, here.  Background
+    (raw < 0) seeds 0; everything else +INF.  Halo-above rows take the
+    previous band's just-written seeds (Gauss-Seidel); per-band root counts
+    go to ``cnt_ref`` so the caller can psum plane totals.
+    """
+    i = pl.program_id(0)
+    plane = i // bands_per_plane
+    band_in_plane = i - plane * bands_per_plane
+    start = plane * H + band_in_plane * T
+    win = 2 * _HALO + T
+    W = img_hbm.shape[-1]
+
+    @pl.when(band_in_plane == 0)
+    def _reset():
+        base_ref[0] = 0
+
+    cp0 = pltpu.make_async_copy(
+        lab_io.at[pl.ds(start, _HALO), :], lab_s.at[pl.ds(0, _HALO), :], sem
+    )
+    cp0.start()
+    cp0.wait()
+    cp1 = pltpu.make_async_copy(raw_hbm.at[pl.ds(start, win), :], raw_s, sem)
+    cp1.start()
+    cp1.wait()
+    cp2 = pltpu.make_async_copy(img_hbm.at[pl.ds(start, win), :], img_s, sem)
+    cp2.start()
+    cp2.wait()
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (win, W), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (win, W), 1)
+    row_in_plane = band_in_plane * T + rows - _HALO
+    in_plane = (row_in_plane >= 0) & (row_in_plane < H)
+
+    raw = raw_s[:, :]
+    lin = row_in_plane * W + cols
+    fgw = (raw >= 0) & in_plane
+    # rank only center + below rows (halo-above seeds come from lab_io)
+    ir = ((raw == lin) & fgw & (rows >= _HALO)).astype(jnp.int32)
+    c = _lane_cumsum(ir)  # in-row inclusive root count
+    rt = c[:, W - 1 : W]  # per-row totals [win, 1]
+    rb = _sublane_cumsum(rt) - rt  # rows-before count, exclusive
+    rank = base_ref[0] + rb + c
+    seed = jnp.where(ir == 1, rank, jnp.where(fgw, _INF, 0))
+    L0 = jnp.where(rows < _HALO, lab_s[:, :], seed)
+
+    center_roots = jnp.sum(ir * (rows < _HALO + T).astype(jnp.int32))
+    cnt_ref[0, :, :] = jnp.broadcast_to(center_roots, cnt_ref.shape[-2:])
+    base_ref[0] = base_ref[0] + center_roots
+
+    V = img_s[:, :].astype(jnp.int32)
+    if img_s.dtype == jnp.uint8:
+        V = jnp.where(V == _U8_SENTINEL, _BG_VAL, V)
+    V = jnp.where(in_plane, V, _BG_VAL)
+
+    L = _local_solve(L0, V, connectivity, inner_iters)
+    center = L[_HALO : _HALO + T, :]
+    flag_ref[0, :, :] = jnp.broadcast_to(
+        jnp.any(center == _INF).astype(jnp.int32), flag_ref.shape[-2:]
+    )
+    lab_s[:, :] = L
+    wb = pltpu.make_async_copy(
+        lab_s.at[pl.ds(_HALO, T), :],
+        lab_io.at[pl.ds(start + _HALO, T), :],
+        sem,
+    )
+    wb.start()
+    wb.wait()
+
+
+def _make_rank_init_sweep(
+    T, H, n_bands, bands_per_plane, Hp, W, connectivity, inner_iters,
+    interpret, val_dtype,
+):
+    kernel = partial(
+        _rank_init_kernel,
+        T=T,
+        H=H,
+        bands_per_plane=bands_per_plane,
+        connectivity=connectivity,
+        inner_iters=inner_iters,
+    )
+    win = 2 * _HALO + T
+    return pl.pallas_call(
+        kernel,
+        grid=(n_bands,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Hp, W), jnp.int32),
+            jax.ShapeDtypeStruct((n_bands, 8, 128), jnp.int32),
+            jax.ShapeDtypeStruct((n_bands, 8, 128), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((win, W), jnp.int32),  # lab_s
+            pltpu.VMEM((win, W), jnp.int32),  # raw_s
+            pltpu.VMEM((win, W), val_dtype),  # img_s
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )
+
+
+def _make_init_sweep(
+    T, H, n_bands, bands_per_plane, Hp, W, connectivity, inner_iters,
+    interpret, converge_on="change",
+):
+    """First down sweep: labels synthesized in VMEM, fresh output buffer
+    (no aliased input — nothing to materialize in HBM beforehand).  The
+    never-written global pad rows stay garbage; the kernel's plane-boundary
+    masking makes them inert for every later sweep."""
+
+    def kernel(img_hbm, lab_io, flag_ref):
+        _band_kernel(
+            None,
+            img_hbm,
+            lab_io,
+            flag_ref,
+            T=T,
+            H=H,
+            n_bands=n_bands,
+            bands_per_plane=bands_per_plane,
+            downward=True,
+            connectivity=connectivity,
+            inner_iters=inner_iters,
+            converge_on=converge_on,
+            init_linear=True,
+        )
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n_bands,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Hp, W), jnp.int32),
+            jax.ShapeDtypeStruct((n_bands, 8, 128), jnp.int32),
+        ),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )
+
+
 @partial(
     jax.jit,
     static_argnames=(
         "connectivity", "tile", "max_sweeps", "inner_iters", "interpret",
-        "converge_on",
+        "converge_on", "init",
     ),
 )
 def min_propagate(
@@ -252,6 +489,7 @@ def min_propagate(
     inner_iters: int = 16,
     interpret: bool = False,
     converge_on: str = "change",
+    init: str = "array",
 ) -> jnp.ndarray:
     """Propagate the min of ``lab`` within each equal-``val`` component.
 
@@ -262,13 +500,19 @@ def min_propagate(
     hold any int32 values above _BG_VAL (the halo sentinel) — or uint8
     values < 255, which ride HBM at ¼ the sweep read traffic (the kernel
     casts in VMEM; 255 is the uint8 halo sentinel).
+
+    Planes pack contiguously (only a global 8-row pad at the two ends); the
+    kernel masks rows outside each plane to the sentinel, so no per-plane
+    gap rows are materialized.  With ``init="linear"`` the seed image is
+    the per-plane linear index, synthesized inside the first down sweep —
+    ``lab`` is ignored and may be a 1-element placeholder of the right
+    batch shape metadata (pass val again).
     """
-    batch_shape = lab.shape[:-2]
-    H, W = lab.shape[-2:]
+    batch_shape = val.shape[:-2]
+    H, W = val.shape[-2:]
     B = 1
     for d in batch_shape:
         B *= d
-    lab2 = lab.reshape(B, H, W).astype(jnp.int32)
     as_u8 = val.dtype == jnp.uint8
     val2 = val.reshape(B, H, W)
     if not as_u8:
@@ -276,27 +520,43 @@ def min_propagate(
     T = tile
     assert H % T == 0, (H, T)
 
-    slot = H + 2 * _HALO
-    lab_p = jnp.pad(
-        lab2, ((0, 0), (_HALO, _HALO), (0, 0)), constant_values=_INF
-    ).reshape(B * slot, W)
-    img_p = jnp.pad(
-        val2,
-        ((0, 0), (_HALO, _HALO), (0, 0)),
-        constant_values=_U8_SENTINEL if as_u8 else _BG_VAL,
-    ).reshape(B * slot, W)
-    Hp = B * slot
+    sent = _U8_SENTINEL if as_u8 else _BG_VAL
+    pad_v = jnp.full((_HALO, W), sent, val2.dtype)
+    img_p = jnp.concatenate([pad_v, val2.reshape(B * H, W), pad_v], axis=0)
+    Hp = B * H + 2 * _HALO
     bands_per_plane = H // T
     n_bands = B * bands_per_plane
 
     down = _make_sweep(
-        T, n_bands, bands_per_plane, slot, Hp, W, True, connectivity,
+        T, H, n_bands, bands_per_plane, Hp, W, True, connectivity,
         inner_iters, interpret, converge_on,
     )
     up = _make_sweep(
-        T, n_bands, bands_per_plane, slot, Hp, W, False, connectivity,
+        T, H, n_bands, bands_per_plane, Hp, W, False, connectivity,
         inner_iters, interpret, converge_on,
     )
+
+    if init == "rank":
+        raw2 = lab.reshape(B * H, W).astype(jnp.int32)
+        pad_r = jnp.full((_HALO, W), -1, jnp.int32)
+        raw_p = jnp.concatenate([pad_r, raw2, pad_r], axis=0)
+        first = _make_rank_init_sweep(
+            T, H, n_bands, bands_per_plane, Hp, W, connectivity,
+            inner_iters, interpret, img_p.dtype,
+        )
+        lab_p, f0, counts = first(raw_p, img_p)
+        band_counts = counts[:, 0, 0]
+    elif init == "linear":
+        first = _make_init_sweep(
+            T, H, n_bands, bands_per_plane, Hp, W, connectivity,
+            inner_iters, interpret, converge_on,
+        )
+        lab_p, f0 = first(img_p)
+    else:
+        lab2 = lab.reshape(B, H, W).astype(jnp.int32)
+        pad_l = jnp.full((_HALO, W), _INF, jnp.int32)
+        lab_p = jnp.concatenate([pad_l, lab2.reshape(B * H, W), pad_l], axis=0)
+        lab_p, f0 = down(lab_p, img_p)
 
     # Converged ⇔ one full sweep (either direction) changed nothing: then
     # every band is at a local fixpoint given unchanged neighbors, i.e. a
@@ -317,10 +577,12 @@ def min_propagate(
         _, changed, i = state
         return changed & (i < 2 * max_sweeps)
 
-    lab_p, f0 = down(lab_p, img_p)
     lab_p, _, _ = jax.lax.while_loop(cond, body, (lab_p, jnp.any(f0 != 0), 1))
-    out = lab_p.reshape(B, slot, W)[:, _HALO : _HALO + H, :]
-    return out.reshape(lab.shape)
+    out = lab_p[_HALO : _HALO + B * H].reshape(B, H, W)
+    out = out.reshape(val.shape[:-2] + (H, W))
+    if init == "rank":
+        return out, band_counts.reshape(B, bands_per_plane)
+    return out
 
 
 @partial(
@@ -354,11 +616,11 @@ def ccl_sweeps(
         B *= d
     img2 = img.reshape(B, H, W)
 
-    lin = (
-        jax.lax.broadcasted_iota(jnp.int32, (B, H, W), 1) * W
-        + jax.lax.broadcasted_iota(jnp.int32, (B, H, W), 2)
-    )
     if background is not None:
+        lin = (
+            jax.lax.broadcasted_iota(jnp.int32, (B, H, W), 1) * W
+            + jax.lax.broadcasted_iota(jnp.int32, (B, H, W), 2)
+        )
         v = img2.astype(jnp.int32)
         fg = v != background
         v = jnp.where(fg, v, _BG_VAL - 1 - lin)  # unique, never merges
@@ -367,9 +629,11 @@ def ccl_sweeps(
         v = img2 if img2.dtype == jnp.uint8 else img2.astype(jnp.int32)
         fg = jnp.ones((B, H, W), bool)
 
+    # init="linear": the first down sweep synthesizes the per-plane linear-
+    # index seed in VMEM — no whole-plane iota/pad materialization in HBM
     lab = min_propagate(
-        lin, v, connectivity=connectivity, tile=tile, max_sweeps=max_sweeps,
-        inner_iters=inner_iters, interpret=interpret,
+        v, v, connectivity=connectivity, tile=tile, max_sweeps=max_sweeps,
+        inner_iters=inner_iters, interpret=interpret, init="linear",
     )
     out = jnp.where(fg, lab, -1)
     return out.reshape(img.shape)

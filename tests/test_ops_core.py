@@ -338,3 +338,31 @@ class TestBandSweepConvergence:
         np.testing.assert_array_equal(got, ref)
         # the whole spiral is ONE component
         assert len(np.unique(ref[img == 1])) == 1
+
+
+class TestPallasMedian:
+    @pytest.mark.parametrize("shape", [(64, 128), (96, 256)])
+    def test_matches_scipy(self, shape):
+        from particle_col_image_segmentation_tpu.ops.filters_tiles import (
+            median_label_filter_pallas,
+        )
+
+        rng = np.random.default_rng(shape[0])
+        img = rng.integers(0, 7, shape).astype(np.uint8)
+        got = np.asarray(
+            median_label_filter_pallas(jnp.asarray(img), tile=32, interpret=True)
+        )
+        np.testing.assert_array_equal(got, ndi.median_filter(img, size=5))
+
+    def test_batched(self):
+        from particle_col_image_segmentation_tpu.ops.filters_tiles import (
+            median_label_filter_pallas,
+        )
+
+        rng = np.random.default_rng(7)
+        imgs = rng.integers(0, 8, (3, 64, 128)).astype(np.uint8)
+        got = np.asarray(
+            median_label_filter_pallas(jnp.asarray(imgs), tile=32, interpret=True)
+        )
+        ref = np.stack([ndi.median_filter(i, size=5) for i in imgs])
+        np.testing.assert_array_equal(got, ref)
