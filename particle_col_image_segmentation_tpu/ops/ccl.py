@@ -250,10 +250,10 @@ def compact_labels_auto(
     raw: jnp.ndarray, max_regions: int, val: jnp.ndarray = None
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Backend dispatch: band-sweep compaction on TPU, gather path elsewhere."""
-    H = raw.shape[-2]
+    H, W = raw.shape[-2:]
     tile = _pick_band_tile(H)
     on_tpu = jax.default_backend() not in ("cpu", "gpu")
-    if on_tpu and tile is not None:
+    if on_tpu and tile is not None and W % 128 == 0:
         return compact_labels_sweeps(raw, max_regions, tile=tile, val=val)
     if raw.ndim == 3:
         return jax.vmap(lambda r: compact_labels(r, max_regions))(raw)
@@ -283,10 +283,11 @@ def connected_components_auto(
     import jax as _jax
 
     backend = _jax.default_backend()
-    H = img.shape[-2]
+    H, W = img.shape[-2:]
     tile = _pick_band_tile(H)
     on_tpu = backend not in ("cpu", "gpu")
-    if tile is None or not on_tpu:
+    # band DMAs need lane-aligned widths (Mosaic memref slicing)
+    if tile is None or W % 128 != 0 or not on_tpu:
         return connected_components(
             img, background=background, connectivity=connectivity,
             num_classes=num_classes,

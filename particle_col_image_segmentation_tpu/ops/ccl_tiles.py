@@ -135,6 +135,7 @@ def _local_solve(L, V, connectivity: int, inner_iters: int):
 def _band_kernel(
     lab_in,
     img_hbm,
+    prev_ref,
     lab_io,
     flag_ref,
     *,
@@ -174,6 +175,25 @@ def _band_kernel(
     start = plane * H + band_in_plane * T  # window top in the padded buffer
     win = 2 * _HALO + T
     W = img_hbm.shape[-1]
+
+    # Band skipping: a band needs re-solving only if its neighborhood
+    # changed last sweep ("change" mode — a skipped band's inputs are
+    # unchanged since it last converged, so its output is too), or if it
+    # itself still holds +INF ("inf" mode — single-seed values are final
+    # once set, so INF-free bands are done forever).  The init sweep passes
+    # all-ones.  Skipped bands just report flag 0.
+    if prev_ref is None:
+        need = jnp.int32(1)
+    elif converge_on == "inf":
+        need = prev_ref[band]
+    else:
+        lo = jnp.maximum(band - 1, 0)
+        hi = jnp.minimum(band + 1, n_bands - 1)
+        need = prev_ref[band] | prev_ref[lo] | prev_ref[hi]
+
+    @pl.when(need == 0)
+    def _skip():
+        flag_ref[0, :, :] = jnp.zeros(flag_ref.shape[-2:], jnp.int32)
 
     def run(lab_s, img_s, sem):
         if init_linear:
@@ -230,18 +250,26 @@ def _band_kernel(
         wb.start()
         wb.wait()
 
-    pl.run_scoped(
-        run,
-        pltpu.VMEM((win, W), jnp.int32),
-        pltpu.VMEM((win, W), img_hbm.dtype),
-        pltpu.SemaphoreType.DMA,
-    )
+    @pl.when(need != 0)
+    def _solve():
+        pl.run_scoped(
+            run,
+            pltpu.VMEM((win, W), jnp.int32),
+            pltpu.VMEM((win, W), img_hbm.dtype),
+            pltpu.SemaphoreType.DMA,
+        )
 
 
 def _make_sweep(
     T, H, n_bands, bands_per_plane, Hp, W, downward, connectivity,
     inner_iters, interpret, converge_on="change", init_linear=False,
 ):
+    # flags are consumed band-indexed by the NEXT sweep's skip logic, so the
+    # block index map converts grid step → band (up sweeps run reversed)
+    flag_index = (
+        (lambda i: (i, 0, 0)) if downward
+        else (lambda i: (n_bands - 1 - i, 0, 0))
+    )
     kernel = partial(
         _band_kernel,
         T=T,
@@ -260,10 +288,11 @@ def _make_sweep(
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=(
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 8, 128), flag_index),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((Hp, W), jnp.int32),
@@ -443,6 +472,7 @@ def _make_init_sweep(
         _band_kernel(
             None,
             img_hbm,
+            None,
             lab_io,
             flag_ref,
             T=T,
@@ -536,6 +566,7 @@ def min_propagate(
         inner_iters, interpret, converge_on,
     )
 
+    ones = jnp.ones((n_bands,), jnp.int32)
     if init == "rank":
         raw2 = lab.reshape(B * H, W).astype(jnp.int32)
         pad_r = jnp.full((_HALO, W), -1, jnp.int32)
@@ -556,28 +587,28 @@ def min_propagate(
         lab2 = lab.reshape(B, H, W).astype(jnp.int32)
         pad_l = jnp.full((_HALO, W), _INF, jnp.int32)
         lab_p = jnp.concatenate([pad_l, lab2.reshape(B * H, W), pad_l], axis=0)
-        lab_p, f0 = down(lab_p, img_p)
+        lab_p, f0 = down(lab_p, img_p, ones)
 
     # Converged ⇔ one full sweep (either direction) changed nothing: then
     # every band is at a local fixpoint given unchanged neighbors, i.e. a
-    # global fixpoint.  The per-band flags make that check free (no plane
-    # comparison), and per-sweep granularity with alternating direction
-    # typically saves one sweep vs pair-wise rounds (down, up, confirm).
+    # global fixpoint.  Per-band flags feed the NEXT sweep's band skipping
+    # (see _band_kernel) and make the check free — near-converged sweeps
+    # cost almost nothing.
     def body(state):
-        lab_p, _, i = state
-        lab_p, flags = jax.lax.cond(
+        lab_p, flags, i = state
+        lab_p, f3 = jax.lax.cond(
             i % 2 == 0,
-            lambda lp: down(lp, img_p),
-            lambda lp: up(lp, img_p),
+            lambda lp: down(lp, img_p, flags),
+            lambda lp: up(lp, img_p, flags),
             lab_p,
         )
-        return lab_p, jnp.any(flags != 0), i + 1
+        return lab_p, f3[:, 0, 0], i + 1
 
     def cond(state):
-        _, changed, i = state
-        return changed & (i < 2 * max_sweeps)
+        _, flags, i = state
+        return jnp.any(flags != 0) & (i < 2 * max_sweeps)
 
-    lab_p, _, _ = jax.lax.while_loop(cond, body, (lab_p, jnp.any(f0 != 0), 1))
+    lab_p, _, _ = jax.lax.while_loop(cond, body, (lab_p, f0[:, 0, 0], 1))
     out = lab_p[_HALO : _HALO + B * H].reshape(B, H, W)
     out = out.reshape(val.shape[:-2] + (H, W))
     if init == "rank":

@@ -154,8 +154,8 @@ def median_label_filter_auto(
     )
 
     on_tpu = jax.default_backend() not in ("cpu", "gpu")
-    H = img.shape[-2]
-    if on_tpu and size == 5 and num_classes <= 8:
+    H, W = img.shape[-2:]
+    if on_tpu and size == 5 and num_classes <= 8 and W % 128 == 0:
         for t in (32, 16, 8):
             if H % t == 0:
                 return median_label_filter_pallas(
