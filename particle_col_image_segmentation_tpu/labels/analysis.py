@@ -82,18 +82,20 @@ def _stage_fill(den, cfg: AnalysisConfig, particle_val: int, strain_vals):
     # Sequential over strains on purpose: pixels absorbed for strain k expand
     # the particle mask seen by strain k+1, exactly as the reference's loop
     # reassigns ds_arr each iteration (tiff_analysis.py:931-1015).
+    from particle_col_image_segmentation_tpu.ops.fill_tiles import (
+        particle_fill_step_auto,
+    )
+
     cap = max(cfg.dilation_radius, cfg.distance_threshold)
     dt2 = cfg.distance_threshold * cfg.distance_threshold
     dr2 = cfg.dilation_radius * cfg.dilation_radius
     filled = den
     overlaps = []
     for sval in strain_vals:
-        particle_mask = filled == particle_val
-        cell_mask = filled == sval
-        d2 = edt_sq(particle_mask, cap=cap)
-        overlap = cell_mask & ((d2 < dt2) | (d2 <= dr2))
-        overlaps.append(jnp.sum(overlap.astype(jnp.int32)))
-        filled = jnp.where(overlap, jnp.uint8(particle_val), filled)
+        filled, ov = particle_fill_step_auto(
+            filled, particle_val, sval, cap, dt2, dr2
+        )
+        overlaps.append(ov)
     overlap_counts = (
         jnp.stack(overlaps) if overlaps else jnp.zeros((0,), jnp.int32)
     )
@@ -116,14 +118,21 @@ def _stage_merge(den, table: RegionTable, cfg: AnalysisConfig, strain_vals):
         union = union | m
     ctx_masks = jnp.stack(masks + [union])
     dil = dilate_disk(ctx_masks, cfg.merge_disk_radius)
+    # background=None keeps the CCL on the uint8 value path (bg pixels get
+    # inert labels); centroids off the dilated mask map to -1 below, exactly
+    # as background=0's -1 labels did
     ctx_raw = connected_components_auto(
-        dil.astype(jnp.uint8), background=0, num_classes=2
+        dil.astype(jnp.uint8), background=None, num_classes=2
     )
     # flat take_along_axis: a 1-D gather per context lowers far better on
     # TPU than [:, icy, icx] advanced indexing (batched 2-D gather)
     S = ctx_raw.shape[0]
     flat_idx = jnp.broadcast_to((icy * W + icx)[None, :], (S, icy.shape[0]))
-    return jnp.take_along_axis(ctx_raw.reshape(S, H * W), flat_idx, axis=-1)
+    g = jnp.take_along_axis(ctx_raw.reshape(S, H * W), flat_idx, axis=-1)
+    on_mask = jnp.take_along_axis(
+        dil.reshape(S, H * W).astype(jnp.int32), flat_idx, axis=-1
+    )
+    return jnp.where(on_mask > 0, g, -1)
 
 
 def analyze_plane_device(
@@ -193,7 +202,12 @@ def dapi_dedup_device(
     """
     dapi_mask = dapi == 1
     other_mask = other == 1
-    raw = connected_components_auto(dapi_mask.astype(jnp.uint8), background=0, num_classes=2)
+    # background=None: bg pixels form (inert) labeled components too, which
+    # keeps the whole CCL on the cheap uint8 value path — the removal test
+    # is masked by dapi_mask below, so bg rows in the tables never act
+    raw = connected_components_auto(
+        dapi_mask.astype(jnp.uint8), background=None, num_classes=2
+    )
     seg, _ = compact_labels_auto(raw, cfg.max_regions, val=dapi_mask.astype(jnp.uint8))
     R = cfg.max_regions + 1
     on_tpu = jax.default_backend() not in ("cpu", "gpu")

@@ -631,14 +631,14 @@ def ccl_sweeps(
 ) -> jnp.ndarray:
     """connected_components via Gauss-Seidel band sweeps.
 
-    Accepts [H, W] or a batch [..., H, W]; batched planes are stacked into
-    one tall array with sentinel gaps (planes cannot merge across gaps and
-    per-plane linear-index labels are already distinct per plane), so every
-    sweep is a single kernel launch for the whole batch.
+    Accepts [H, W] or a batch [..., H, W]; batched planes pack contiguously
+    into one tall array (the kernel's plane-boundary masking keeps
+    components from crossing planes), so every sweep is a single kernel
+    launch for the whole batch.
 
     Returns the same min-linear-index root labels as
-    ops.ccl.connected_components.  ``tile`` is the band height; a down+up
-    sweep pair usually converges in 1-2 outer rounds.
+    ops.ccl.connected_components.  ``tile`` is the band height; typically
+    2-3 sweeps total (down, up, cheap skip-mostly confirm).
     """
     batch_shape = img.shape[:-2]
     H, W = img.shape[-2:]

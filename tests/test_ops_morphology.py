@@ -290,3 +290,30 @@ class TestOpenCloseThreshold:
         mask, seg, count = threshold_and_count(jnp.asarray(img), max_regions=64)
         assert int(count) == 4
         assert np.array_equal(np.asarray(mask), img > 500)
+
+
+class TestPallasFill:
+    def test_matches_edt_path(self):
+        """The fused particle-fill kernel must reproduce the EDT+masks path
+        (reference fill_particle_area criteria, tiff_analysis.py:982-1015)."""
+        import jax.numpy as jnp
+
+        from particle_col_image_segmentation_tpu.ops.edt import edt_sq
+        from particle_col_image_segmentation_tpu.ops.fill_tiles import (
+            particle_fill_step_pallas,
+        )
+
+        from fixtures import synthetic_label_plane
+
+        for seed in (11, 12):
+            img = synthetic_label_plane(seed=seed, shape=(64, 128)).astype(np.uint8)
+            cap, dt2, dr2 = 20, 4, 400
+            pm = img == 2
+            d2 = np.asarray(edt_sq(jnp.asarray(pm), cap=cap))
+            ov = (img == 1) & ((d2 < dt2) | (d2 <= dr2))
+            ref = np.where(ov, 2, img).astype(np.uint8)
+            got, cnt = particle_fill_step_pallas(
+                jnp.asarray(img), 2, 1, cap, dt2, dr2, tile=8, interpret=True
+            )
+            np.testing.assert_array_equal(np.asarray(got), ref)
+            assert int(cnt) == int(ov.sum())
