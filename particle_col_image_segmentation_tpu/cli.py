@@ -40,6 +40,10 @@ def _add_analysis_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--px-to-um", type=float, default=d.px_to_um)
     p.add_argument("--max-regions", type=int, default=d.max_regions)
     p.add_argument("--no-figures", action="store_true")
+    p.add_argument(
+        "--profile", action="store_true",
+        help="print cumulative per-stage wall times at exit",
+    )
     p.add_argument("--strict-reference-errors", action="store_true")
 
 
@@ -101,6 +105,13 @@ def main(argv=None) -> int:
         from particle_col_image_segmentation_tpu.models.experiment import run_analysis
 
         run_analysis(args.folder, _cfg_from_args(args), make_figures=not args.no_figures)
+        if args.profile:
+            from particle_col_image_segmentation_tpu.utils.profiling import (
+                STAGE_TOTALS,
+            )
+
+            for name, total in sorted(STAGE_TOTALS.items(), key=lambda kv: -kv[1]):
+                print(f"profile: {name:24s} {total*1e3:10.1f} ms")
     elif args.command == "split":
         from particle_col_image_segmentation_tpu.models.zsplit import process_folder
 

@@ -41,6 +41,7 @@ from particle_col_image_segmentation_tpu.oracle.reference_pipeline import (
     get_cell_counts_and_densities,
     normalize_ds_arr,
 )
+from particle_col_image_segmentation_tpu.utils.profiling import stage
 from particle_col_image_segmentation_tpu.report.csvio import (
     write_cell_position_info,
     write_density_info,
@@ -75,7 +76,8 @@ def process_single_h5_file(
 
     cell_types = classmaps.get_cell_type_map(file_path)
     ds_arr = normalize_ds_arr(load_h5_plane(full_file_path), cfg)
-    res = analyze_plane(ds_arr, cell_types, cfg, merged=True)
+    with stage("analyze_plane"):
+        res = analyze_plane(ds_arr, cell_types, cfg, merged=True)
 
     # counts/densities use the PRE-fill particle area (reference :647-648)
     cell_count, cell_density, cell_area_ratio = get_cell_counts_and_densities(
@@ -141,7 +143,8 @@ def process_multiple_h5_files(
         strain_type = cell_types[1]
         base_name = full_file_path.replace(".h5", "")
         ds_arr = normalize_ds_arr(load_h5_plane(full_file_path), cfg)
-        res = analyze_plane(ds_arr, cell_types, cfg, merged=False)
+        with stage("analyze_plane"):
+            res = analyze_plane(ds_arr, cell_types, cfg, merged=False)
         results[channel] = res
         # keep the device array — fusion/dedup consume it on device; figures
         # trigger the host transfer lazily via res.denoised
@@ -228,7 +231,8 @@ def process_multiple_h5_files(
     # fused plane is built from denoised channels — no second median pass
     # (reference :206 analyzes combined_channels directly)
     fused = np.asarray(fuse_channels(channel_ds_arrs, cell_strains))
-    fused_res = analyze_plane(fused, BASE_TYPE_MAP, cfg, merged=True, denoise=False)
+    with stage("analyze_plane_fused"):
+        fused_res = analyze_plane(fused, BASE_TYPE_MAP, cfg, merged=True, denoise=False)
     merged_clusters = fused_res.merged_clusters
 
     if make_figures and base_name is not None:
