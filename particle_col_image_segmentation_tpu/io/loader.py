@@ -38,6 +38,23 @@ def prefetch_map(
             yield done.result()
 
 
+def pack_nibbles(arr: np.ndarray) -> np.ndarray:
+    """Host-side 4-bit packing of a label batch [..., W] (values < 16,
+    W even) → [..., W/2] uint8: halves the host→device transfer."""
+    a = arr.astype(np.uint8)
+    return (a[..., 0::2] << 4) | a[..., 1::2]
+
+
+def unpack_nibbles(packed, dtype=None):
+    """Device-side inverse of pack_nibbles: [..., W/2] → [..., W]."""
+    import jax.numpy as jnp
+
+    hi = (packed >> 4) & 0xF
+    lo = packed & 0xF
+    out = jnp.stack([hi, lo], axis=-1).reshape(packed.shape[:-1] + (-1,))
+    return out if dtype is None else out.astype(dtype)
+
+
 def batched_device_iterator(
     load_fn: Callable[[str], np.ndarray],
     paths: Sequence[str],
@@ -45,13 +62,16 @@ def batched_device_iterator(
     num_workers: int = 4,
     sharding=None,
     pad_to_full: bool = True,
+    pack: bool = False,
 ) -> Iterator[tuple]:
     """Yield (device_batch [B,H,W], count) with decode + transfer pipelined.
 
     The final short batch is padded by repeating its last plane (count tells
     the consumer how many rows are real) so every step reuses one compiled
     shape.  ``sharding`` (e.g. NamedSharding over the mesh data axis) places
-    the batch directly in its sharded layout.
+    the batch directly in its sharded layout.  ``pack`` ships label planes
+    as 4-bit nibbles (values < 16, even width) — half the PCIe/relay bytes;
+    the consumer unpacks on device (io.loader.unpack_nibbles).
     """
     import jax
 
@@ -60,6 +80,8 @@ def batched_device_iterator(
         if pad_to_full and n < batch_size:
             batch = batch + [batch[-1]] * (batch_size - n)
         arr = np.stack(batch)
+        if pack:
+            arr = pack_nibbles(arr)
         if sharding is not None:
             return jax.device_put(arr, sharding), n
         return jax.device_put(arr), n
