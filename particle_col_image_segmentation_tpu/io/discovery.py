@@ -27,7 +27,10 @@ def get_pos_and_density_file_names(cur_folder: str) -> Tuple[str, str]:
     """Derive the density CSV path (written to the parent dir, named from the
     two ancestor folders) and the per-folder positions CSV path
     (reference :619-624)."""
-    parts = cur_folder.split("/")
+    # Resolve first: the reference's TOP_LEVEL_FOLDER is always a deep
+    # absolute path, so parts[-3:-1] exist there; a shallow relative CLI
+    # argument (e.g. "exp/run") must not crash the name derivation.
+    parts = os.path.abspath(cur_folder).split(os.sep)
     density_name = f"{parts[-3]}_{parts[-2]}_cell_density_info.csv"
     density_path = os.path.join(cur_folder, "..", density_name)
     cell_pos_path = os.path.join(cur_folder, f"{parts[-1]}_cell_pos.csv")

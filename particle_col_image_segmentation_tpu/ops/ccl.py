@@ -261,6 +261,11 @@ def compact_labels_auto(
 
 
 def _pick_band_tile(H: int):
+    import os
+
+    override = os.environ.get("PCIS_BAND_TILE")  # tuning knob (scripts/)
+    if override and H % int(override) == 0:
+        return int(override)
     for t in (64, 32, 16, 8):
         if H % t == 0:
             return t

@@ -68,15 +68,27 @@ def _shift(x, dy: int, dx: int, fill):
     return out
 
 
-def _neighbor_min(L, V, connectivity: int):
-    offsets = [(-1, 0), (1, 0), (0, -1), (0, 1)]
-    if connectivity == 8:
-        offsets += [(-1, -1), (-1, 1), (1, -1), (1, 1)]
+def _diag_masks(V):
+    """Loop-invariant same-value masks for the four diagonal neighbors."""
+    return [
+        (dy, dx, _shift(V, dy, dx, _BG_VAL) == V)
+        for dy, dx in ((-1, -1), (-1, 1), (1, -1), (1, 1))
+    ]
+
+
+def _neighbor_min(L, diag):
+    """Min label over same-valued DIAGONAL neighbors (and self).
+
+    The axis-aligned offsets (±1,0)/(0,±1) are strictly subsumed by the
+    bidirectional segmented row/column scans run in the same iteration
+    (a 1-step propagation along a run vs the full run), so only the
+    diagonals carry information the scans cannot.  ``diag`` holds the
+    precomputed (dy, dx, same-value mask) triples — the value shifts are
+    loop-invariant and hoisted out of the solve loop.
+    """
     out = L
-    for dy, dx in offsets:
-        Ls = _shift(L, dy, dx, _INF)
-        Vs = _shift(V, dy, dx, _BG_VAL)
-        out = jnp.minimum(out, jnp.where(Vs == V, Ls, _INF))
+    for dy, dx, same in diag:
+        out = jnp.minimum(out, jnp.where(same, _shift(L, dy, dx, _INF), _INF))
     return out
 
 
@@ -110,10 +122,11 @@ def _local_solve(L, V, connectivity: int, inner_iters: int):
     same_rr = _shift(V, 0, -1, _BG_VAL) == V
     same_c = _shift(V, 1, 0, _BG_VAL) == V
     same_cr = _shift(V, -1, 0, _BG_VAL) == V
+    diag = _diag_masks(V) if connectivity == 8 else []
 
     def body(state):
         L, _, i = state
-        Ln = _neighbor_min(L, V, connectivity)
+        Ln = _neighbor_min(L, diag)
         Ln = jnp.minimum(
             _seg_scan_min(Ln, same_r, axis=1, reverse=False),
             _seg_scan_min(Ln, same_rr, axis=1, reverse=True),
