@@ -22,7 +22,9 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 import numpy as np  # noqa: E402
 
 H = W = 2048
-BATCH = 16  # best MP/s on the v5e sweep (8: 240, 16: 438, 32: 388 — spills)
+# v5e batch sweep: 8: 240, 16: 648, 32: 667 (with the trimmed local solve
+# the larger batch now wins); PCIS_BENCH_BATCH overrides for tuning runs
+BATCH = int(os.environ.get("PCIS_BENCH_BATCH", "32"))
 ITERS = 6
 # capacity ≥ actual regions (~12.6k); 16383 → table rows = 16384 = 128·128,
 # so the MXU histogram's q one-hot has zero pad rows (11% fewer MACs)

@@ -9,6 +9,7 @@ Here: proper subcommands with the reference constants as defaults.
   normalize  — raw-capture folder normalization (create_file_structure parity)
   refine     — watershed boundary refinement (refine_boundaries parity)
   nanosims   — 5-isotope ROI activity/distance analysis (.m parity)
+  batch      — streaming fused segmentation stats at scale (mesh + manifest)
   bench      — run the throughput benchmark
 """
 
@@ -97,6 +98,28 @@ def main(argv=None) -> int:
     p.add_argument("--compat-green-o-bug", action="store_true")
     p.add_argument("--no-figures", action="store_true", dest="ns_no_figures")
 
+    p = sub.add_parser(
+        "batch",
+        help="stream fused segmentation stats over every .h5 plane "
+        "(the scale-out replacement for the reference's folder loop)",
+    )
+    p.add_argument("folder")
+    p.add_argument("--batch-size", type=int, default=4)
+    p.add_argument("--max-regions", type=int, default=AnalysisConfig().max_regions)
+    p.add_argument(
+        "--data-parallel", type=int, default=0,
+        help="devices on the data mesh axis (0 = single device)",
+    )
+    p.add_argument(
+        "--manifest", default=None,
+        help="restartable-progress manifest path (skips completed planes)",
+    )
+    p.add_argument(
+        "--pack-transfer", action="store_true",
+        help="ship planes 4-bit packed (half the host->device bytes)",
+    )
+    p.add_argument("--csv", default=None, help="write per-plane stats CSV here")
+
     sub.add_parser("bench", help="run the throughput benchmark")
 
     args = parser.parse_args(argv)
@@ -156,6 +179,65 @@ def main(argv=None) -> int:
             f"red ROIs: {result.red.num_rois}, green ROIs: {result.green.num_rois}; "
             f"CSVs written to {args.out_dir}"
         )
+    elif args.command == "batch":
+        import csv as _csv
+
+        from particle_col_image_segmentation_tpu.io.discovery import (
+            get_h5_files_recursively,
+        )
+        from particle_col_image_segmentation_tpu.io.hdf5 import load_h5_plane
+        from particle_col_image_segmentation_tpu.models.batch import run_batch
+        from particle_col_image_segmentation_tpu.oracle.reference_pipeline import (
+            normalize_ds_arr,
+        )
+
+        cfg = AnalysisConfig(max_regions=args.max_regions)
+        paths = [
+            os.path.join(folder, f)
+            for folder, files in get_h5_files_recursively(args.folder).items()
+            for f in files
+        ]
+        if not paths:
+            print("no .h5 planes found under", args.folder)
+            return 1
+        mesh = None
+        if args.data_parallel:
+            from particle_col_image_segmentation_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(n_data=args.data_parallel, n_space=1)
+        manifest = None
+        if args.manifest:
+            from particle_col_image_segmentation_tpu.utils.manifest import (
+                RunManifest,
+            )
+
+            manifest = RunManifest(args.manifest)
+
+        def load_fn(path: str):
+            return normalize_ds_arr(load_h5_plane(path), cfg)
+
+        sink = None
+        writer = None
+        if args.csv:
+            sink = open(args.csv, "w", newline="")
+            writer = _csv.writer(sink)
+            writer.writerow(["plane", "regions", "particle_px", "cell_px"])
+        try:
+            for path, stats in run_batch(
+                paths, load_fn, cfg, batch_size=args.batch_size, mesh=mesh,
+                manifest=manifest, pack_transfer=args.pack_transfer,
+            ):
+                print(
+                    f"{path}: regions={stats.num_regions} "
+                    f"particle_px={stats.particle_px} cell_px={stats.cell_px}"
+                )
+                if writer is not None:
+                    writer.writerow(
+                        [path, stats.num_regions, stats.particle_px, stats.cell_px]
+                    )
+        finally:
+            if sink is not None:
+                sink.close()
     elif args.command == "bench":
         import subprocess
 

@@ -69,7 +69,13 @@ def _shift(x, dy: int, dx: int, fill):
 
 
 def _diag_masks(V):
-    """Loop-invariant same-value masks for the four diagonal neighbors."""
+    """Loop-invariant same-value masks for the four diagonal neighbors.
+
+    (A bit-packed single-plane variant of these masks was measured ~1.5%
+    slower at tile=64 and did not unlock tile=128 — the win=144 working set
+    still exceeds the 16 MB VMEM by ~400 KB — so the plain hoisted masks
+    stay.)
+    """
     return [
         (dy, dx, _shift(V, dy, dx, _BG_VAL) == V)
         for dy, dx in ((-1, -1), (-1, 1), (1, -1), (1, 1))
@@ -96,12 +102,12 @@ def _seg_scan_min(L, same_prev, axis: int, reverse: bool):
     """Hillis-Steele segmented min scan along ``axis``.
 
     same_prev[j] ⇔ element j connected to element j-1 (scan direction
-    reverses via ``reverse``: then it reads "connected to j+1").
-    Flags ride as int32 0/1 — Mosaic cannot roll/truncate i1 vectors.
+    reverses via ``reverse``: then it reads "connected to j+1");
+    int32 0/1 — Mosaic cannot roll/truncate i1 vectors.
     """
     n = L.shape[axis]
     X = L
-    F = same_prev.astype(jnp.int32)
+    F = same_prev
     k = 1
     while k < n:
         if axis == 0:
@@ -118,15 +124,16 @@ def _seg_scan_min(L, same_prev, axis: int, reverse: bool):
 
 def _local_solve(L, V, connectivity: int, inner_iters: int):
     """Iterate to (or toward) the band-local fixpoint in VMEM."""
-    same_r = _shift(V, 0, 1, _BG_VAL) == V  # connected to left neighbor
-    same_rr = _shift(V, 0, -1, _BG_VAL) == V
-    same_c = _shift(V, 1, 0, _BG_VAL) == V
-    same_cr = _shift(V, -1, 0, _BG_VAL) == V
+    # int32 flags: Mosaic cannot roll/truncate i1 vectors inside the scans
+    same_r = (_shift(V, 0, 1, _BG_VAL) == V).astype(jnp.int32)  # left nbr
+    same_rr = (_shift(V, 0, -1, _BG_VAL) == V).astype(jnp.int32)
+    same_c = (_shift(V, 1, 0, _BG_VAL) == V).astype(jnp.int32)
+    same_cr = (_shift(V, -1, 0, _BG_VAL) == V).astype(jnp.int32)
     diag = _diag_masks(V) if connectivity == 8 else []
 
     def body(state):
         L, _, i = state
-        Ln = _neighbor_min(L, diag)
+        Ln = _neighbor_min(L, diag) if connectivity == 8 else L
         Ln = jnp.minimum(
             _seg_scan_min(Ln, same_r, axis=1, reverse=False),
             _seg_scan_min(Ln, same_rr, axis=1, reverse=True),

@@ -113,6 +113,14 @@ class TestDiscovery:
         assert d.endswith("exp_24h_cell_density_info.csv")
         assert p == "root/exp/24h/folder1/folder1_cell_pos.csv"
 
+    def test_pos_density_names_shallow_path(self):
+        # a shallow relative folder must not crash the ancestor-name
+        # derivation (resolved against the cwd; reference tiff_analysis.py
+        # :619-624 always saw deep absolute paths)
+        d, p = get_pos_and_density_file_names("folder1")
+        assert d.endswith("_cell_density_info.csv")
+        assert p == os.path.join("folder1", "folder1_cell_pos.csv")
+
     def test_remove_channels_and_clean(self):
         assert remove_channels("Tp_RFP_1_zstack.tif") == "Tp_1_zstack.tif"
         assert clean_acquisition_name("Tp_GFP_2_zstack.tif") == "Tp_2"

@@ -121,6 +121,32 @@ class TestPallasBandCCL:
         )
         np.testing.assert_array_equal(got, ref)
 
+    @pytest.mark.parametrize("connectivity", [4, 8])
+    def test_zigzag_staircase(self, connectivity):
+        # stresses the scans-only axis propagation (the 1-step axis offsets
+        # were dropped from the band local solve as scan-subsumed): a
+        # 1-px staircase needs alternating row/column hops every pixel
+        from particle_col_image_segmentation_tpu.ops.ccl_tiles import ccl_sweeps
+
+        H = W = 64
+        img = np.zeros((H, W), np.uint8)
+        r, c = 0, 0
+        while r < H - 1 and c < W - 1:
+            img[r, c] = 1
+            img[r + 1, c] = 1
+            img[r + 1, c + 1] = 1
+            r, c = r + 1, c + 1
+        ref = np.asarray(
+            connected_components(jnp.asarray(img), connectivity=connectivity)
+        )
+        got = np.asarray(
+            ccl_sweeps(
+                jnp.asarray(img), connectivity=connectivity, tile=16,
+                interpret=True,
+            )
+        )
+        np.testing.assert_array_equal(got, ref)
+
 
 class TestRegionProps:
     def test_matches_oracle(self):

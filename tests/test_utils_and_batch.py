@@ -140,6 +140,41 @@ class TestCLIParsing:
         with pytest.raises(SystemExit):
             main(["frobnicate"])
 
+    def test_batch_subcommand_end_to_end(self, tmp_path, capsys):
+        """CLI batch: recursive discovery → fused stats → manifest + CSV;
+        a second invocation skips manifest-completed planes."""
+        import csv
+
+        import h5py
+
+        from particle_col_image_segmentation_tpu.cli import main
+
+        exp = tmp_path / "exp"
+        exp.mkdir()
+        for i in range(3):
+            img = synthetic_label_plane(seed=40 + i, shape=(64, 64))
+            with h5py.File(exp / f"3D05_p{i}_RFP.h5", "w") as f:
+                f.create_dataset("exported_data", data=img[None])
+        manifest = str(tmp_path / "m.json")
+        stats_csv = str(tmp_path / "stats.csv")
+        rc = main(
+            ["batch", str(exp), "--batch-size", "2", "--manifest", manifest,
+             "--csv", stats_csv, "--max-regions", "1023"]
+        )
+        assert rc == 0
+        with open(stats_csv) as f:
+            rows = list(csv.reader(f))
+        assert rows[0] == ["plane", "regions", "particle_px", "cell_px"]
+        assert len(rows) == 4 and all(int(r[1]) > 0 for r in rows[1:])
+        capsys.readouterr()
+        rc = main(
+            ["batch", str(exp), "--batch-size", "2", "--manifest", manifest,
+             "--max-regions", "1023"]
+        )
+        assert rc == 0
+        # everything already done: no per-plane lines
+        assert "regions=" not in capsys.readouterr().out
+
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
 def test_run_batch_mesh_matches_single_device():
