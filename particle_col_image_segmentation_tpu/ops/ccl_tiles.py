@@ -122,8 +122,18 @@ def _seg_scan_min(L, same_prev, axis: int, reverse: bool):
     return X
 
 
-def _local_solve(L, V, connectivity: int, inner_iters: int):
-    """Iterate to (or toward) the band-local fixpoint in VMEM."""
+def _local_solve(L, V, connectivity: int, inner_iters: int,
+                 start_rev: bool = False):
+    """Iterate to (or toward) the band-local fixpoint in VMEM.
+
+    Alternating half-iterations: each runs ONE scan direction (forward =
+    left-to-right + top-to-bottom, reverse = the mirrors), so a half costs
+    ~half of a both-direction iteration.  Two consecutive clean halves —
+    always one of each parity — mean L is stationary under all four scans
+    and the diagonal min, i.e. a true band-local fixpoint.  ``start_rev``
+    picks the first direction (up sweeps propagate bottom-up, so they lead
+    with the reverse half).
+    """
     # int32 flags: Mosaic cannot roll/truncate i1 vectors inside the scans
     same_r = (_shift(V, 0, 1, _BG_VAL) == V).astype(jnp.int32)  # left nbr
     same_rr = (_shift(V, 0, -1, _BG_VAL) == V).astype(jnp.int32)
@@ -131,24 +141,30 @@ def _local_solve(L, V, connectivity: int, inner_iters: int):
     same_cr = (_shift(V, -1, 0, _BG_VAL) == V).astype(jnp.int32)
     diag = _diag_masks(V) if connectivity == 8 else []
 
-    def body(state):
-        L, _, i = state
+    def fwd_half(L):
+        # the diagonal min rides the forward half only: exit requires a
+        # clean half of EACH parity, and the forward one covers diagonals
         Ln = _neighbor_min(L, diag) if connectivity == 8 else L
-        Ln = jnp.minimum(
-            _seg_scan_min(Ln, same_r, axis=1, reverse=False),
-            _seg_scan_min(Ln, same_rr, axis=1, reverse=True),
-        )
-        Ln = jnp.minimum(
-            _seg_scan_min(Ln, same_c, axis=0, reverse=False),
-            _seg_scan_min(Ln, same_cr, axis=0, reverse=True),
-        )
-        return Ln, jnp.any(Ln != L), i + 1
+        Ln = _seg_scan_min(Ln, same_r, axis=1, reverse=False)
+        return _seg_scan_min(Ln, same_c, axis=0, reverse=False)
+
+    def rev_half(L):
+        Ln = _seg_scan_min(L, same_rr, axis=1, reverse=True)
+        return _seg_scan_min(Ln, same_cr, axis=0, reverse=True)
+
+    def body(state):
+        L, _, prev_clean, i = state
+        is_fwd = (i % 2 == 0) != start_rev
+        Ln = jax.lax.cond(is_fwd, fwd_half, rev_half, L)
+        return Ln, jnp.all(Ln == L), state[1], i + 1
 
     def cond(state):
-        _, changed, i = state
-        return changed & (i < inner_iters)
+        _, clean, prev_clean, i = state
+        return ~(clean & prev_clean) & (i < 2 * inner_iters)
 
-    L, _, _ = jax.lax.while_loop(cond, body, (L, jnp.bool_(True), 0))
+    L, _, _, _ = jax.lax.while_loop(
+        cond, body, (L, jnp.bool_(False), jnp.bool_(False), 0)
+    )
     return L
 
 
@@ -252,7 +268,7 @@ def _band_kernel(
         else:
             L0 = lab_s[:, :]
 
-        L = _local_solve(L0, V, connectivity, inner_iters)
+        L = _local_solve(L0, V, connectivity, inner_iters, start_rev=not downward)
         center = L[_HALO : _HALO + T, :]
         if converge_on == "inf":
             flag = jnp.any(center == _INF)
