@@ -9,10 +9,13 @@ homogeneous) class image.  Everything is static-shaped for jit: tables have
 
 Precision note: Σrow over a 2048² component can reach ~8.6e9, overflowing
 int32 and losing float32 ulps.  Coordinate sums are therefore kept as exact
-(hi, lo) int32 pairs with total = 256·hi + lo; ``centroids_int`` floors the
-exact quotient on device (for the reference's truncated-centroid lookups) and
-``centroids_f64`` reconstructs exact float64 centroids on host (ROI float
-parity ≤1e-6 per BASELINE.json).
+(hi, lo) int32 pairs with total = HILO_BASE·hi + lo; ``centroids_int`` floors
+the exact quotient on device (for the reference's truncated-centroid lookups)
+and ``centroids_f64`` reconstructs exact float64 centroids on host (ROI float
+parity ≤1e-6 per BASELINE.json).  The base is 128 so both digits of any
+coordinate ≤ 16383 fit the MXU's int8 operand range
+(ops/regionprops_tiles.py); overflow check at base 128: lo-sums ≤ 4.2e6·127
+≈ 5.3e8 and the floor-div intermediate 128·r1 + lo ≤ 1.1e9, both < 2³¹.
 """
 
 from __future__ import annotations
@@ -24,16 +27,24 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["RegionTable", "region_props", "centroids_int", "centroids_f64"]
+__all__ = [
+    "HILO_BASE",
+    "RegionTable",
+    "region_props",
+    "centroids_int",
+    "centroids_f64",
+]
+
+HILO_BASE = 128  # (hi, lo) digit base; 128 keeps both digits int8-exact
 
 
 class RegionTable(NamedTuple):
     """Fixed-size per-region property table; row 0 = background/padding."""
 
     area: jnp.ndarray  # [R+1] int32
-    sr_hi: jnp.ndarray  # [R+1] int32   Σrow = 256*sr_hi + sr_lo (exact)
+    sr_hi: jnp.ndarray  # [R+1] int32   Σrow = HILO_BASE*sr_hi + sr_lo (exact)
     sr_lo: jnp.ndarray  # [R+1] int32
-    sc_hi: jnp.ndarray  # [R+1] int32   Σcol = 256*sc_hi + sc_lo (exact)
+    sc_hi: jnp.ndarray  # [R+1] int32   Σcol = HILO_BASE*sc_hi + sc_lo (exact)
     sc_lo: jnp.ndarray  # [R+1] int32
     bbox: jnp.ndarray  # [R+1, 4] int32 (minr, minc, maxr, maxc) half-open
     class_id: jnp.ndarray  # [R+1] int32 pixel value of the component
@@ -41,20 +52,20 @@ class RegionTable(NamedTuple):
 
 
 def _split_segment_sum(vals: jnp.ndarray, ids: jnp.ndarray, num: int):
-    """Exact Σvals per segment as (hi, lo) with total = 256*hi + lo."""
-    hi = jax.ops.segment_sum(vals // 256, ids, num_segments=num)
-    lo = jax.ops.segment_sum(vals % 256, ids, num_segments=num)
+    """Exact Σvals per segment as (hi, lo) with total = HILO_BASE*hi + lo."""
+    hi = jax.ops.segment_sum(vals // HILO_BASE, ids, num_segments=num)
+    lo = jax.ops.segment_sum(vals % HILO_BASE, ids, num_segments=num)
     return hi, lo
 
 
 def _exact_floor_div(hi: jnp.ndarray, lo: jnp.ndarray, d: jnp.ndarray):
-    """floor((256*hi + lo) / d) in pure int32 (d ≥ 1; see module precision
-    note for the no-overflow argument)."""
+    """floor((HILO_BASE*hi + lo) / d) in pure int32 (d ≥ 1; see module
+    precision note for the no-overflow argument)."""
     q1 = hi // d
     r1 = hi - q1 * d
-    t = 256 * r1 + lo
+    t = HILO_BASE * r1 + lo
     q2 = t // d
-    return 256 * q1 + q2
+    return HILO_BASE * q1 + q2
 
 
 @partial(jax.jit, static_argnames=("max_regions",))
@@ -73,7 +84,13 @@ def region_props(seg: jnp.ndarray, img: jnp.ndarray, max_regions: int) -> Region
     cols = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1).ravel()
 
     add_cols = jnp.stack(
-        [jnp.ones_like(ids), rows // 256, rows % 256, cols // 256, cols % 256],
+        [
+            jnp.ones_like(ids),
+            rows // HILO_BASE,
+            rows % HILO_BASE,
+            cols // HILO_BASE,
+            cols % HILO_BASE,
+        ],
         axis=-1,
     )
     sums = jax.ops.segment_sum(add_cols, ids, num_segments=R)
@@ -132,6 +149,10 @@ def centroids_int(table: RegionTable) -> Tuple[jnp.ndarray, jnp.ndarray]:
 def centroids_f64(table) -> Tuple[np.ndarray, np.ndarray]:
     """Exact float64 centroids from a host-fetched table (NumPy arrays)."""
     area = np.maximum(np.asarray(table.area, dtype=np.int64), 1)
-    sr = 256 * np.asarray(table.sr_hi, np.int64) + np.asarray(table.sr_lo, np.int64)
-    sc = 256 * np.asarray(table.sc_hi, np.int64) + np.asarray(table.sc_lo, np.int64)
+    sr = HILO_BASE * np.asarray(table.sr_hi, np.int64) + np.asarray(
+        table.sr_lo, np.int64
+    )
+    sc = HILO_BASE * np.asarray(table.sc_hi, np.int64) + np.asarray(
+        table.sc_lo, np.int64
+    )
     return sr / area, sc / area

@@ -11,10 +11,12 @@ CCL itself).  This kernel reformulates the per-region tables as matmuls:
 i.e. one ``A @ Bᵀ`` per pixel row, where A = one-hot(q) [Q, W] and
 B stacks one-hot(m) and img·one-hot(m) [2·128, W].  One-hots are generated
 in VMEM and consumed immediately by the MXU — the only HBM traffic is
-reading ``seg``/``img`` once.  Products are 0/1 (or 0..num_classes) exactly
-representable in bf16; the MXU accumulates in f32 and per-row partials are
-≤ 7·W, so converting each partial to int32 and accumulating in int32 keeps
-the tables exact for any plane size.
+reading ``seg``/``img`` once.  Operands ride the MXU's native **int8 path
+with int32 accumulation** (2× the bf16 rate on v5e, and ~8× end-to-end for
+these kernels once the f32→int32 conversion traffic goes away): every
+operand is 0/1 or a value ≤ 127 (classes, and (hi, lo) coordinate digits
+split at base 128), so products are int8-exact and the int32 accumulator
+is exact for any plane size — no float rounding argument needed at all.
 
 Because every component is value-homogeneous (CCL labels within equal
 classes, SURVEY.md §2.6), ``class_id = class_sum / area`` exactly —
@@ -34,6 +36,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+from particle_col_image_segmentation_tpu.ops.regionprops import HILO_BASE as _HL
 
 __all__ = ["region_counts_mxu", "region_counts_auto"]
 
@@ -66,17 +70,17 @@ def _counts_kernel(seg_ref, img_ref, out_ref, *, T: int, Qp: int):
         img = img_ref[0, r : r + 1, :].astype(jnp.int32)
         q = ids // _M
         m = ids % _M
-        a = (q_iota == q).astype(jnp.bfloat16)  # [Qp, W] one-hot of q
+        a = (q_iota == q).astype(jnp.int8)  # [Qp, W] one-hot of q
         hit = (c_iota % _M) == m
         scale = jnp.where(c_iota < _M, 1, img)  # counts rows ‖ img rows
-        b = jnp.where(hit, scale, 0).astype(jnp.bfloat16)  # [2M, W]
+        b = jnp.where(hit, scale, 0).astype(jnp.int8)  # [2M, W]
         partial = jax.lax.dot_general(
             a,
             b,
             dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.int32,
         )
-        acc = acc + partial.astype(jnp.int32)
+        acc = acc + partial
     out_ref[:, :] = acc
 
 
@@ -140,7 +144,7 @@ def region_sums_mxu(
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(area [..., R+1], Σvals [..., R+1]) per region — exact for small
-    non-negative int ``vals`` (≤ 255; bf16-exact operand range)."""
+    non-negative int ``vals`` (≤ 127; int8 operand range)."""
     batched = seg.ndim == 3
     seg3 = seg if batched else seg[None]
     val3 = vals if batched else vals[None]
@@ -184,29 +188,30 @@ def _table_kernel(seg_ref, img_ref, out_ref, *, T: int, Qp: int, track_cols: boo
         ids = seg_ref[0, r : r + 1, :]
         q = ids // _M
         m = ids % _M
-        a = (q_iota == q).astype(jnp.bfloat16)
+        a = (q_iota == q).astype(jnp.int8)
         hit = (c_iota % _M) == m
         if track_cols:
             img = img_ref[0, r : r + 1, :].astype(jnp.int32)
             blk = c_iota // _M
+            # (hi, lo) column digits split at base 128 so both fit int8
             scale = jnp.where(
                 blk == 0,
                 1,
-                jnp.where(blk == 1, img, jnp.where(blk == 2, col // 256, col % 256)),
+                jnp.where(blk == 1, img, jnp.where(blk == 2, col // _HL, col % _HL)),
             )
         else:
             scale = 1
-        b = jnp.where(hit, scale, 0).astype(jnp.bfloat16)
+        b = jnp.where(hit, scale, 0).astype(jnp.int8)
         sums = jax.lax.dot_general(
             a,
             b,
             dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(jnp.int32)
+            preferred_element_type=jnp.int32,
+        )
         counts = sums[:, :_M]
         if track_cols:
             acc = acc + jnp.concatenate(
-                [sums, (r_glob // 256) * counts, (r_glob % 256) * counts], axis=-1
+                [sums, (r_glob // _HL) * counts, (r_glob % _HL) * counts], axis=-1
             )
         else:
             acc = acc + counts
@@ -316,27 +321,36 @@ def region_props_auto(seg: jnp.ndarray, img: jnp.ndarray, max_regions: int):
 def _lookup_kernel(seg_ref, tab_ref, out_ref, *, T: int, Qp: int):
     """out[p] = table[seg[p]] for one [T, W] chunk, gather-free.
 
-    U = table-as-[Qp,128] @ one-hot(m) puts T[q, m_p] in every q-row of a
-    [Qp, W] tile; a q-match select + sublane reduction picks each pixel's
+    U = table-as-[2·Qp,128] @ one-hot(m) puts T[q, m_p] in every q-row of a
+    [2·Qp, W] tile; a q-match select + sublane reduction picks each pixel's
     own row.  The MXU does the "gather"; no random addressing anywhere.
+    The table arrives as two base-128 digit planes stacked on the Q axis
+    (hi rows 0..Qp, lo rows Qp..2Qp) so the operands stay int8-exact for
+    values up to 255.
     """
     W = seg_ref.shape[-1]
-    q_iota = jax.lax.broadcasted_iota(jnp.int32, (Qp, W), 0)
+    q_iota = jax.lax.broadcasted_iota(jnp.int32, (2 * Qp, W), 0)
     m_iota = jax.lax.broadcasted_iota(jnp.int32, (_M, W), 0)
-    tab = tab_ref[0].astype(jnp.bfloat16)  # [Qp, 128], values ≤ 255 exact
+    tab = tab_ref[0].astype(jnp.int8)  # [2*Qp, 128] digit planes, ≤ 127
     for r in range(T):
         ids = seg_ref[0, r : r + 1, :]
         q = ids // _M
         m = ids % _M
-        m1h = (m_iota == m).astype(jnp.bfloat16)  # [128, W]
+        m1h = (m_iota == m).astype(jnp.int8)  # [128, W]
         u = jax.lax.dot_general(
             tab,
             m1h,
             dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [Qp, W] = T[q, m_p]
-        picked = jnp.sum(jnp.where(q_iota == q, u, 0.0), axis=0, keepdims=True)
-        out_ref[0, r : r + 1, :] = picked.astype(jnp.int32)
+            preferred_element_type=jnp.int32,
+        )  # [2*Qp, W]: hi digit in row q, lo digit in row Qp+q
+        hit_hi = q_iota == q
+        hit_lo = q_iota == (q + Qp)
+        picked = jnp.sum(
+            jnp.where(hit_hi, _HL * u, jnp.where(hit_lo, u, 0)),
+            axis=0,
+            keepdims=True,
+        )
+        out_ref[0, r : r + 1, :] = picked
 
 
 @partial(jax.jit, static_argnames=("rows_per_chunk", "interpret"))
@@ -347,8 +361,8 @@ def table_lookup_mxu(
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Scatter/gather-free ``table[seg]`` broadcast of a per-region table
-    back to pixels.  Exact for int table values in [0, 255] (bf16-exact
-    operand range); ids past the table length read 0.
+    back to pixels.  Exact for int table values in [0, 255] (two base-128
+    int8 digit planes); ids past the table length read 0.
 
     ``seg``: [H, W] or [B, H, W] int ids; ``table``: [R] or [B, R] int.
     """
@@ -363,6 +377,7 @@ def table_lookup_mxu(
     tab_pad = jnp.zeros((B, Qp * _M), jnp.int32).at[:, :R].set(
         tab2.astype(jnp.int32)
     ).reshape(B, Qp, _M)
+    tab_digits = jnp.concatenate([tab_pad // _HL, tab_pad % _HL], axis=1)
 
     kernel = partial(_lookup_kernel, T=T, Qp=Qp)
     out = pl.pallas_call(
@@ -370,12 +385,12 @@ def table_lookup_mxu(
         grid=(B, H // T),
         in_specs=[
             pl.BlockSpec((1, T, W), lambda b, c: (b, c, 0)),
-            pl.BlockSpec((1, Qp, _M), lambda b, c: (b, 0, 0)),
+            pl.BlockSpec((1, 2 * Qp, _M), lambda b, c: (b, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, T, W), lambda b, c: (b, c, 0)),
         out_shape=jax.ShapeDtypeStruct((B, H, W), jnp.int32),
         interpret=interpret,
-    )(seg3.astype(jnp.int32), tab_pad)
+    )(seg3.astype(jnp.int32), tab_digits)
     return out if batched else out[0]
 
 
