@@ -45,6 +45,10 @@ _INF = jnp.iinfo(jnp.int32).max
 _BG_VAL = -(2**30)  # image sentinel outside the plane / on background
 _U8_SENTINEL = 255  # halo sentinel when the value image rides as uint8
 _HALO = 8
+# Mosaic's default 16 MB scoped-vmem cap is conservative on v5e (128 MB
+# physical VMEM); raising it unlocks taller bands (tile=128 → win=144,
+# working set ~19 MB), halving per-band sweep overhead.
+_VMEM_LIMIT = 64 * 1024 * 1024
 
 
 def _shift(x, dy: int, dx: int, fill):
@@ -231,7 +235,9 @@ def _band_kernel(
     def _skip():
         flag_ref[0, :, :] = jnp.zeros(flag_ref.shape[-2:], jnp.int32)
 
-    def run(lab_s, img_s, sem):
+    def run(lab_s, img_s, sem, sem2):
+        # label and value windows are independent reads — issue both DMAs
+        # before waiting so their latencies overlap
         if init_linear:
             cp1 = pltpu.make_async_copy(
                 lab_io.at[pl.ds(start, _HALO), :], lab_s.at[pl.ds(0, _HALO), :],
@@ -241,12 +247,12 @@ def _band_kernel(
             cp1 = pltpu.make_async_copy(
                 lab_io.at[pl.ds(start, win), :], lab_s, sem
             )
-        cp1.start()
-        cp1.wait()
         cp2 = pltpu.make_async_copy(
-            img_hbm.at[pl.ds(start, win), :], img_s, sem
+            img_hbm.at[pl.ds(start, win), :], img_s, sem2
         )
+        cp1.start()
         cp2.start()
+        cp1.wait()
         cp2.wait()
 
         rows = jax.lax.broadcasted_iota(jnp.int32, (win, W), 0)
@@ -293,6 +299,7 @@ def _band_kernel(
             pltpu.VMEM((win, W), jnp.int32),
             pltpu.VMEM((win, W), img_hbm.dtype),
             pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
         )
 
 
@@ -335,7 +342,9 @@ def _make_sweep(
             jax.ShapeDtypeStruct((n_bands, 8, 128), jnp.int32),
         ),
         input_output_aliases={0: 0},
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=_VMEM_LIMIT
+        ),
         interpret=interpret,
     )
 
@@ -371,6 +380,8 @@ def _rank_init_kernel(
     img_s,
     base_ref,
     sem,
+    sem2,
+    sem3,
     *,
     T,
     H,
@@ -400,16 +411,17 @@ def _rank_init_kernel(
     def _reset():
         base_ref[0] = 0
 
+    # three independent input windows — overlap all three DMA latencies
     cp0 = pltpu.make_async_copy(
         lab_io.at[pl.ds(start, _HALO), :], lab_s.at[pl.ds(0, _HALO), :], sem
     )
+    cp1 = pltpu.make_async_copy(raw_hbm.at[pl.ds(start, win), :], raw_s, sem2)
+    cp2 = pltpu.make_async_copy(img_hbm.at[pl.ds(start, win), :], img_s, sem3)
     cp0.start()
-    cp0.wait()
-    cp1 = pltpu.make_async_copy(raw_hbm.at[pl.ds(start, win), :], raw_s, sem)
     cp1.start()
-    cp1.wait()
-    cp2 = pltpu.make_async_copy(img_hbm.at[pl.ds(start, win), :], img_s, sem)
     cp2.start()
+    cp0.wait()
+    cp1.wait()
     cp2.wait()
 
     rows = jax.lax.broadcasted_iota(jnp.int32, (win, W), 0)
@@ -489,8 +501,12 @@ def _make_rank_init_sweep(
             pltpu.VMEM((win, W), val_dtype),  # img_s
             pltpu.SMEM((1,), jnp.int32),
             pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
         ],
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=_VMEM_LIMIT
+        ),
         interpret=interpret,
     )
 
@@ -534,7 +550,9 @@ def _make_init_sweep(
             jax.ShapeDtypeStruct((Hp, W), jnp.int32),
             jax.ShapeDtypeStruct((n_bands, 8, 128), jnp.int32),
         ),
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=_VMEM_LIMIT
+        ),
         interpret=interpret,
     )
 
