@@ -74,12 +74,22 @@ def refine_boundaries(
 ) -> RefineResult:
     """Full refinement of an Ilastik probability export.
 
-    Accepts either the raw [C,H,W] export (boundary channel selected per
-    ``cfg.boundary_channel``, reference :34) or an [H,W] boundary map.
+    Accepts the raw export with channels on either end — [C,H,W] (the
+    reference's indexing, refine_boundaries.py:34) or [H,W,C] (Ilastik's
+    usual hdf5 axis order) — or an [H,W] boundary map.  The channel axis is
+    whichever end is small enough to be one (≤ 8), preferring the
+    reference's axis-0 read when both qualify.
     """
     arr = np.asarray(probabilities)
     if arr.ndim == 3:
-        arr = arr[cfg.boundary_channel]
+        if arr.shape[0] <= 8:
+            arr = arr[cfg.boundary_channel]
+        elif arr.shape[-1] <= 8:
+            arr = np.ascontiguousarray(arr[..., cfg.boundary_channel])
+        else:
+            raise ValueError(
+                f"No channel axis of size <= 8 in shape {arr.shape}"
+            )
     labels, _, num, table, _ = refine_plane_device(
         jnp.asarray(arr, jnp.float32), cfg, max_regions
     )

@@ -126,9 +126,11 @@ def watershed_auto(
     TPU backends (band-divisible heights), the XLA fixpoint elsewhere.
     Both produce identical labels (two-phase confluence)."""
     backend = jax.default_backend()
-    H = image.shape[-2]
+    H, W = image.shape[-2:]
     tile = next((t for t in (64, 32, 16, 8) if H % t == 0), None)
-    if tile is None or backend in ("cpu", "gpu"):
+    # band DMAs need lane-aligned widths (Mosaic memref slicing), same
+    # gating as connected_components_auto
+    if tile is None or W % 128 != 0 or backend in ("cpu", "gpu"):
         return watershed(image, markers, mask, connectivity=connectivity)
     from particle_col_image_segmentation_tpu.ops.watershed_tiles import (
         watershed_sweeps,

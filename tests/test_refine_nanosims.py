@@ -42,6 +42,13 @@ class TestRefine:
         res = refine_boundaries(stack, RefineConfig(boundary_channel=3))
         assert res.num_cells == 2
 
+    def test_channel_selection_channel_last(self):
+        # Ilastik's usual hdf5 export order is [H, W, C]
+        mask, prob = _touching_cells_probability()
+        stack = np.stack([np.ones_like(prob)] * 3 + [prob], axis=-1)
+        res = refine_boundaries(stack, RefineConfig(boundary_channel=3))
+        assert res.num_cells == 2
+
     def test_refine_csv(self, tmp_path):
         from particle_col_image_segmentation_tpu.models.refine import write_refine_csv
 
