@@ -55,10 +55,13 @@ def remove_channels(filename: str) -> str:
 
 def clean_acquisition_name(input_file: str) -> str:
     """Folder name = filename minus .tif suffix, channel tokens, _zstack
-    (reference :28-32)."""
-    clean = input_file.split(".tif")[0]
-    clean = remove_channels(clean)
-    return clean.replace("_zstack", "")
+    (reference :28-32).  Tokens are stripped from the BASENAME only — the
+    reference replaces over the whole path (create_file_structure.py:30-31),
+    which silently redirects output when a directory name contains a
+    channel/_zstack token."""
+    head, tail = os.path.split(input_file)
+    tail = remove_channels(tail.split(".tif")[0]).replace("_zstack", "")
+    return os.path.join(head, tail)
 
 
 def get_similar_files(file_name: str, folder: str) -> List[str]:

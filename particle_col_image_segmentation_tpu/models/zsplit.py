@@ -22,24 +22,36 @@ def create_folder(folder_name: str) -> None:
         os.makedirs(folder_name)
 
 
+def _strip_tokens(path: str, tokens: Sequence[str]) -> str:
+    """Remove filename tokens from the BASENAME only.  The reference
+    replaces over the whole path string (split_zstack.py:28-30,34), which
+    silently redirects output when a *directory* name contains a token
+    (e.g. an acquisition root with "_mip" in it) — fixed here."""
+    head, tail = os.path.split(path)
+    for t in tokens:
+        tail = tail.replace(t, "")
+    return os.path.join(head, tail)
+
+
 def get_clean_file_name(input_file: str) -> Tuple[str, str]:
     """Detect the channel-set token and derive the clean base name
     (reference split_zstack.py:19-30)."""
-    base_name = input_file.split(".")[0]
-    if "CY5_RFP_GFP_DAPI_" in base_name:
+    root, _, _ = os.path.basename(input_file).partition(".")
+    base_name = os.path.join(os.path.dirname(input_file), root)
+    if "CY5_RFP_GFP_DAPI_" in root:
         channels = "_CY5_RFP_GFP_DAPI"
-    elif "RFP_GFP_" in base_name:
+    elif "RFP_GFP_" in root:
         channels = "_RFP_GFP"
     else:
         return "", base_name
-    clean = base_name.replace(channels, "").replace("_zstack", "").replace("_mip", "")
+    clean = _strip_tokens(base_name, (channels, "_zstack", "_mip"))
     return channels, clean
 
 
 def create_channel_folder(destination: str, used_channels: str, channel_name: str) -> str:
     """Derive and create the per-channel output folder (reference :32-36)."""
-    clean = destination.replace(".tif", "").replace("_mip", "").replace(used_channels, "")
-    clean = clean + "_" + channel_name
+    tokens = (".tif", "_mip") + ((used_channels,) if used_channels else ())
+    clean = _strip_tokens(destination, tokens) + "_" + channel_name
     create_folder(clean)
     return clean
 
@@ -72,7 +84,11 @@ def process_tif(input_file: str, channel_indices: Sequence[int]) -> List[str]:
     create_folder(clean_file_name)
     destination = os.path.join(clean_file_name, os.path.basename(input_file))
     os.rename(input_file, destination)
-    if not input_file.endswith(".tif"):
+    # Non-tif siblings (mip .jpg) are only moved (reference :48-49).  The
+    # reference would also row-iterate a _mip.tif through the plane loop
+    # (:52) and write per-row fragments — a latent defect (2-D mips are
+    # projections, not stacks); here mips of any format are move-only.
+    if not input_file.endswith(".tif") or "_mip" in input_file.lower():
         return []
     n_ch = 4 if used_channels == "_CY5_RFP_GFP_DAPI" else 2
     zstack = read_zstack(destination, num_channels=n_ch)

@@ -95,6 +95,20 @@ class TestZsplit:
         plane = read_tiff_stack(os.path.join(rfp_folder, files[0]))
         np.testing.assert_array_equal(plane, stack[0, 0])
 
+    def test_mip_tif_moved_not_split(self, tmp_path, monkeypatch):
+        # a 2-D projection must be moved into the clean folder, never fed
+        # through the plane loop (reference defect, SURVEY.md §2.6)
+        acq = tmp_path / "top" / "acq1"
+        acq.mkdir(parents=True)
+        mip = np.random.default_rng(2).integers(0, 255, (16, 16)).astype(np.uint8)
+        write_tiff(str(acq / "Tp_RFP_GFP_5_mip.tif"), mip)
+        monkeypatch.chdir(tmp_path)
+        zsplit.process_folder(str(tmp_path / "top"), [1, 2])
+        clean = tmp_path / "top" / "acq1" / "Tp_5"
+        assert (clean / "Tp_RFP_GFP_5_mip.tif").exists()
+        # nothing else was created (no channel folders, no fragments)
+        assert sorted(os.listdir(clean)) == ["Tp_RFP_GFP_5_mip.tif"]
+
 
 class TestDiscovery:
     def test_h5_walk(self, tmp_path):
