@@ -111,6 +111,15 @@ def main(argv=None) -> int:
         help="devices on the data mesh axis (0 = single device)",
     )
     p.add_argument(
+        "--particle-val", type=int, default=None,
+        help="particle class value (default: derive per file from its "
+        "strain/channel tokens, like analyze)",
+    )
+    p.add_argument(
+        "--cell-vals", type=int, nargs="+", default=None,
+        help="cell class values (default: derive per file)",
+    )
+    p.add_argument(
         "--manifest", default=None,
         help="restartable-progress manifest path (skips completed planes)",
     )
@@ -191,15 +200,30 @@ def main(argv=None) -> int:
             normalize_ds_arr,
         )
 
+        from particle_col_image_segmentation_tpu.models.batch import (
+            derive_class_values,
+        )
+
         cfg = AnalysisConfig(max_regions=args.max_regions)
+        folder_to_files = get_h5_files_recursively(args.folder)
         paths = [
             os.path.join(folder, f)
-            for folder, files in get_h5_files_recursively(args.folder).items()
+            for folder, files in folder_to_files.items()
             for f in files
         ]
         if not paths:
             print("no .h5 planes found under", args.folder)
             return 1
+        # class values per file: explicit flags win; otherwise derive from
+        # the path tokens (analyze's rules) and group same-signature paths
+        # so each group runs one statically-shaped fused fn
+        if args.particle_val is not None:
+            groups = {(args.particle_val, tuple(args.cell_vals or (1,))): paths}
+        else:
+            sig_of = derive_class_values(folder_to_files)
+            groups = {}
+            for path in paths:
+                groups.setdefault(sig_of[path], []).append(path)
         mesh = None
         if args.data_parallel:
             from particle_col_image_segmentation_tpu.parallel.mesh import make_mesh
@@ -223,18 +247,22 @@ def main(argv=None) -> int:
             writer = _csv.writer(sink)
             writer.writerow(["plane", "regions", "particle_px", "cell_px"])
         try:
-            for path, stats in run_batch(
-                paths, load_fn, cfg, batch_size=args.batch_size, mesh=mesh,
-                manifest=manifest, pack_transfer=args.pack_transfer,
-            ):
-                print(
-                    f"{path}: regions={stats.num_regions} "
-                    f"particle_px={stats.particle_px} cell_px={stats.cell_px}"
-                )
-                if writer is not None:
-                    writer.writerow(
-                        [path, stats.num_regions, stats.particle_px, stats.cell_px]
+            for (particle_val, cell_vals), group_paths in groups.items():
+                for path, stats in run_batch(
+                    group_paths, load_fn, cfg, batch_size=args.batch_size,
+                    particle_val=particle_val, cell_vals=cell_vals,
+                    mesh=mesh, manifest=manifest,
+                    pack_transfer=args.pack_transfer,
+                ):
+                    print(
+                        f"{path}: regions={stats.num_regions} "
+                        f"particle_px={stats.particle_px} cell_px={stats.cell_px}"
                     )
+                    if writer is not None:
+                        writer.writerow(
+                            [path, stats.num_regions, stats.particle_px,
+                             stats.cell_px]
+                        )
         finally:
             if sink is not None:
                 sink.close()

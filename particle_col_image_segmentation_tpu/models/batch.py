@@ -34,6 +34,45 @@ from particle_col_image_segmentation_tpu.utils.profiling import stage
 _log = get_logger("batch")
 
 
+def derive_class_values(folder_to_files):
+    """{full_path: (particle_val, cell_vals)} via the analyze dispatch rules.
+
+    Single-file folders read strains from the file name (reference
+    tiff_analysis.py:85-89,633); multi-file folders read the per-channel
+    map from folder strains + file channel token (:102,110).  Paths whose
+    names carry no recognizable tokens fall back to (2, (1,)) with a
+    warning — the streaming path must not die on one odd file.
+    """
+    import os
+
+    from particle_col_image_segmentation_tpu.labels import classmaps
+
+    out = {}
+    for folder, files in folder_to_files.items():
+        for f in files:
+            full = os.path.join(folder, f)
+            try:
+                if len(files) == 1:
+                    ct = classmaps.get_cell_type_map(f)
+                else:
+                    strains = classmaps.get_strains_from_path(folder)
+                    channel = classmaps.get_channel_from_path(f)
+                    ct = classmaps.get_cell_type_map_from_channel(
+                        strains, channel
+                    )
+                inv = {v: k for k, v in ct.items()}
+                cells = tuple(
+                    k for k, v in ct.items() if v not in ("Particle", "Background")
+                )
+                out[full] = (inv["Particle"], cells)
+            except (ValueError, KeyError) as e:
+                _log.warning(
+                    "no class map derivable for %s (%s); using defaults", full, e
+                )
+                out[full] = (2, (1,))
+    return out
+
+
 @dataclasses.dataclass
 class PlaneStats:
     """Per-plane headline statistics from the fused pass."""

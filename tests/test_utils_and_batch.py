@@ -87,6 +87,31 @@ class TestBatchPipeline:
         )
         assert again == []
 
+    def test_derive_class_values(self):
+        from particle_col_image_segmentation_tpu.models.batch import (
+            derive_class_values,
+        )
+
+        sig = derive_class_values(
+            {
+                # single-file folder: strains read from the FILE name
+                "/data/run/acq1": ["3D05_C3M10_scan.h5"],
+                # multi-file folder: strains from the folder, channel per file
+                "/data/3D05_6B07/acq2": [
+                    "scan_RFP_x.h5",
+                    "scan_DAPI_x.h5",
+                ],
+                # nothing derivable → defaults
+                "/data/misc": ["plain.h5"],
+            }
+        )
+        # {1:3D05, 2:C3M10, 3:Particle, 4:Background}
+        assert sig["/data/run/acq1/3D05_C3M10_scan.h5"] == (3, (1, 2))
+        # RFP with strains [3D05, 6B07] → {1:3D05, 2:Particle, 3:Background}
+        assert sig["/data/3D05_6B07/acq2/scan_RFP_x.h5"] == (2, (1,))
+        assert sig["/data/3D05_6B07/acq2/scan_DAPI_x.h5"] == (2, (1,))
+        assert sig["/data/misc/plain.h5"] == (2, (1,))
+
 
 class TestViz:
     def test_figures_written(self, tmp_path, monkeypatch):
