@@ -30,9 +30,6 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np
 
 from particle_col_image_segmentation_tpu.config import AnalysisConfig
-from particle_col_image_segmentation_tpu.models import analyze_plane
-from particle_col_image_segmentation_tpu.oracle import reference_pipeline as rp
-
 from fixtures import synthetic_label_plane
 
 STRAIN_SETS = [
@@ -45,50 +42,14 @@ SHAPES = [(96, 96), (128, 192), (192, 192), (160, 224)]
 
 
 def check_seed(seed: int) -> None:
+    from parity import assert_plane_parity
+
     rng = np.random.default_rng(seed)
     cell_types = STRAIN_SETS[int(rng.integers(len(STRAIN_SETS)))]
     shape = SHAPES[int(rng.integers(len(SHAPES)))]
     cfg = AnalysisConfig(max_regions=4096)
     img = synthetic_label_plane(seed=seed, cell_types=cell_types, shape=shape)
-
-    ours = analyze_plane(img, cell_types, cfg, merged=True)
-    den = rp.denoise(img, cfg)
-    np.testing.assert_array_equal(ours.denoised, den)
-    pos, clusters, particle_area, merged = rp.get_cell_positions_and_areas(
-        den, cell_types, merged=True, cfg=cfg
-    )
-    assert ours.particle_area == particle_area, (ours.particle_area, particle_area)
-    assert list(ours.cell_pos) == list(pos)
-    for k in pos:
-        assert len(ours.cell_pos[k]) == len(pos[k]), k
-        for a, b in zip(ours.cell_pos[k], pos[k]):
-            assert a.area == b.area
-            np.testing.assert_allclose(a.centroid, b.centroid, atol=1e-9)
-            assert a.bbox == b.bbox
-        assert len(ours.cell_clusters[k]) == len(clusters[k]), k
-        assert [c.cells for c in ours.cell_clusters[k]] == [
-            c.cells for c in clusters[k]
-        ]
-    assert list(ours.merged_clusters) == list(merged)
-    for k in merged:
-        assert len(ours.merged_clusters[k]) == len(merged[k]), k
-        for ga, gb in zip(ours.merged_clusters[k], merged[k]):
-            assert ga["area"] == gb["area"]
-            np.testing.assert_allclose(ga["centroid"], gb["centroid"], atol=1e-9)
-            assert ga["bbox"] == gb["bbox"]
-            assert len(ga["regions"]) == len(gb["regions"])
-
-    filled_ref, fill_area_ref = rp.recreate_particle_area(
-        den.copy(), cell_types, particle_area, cfg
-    )
-    np.testing.assert_array_equal(ours.filled, filled_ref)
-    assert ours.filled_particle_area == fill_area_ref
-
-    counts = rp.get_cell_counts_and_densities(
-        ours.cell_pos, ours.cell_clusters, particle_area, cfg
-    )
-    ref_counts = rp.get_cell_counts_and_densities(pos, clusters, particle_area, cfg)
-    assert counts == ref_counts
+    assert_plane_parity(img, cell_types, cfg)
 
 
 def main():
