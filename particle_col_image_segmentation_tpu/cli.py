@@ -254,9 +254,11 @@ def main(argv=None) -> int:
                     mesh=mesh, manifest=manifest,
                     pack_transfer=args.pack_transfer,
                 ):
+                    flag = " OVERFLOW(raise --max-regions)" if stats.overflow else ""
                     print(
                         f"{path}: regions={stats.num_regions} "
                         f"particle_px={stats.particle_px} cell_px={stats.cell_px}"
+                        f"{flag}"
                     )
                     if writer is not None:
                         writer.writerow(

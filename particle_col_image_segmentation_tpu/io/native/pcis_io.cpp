@@ -136,6 +136,12 @@ int pcis_tiff_inspect(const char* path, TiffPageInfo* info) {
     if (p.compression != 1 || p.spp != 1 || (p.bps != 8 && p.bps != 16) ||
         p.width == 0 || p.height == 0 || p.strip_offsets.empty())
       return 0;
+    // mixed-geometry multipage files (embedded thumbnails / pyramid levels)
+    // would be packed misaligned into the (pages, h0, w0) caller buffer —
+    // punt those to the PIL fallback
+    if (p.width != pages[0].width || p.height != pages[0].height ||
+        p.bps != pages[0].bps)
+      return 0;
   }
   info->width = pages[0].width;
   info->height = pages[0].height;
@@ -151,6 +157,10 @@ int pcis_tiff_read(const char* path, uint8_t* out, uint64_t out_size) {
   if (!read_file(path, buf)) return -1;
   std::vector<Ifd> pages;
   if (!parse_tiff(buf, pages)) return -2;
+  for (const auto& p : pages)  // same geometry guard as inspect
+    if (p.width != pages[0].width || p.height != pages[0].height ||
+        p.bps != pages[0].bps)
+      return -5;
   uint64_t cursor = 0;
   for (const auto& p : pages) {
     uint64_t page_bytes = (uint64_t)p.width * p.height * (p.bps / 8);

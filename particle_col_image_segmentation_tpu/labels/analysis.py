@@ -24,7 +24,6 @@ from particle_col_image_segmentation_tpu.ops import (
     centroids_int,
     connected_components_auto,
     dilate_disk,
-    edt_sq,
 )
 from particle_col_image_segmentation_tpu.ops.filters_tiles import (
     median_label_filter_auto,

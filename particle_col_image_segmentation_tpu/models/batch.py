@@ -65,7 +65,9 @@ def derive_class_values(folder_to_files):
                     k for k, v in ct.items() if v not in ("Particle", "Background")
                 )
                 out[full] = (inv["Particle"], cells)
-            except (ValueError, KeyError) as e:
+            except (ValueError, KeyError, IndexError) as e:
+                # IndexError: get_channel_from_path with no channel token
+                # (the reference-faithful :687 behavior)
                 _log.warning(
                     "no class map derivable for %s (%s); using defaults", full, e
                 )
@@ -81,6 +83,10 @@ class PlaneStats:
     particle_px: int
     cell_px: int
     class_px: np.ndarray  # [num_classes] pixel histogram
+    # True when num_regions > cfg.max_regions: components past capacity were
+    # dropped from the tables, so the pixel stats UNDERCOUNT.  Re-run the
+    # plane with a larger AnalysisConfig.max_regions.
+    overflow: bool = False
 
 
 @partial(jax.jit, static_argnames=("cfg", "particle_val", "cell_vals", "packed"))
@@ -236,19 +242,27 @@ def run_batch(
         class_px = stats_host[:, 3:]
         for b in range(count):
             path = todo[idx]
+            overflow = int(num[b]) > cfg.max_regions
+            if overflow:
+                _log.warning(
+                    "%s: %d components > max_regions=%d — stats undercount; "
+                    "re-run with a larger AnalysisConfig.max_regions",
+                    path, int(num[b]), cfg.max_regions,
+                )
             stats = PlaneStats(
                 num_regions=int(num[b]),
                 particle_px=int(particle_px[b]),
                 cell_px=int(cell_px[b]),
                 class_px=class_px[b],
+                overflow=overflow,
             )
             if manifest is not None:
-                manifest.mark_done(
-                    path,
-                    meta={
-                        "regions": stats.num_regions,
-                        "particle_px": stats.particle_px,
-                    },
-                )
+                meta = {
+                    "regions": stats.num_regions,
+                    "particle_px": stats.particle_px,
+                }
+                if overflow:
+                    meta["overflow"] = True
+                manifest.mark_done(path, meta=meta)
             yield path, stats
             idx += 1

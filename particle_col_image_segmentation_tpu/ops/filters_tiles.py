@@ -60,27 +60,27 @@ def _median_kernel(img_hbm, out_ref, *, T, half, size, num_classes, slot):
             for d in range(size):
                 piece = packed[off + d : off + d + T, :]
                 rs = piece if rs is None else rs + piece
-            # horizontal window sum with reflect corrections at the 4 edge
-            # columns (reflect: src −1 → col 0, src −2 → col 1; mirrored at W)
+            # horizontal window sum with reflect corrections at the ``half``
+            # edge columns each side (reflect: src −k → col k−1, mirrored at W)
             cs = rs
-            for dc in (1, 2):
+            for dc in range(1, half + 1):
                 cs = cs + jnp.roll(rs, dc, axis=1) + jnp.roll(rs, -dc, axis=1)
-            # jnp.roll wraps: subtract the wrapped columns, add reflections
-            r_l0 = rs[:, 0:1]
-            r_l1 = rs[:, 1:2]
-            r_r0 = rs[:, W - 1 : W]
-            r_r1 = rs[:, W - 2 : W - 1]
-            wrap_l = jnp.where(
-                col == 0,
-                -(jnp.roll(rs, 1, 1) + jnp.roll(rs, 2, 1)) + r_l0 + r_l1,
-                jnp.where(col == 1, -jnp.roll(rs, 2, 1) + r_l0, 0),
-            )
-            wrap_r = jnp.where(
-                col == W - 1,
-                -(jnp.roll(rs, -1, 1) + jnp.roll(rs, -2, 1)) + r_r0 + r_r1,
-                jnp.where(col == W - 2, -jnp.roll(rs, -2, 1) + r_r0, 0),
-            )
-            cs = cs + wrap_l + wrap_r
+            # jnp.roll wraps: at edge column c the roll-by-dc term brought a
+            # wrapped column instead of the reflected one — swap them
+            wrap = jnp.zeros_like(rs)
+            for dc in range(1, half + 1):
+                rolled_l = jnp.roll(rs, dc, 1)
+                rolled_r = jnp.roll(rs, -dc, 1)
+                for c in range(dc):
+                    wrap = wrap + jnp.where(
+                        col == c, rs[:, dc - c - 1 : dc - c] - rolled_l, 0
+                    )
+                    wrap = wrap + jnp.where(
+                        col == W - 1 - c,
+                        rs[:, W - (dc - c) : W - (dc - c) + 1] - rolled_r,
+                        0,
+                    )
+            cs = cs + wrap
             for pos, _v in enumerate(group):
                 t = (((cs >> (bits * pos)) & fmask) < half_rank).astype(jnp.int32)
                 med = t if med is None else med + t
@@ -104,6 +104,7 @@ def median_label_filter_pallas(
     """scipy.ndimage.median_filter(img, size, mode='reflect') on uint8 label
     planes via one Pallas pass.  [H, W] or [B, H, W]; H % tile == 0."""
     half = size // 2
+    assert 1 <= half <= _VHALO, f"size={size} needs half≤{_VHALO} (the VMEM halo)"
     batched = img.ndim == 3
     img3 = (img if batched else img[None]).astype(jnp.uint8)
     B, H, W = img3.shape
@@ -155,7 +156,13 @@ def median_label_filter_auto(
 
     on_tpu = jax.default_backend() not in ("cpu", "gpu")
     H, W = img.shape[-2:]
-    if on_tpu and size == 5 and num_classes <= 8 and W % 128 == 0:
+    if (
+        on_tpu
+        and size % 2 == 1
+        and 1 <= size // 2 <= _VHALO
+        and num_classes <= 8
+        and W % 128 == 0
+    ):
         for t in (32, 16, 8):
             if H % t == 0:
                 return median_label_filter_pallas(

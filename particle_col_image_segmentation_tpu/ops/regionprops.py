@@ -51,13 +51,6 @@ class RegionTable(NamedTuple):
     valid: jnp.ndarray  # [R+1] bool (area>0 and not background row)
 
 
-def _split_segment_sum(vals: jnp.ndarray, ids: jnp.ndarray, num: int):
-    """Exact Σvals per segment as (hi, lo) with total = HILO_BASE*hi + lo."""
-    hi = jax.ops.segment_sum(vals // HILO_BASE, ids, num_segments=num)
-    lo = jax.ops.segment_sum(vals % HILO_BASE, ids, num_segments=num)
-    return hi, lo
-
-
 def _exact_floor_div(hi: jnp.ndarray, lo: jnp.ndarray, d: jnp.ndarray):
     """floor((HILO_BASE*hi + lo) / d) in pure int32 (d ≥ 1; see module
     precision note for the no-overflow argument)."""

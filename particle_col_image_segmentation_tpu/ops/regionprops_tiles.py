@@ -343,8 +343,12 @@ def _lookup_kernel(seg_ref, tab_ref, out_ref, *, T: int, Qp: int):
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )  # [2*Qp, W]: hi digit in row q, lo digit in row Qp+q
-        hit_hi = q_iota == q
-        hit_lo = q_iota == (q + Qp)
+        # ids past capacity (q >= Qp) must read 0: without the q < Qp gate,
+        # q_iota == q would match a LO-digit row (row q is the lo plane of
+        # q - Qp), returning 128·table[id - Qp·128] instead of 0
+        in_cap = q < Qp
+        hit_hi = (q_iota == q) & in_cap
+        hit_lo = (q_iota == (q + Qp)) & in_cap
         picked = jnp.sum(
             jnp.where(hit_hi, _HL * u, jnp.where(hit_lo, u, 0)),
             axis=0,
@@ -395,14 +399,20 @@ def table_lookup_mxu(
 
 
 def table_lookup_auto(seg: jnp.ndarray, table: jnp.ndarray) -> jnp.ndarray:
-    """Backend dispatch for table[seg]: MXU broadcast on TPU, gather elsewhere."""
+    """Backend dispatch for table[seg]: MXU broadcast on TPU, gather elsewhere.
+
+    Ids past the table length read 0 on both paths (XLA's gather would
+    CLAMP to the last row — masked here to match the MXU kernel)."""
     on_tpu = jax.default_backend() not in ("cpu", "gpu")
     if on_tpu and seg.shape[-2] % 8 == 0:
         rpc = 32 if seg.shape[-2] % 32 == 0 else 8
         return table_lookup_mxu(seg, table, rows_per_chunk=rpc)
+    R = table.shape[-1]
     if seg.ndim == 3 and table.ndim == 2:
-        return jax.vmap(lambda s, t: t[s])(seg, table)
-    return table.astype(jnp.int32)[seg]
+        out = jax.vmap(lambda s, t: t[s])(seg, table)
+    else:
+        out = table.astype(jnp.int32)[seg]
+    return jnp.where(seg < R, out, 0)
 
 
 def region_counts_auto(

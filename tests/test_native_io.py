@@ -34,6 +34,19 @@ def test_native_read_matches_pil(tmp_path):
     np.testing.assert_array_equal(got, arr)
 
 
+def test_mixed_page_sizes_rejected(tmp_path):
+    """Regression: multipage TIFFs whose pages differ in geometry (embedded
+    thumbnails / pyramid levels) were packed misaligned into the
+    (pages, h0, w0) buffer; the codec must punt them to the PIL fallback."""
+    from PIL import Image
+
+    big = Image.fromarray(np.zeros((16, 20), np.uint8))
+    small = Image.fromarray(np.ones((8, 10), np.uint8))
+    p = str(tmp_path / "mixed.tif")
+    big.save(p, save_all=True, append_images=[small])
+    assert native.read_tiff(p) is None  # → tiff.read_tiff_stack uses PIL
+
+
 def test_pil_reads_native_output(tmp_path):
     from PIL import Image
 

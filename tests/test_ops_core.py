@@ -257,6 +257,30 @@ class TestScatterFreeTables:
         valid = np.asarray(a0) > 0
         np.testing.assert_array_equal(np.asarray(c0)[valid], np.asarray(c1)[valid])
 
+    def test_lookup_over_capacity_reads_zero(self):
+        """Regression: ids with q >= Qp once matched a LO-digit table row in
+        the MXU lookup (returning 128·table[id − Qp·128]), and the XLA
+        fallback's gather CLAMPED to the last row.  Both must read 0."""
+        from particle_col_image_segmentation_tpu.ops.regionprops_tiles import (
+            table_lookup_auto,
+            table_lookup_mxu,
+        )
+
+        R = 5  # Qp rounds to 16 → kernel capacity 2048
+        tab = np.array([9, 8, 3, 7, 250], np.int32)
+        seg = np.array(
+            [[0, 2, 4, 5, 100, 2047, 2048, 2050, 4096, 5000]] * 8, np.int32
+        )
+        expect = np.where(seg < R, tab[np.minimum(seg, R - 1)], 0)
+        got = np.asarray(
+            table_lookup_mxu(jnp.asarray(seg), jnp.asarray(tab),
+                             rows_per_chunk=8, interpret=True)
+        )
+        np.testing.assert_array_equal(got, expect)
+        # XLA fallback path (CPU backend in this suite)
+        got_auto = np.asarray(table_lookup_auto(jnp.asarray(seg), jnp.asarray(tab)))
+        np.testing.assert_array_equal(got_auto, expect)
+
     def test_fused_batch_auto_paths(self):
         """fused_segment_batch on CPU exercises the fallback dispatch."""
         from particle_col_image_segmentation_tpu.config import AnalysisConfig
@@ -392,3 +416,22 @@ class TestPallasMedian:
         )
         ref = np.stack([ndi.median_filter(i, size=5) for i in imgs])
         np.testing.assert_array_equal(got, ref)
+
+    @pytest.mark.parametrize("size", [3, 7, 9])
+    def test_non_default_sizes(self, size):
+        """Regression: the horizontal taps/reflect fixes were once hardcoded
+        to size=5, silently wrong for any other size."""
+        from particle_col_image_segmentation_tpu.ops.filters_tiles import (
+            median_label_filter_pallas,
+        )
+
+        rng = np.random.default_rng(100 + size)
+        img = rng.integers(0, 6, (32, 128)).astype(np.uint8)
+        got = np.asarray(
+            median_label_filter_pallas(
+                jnp.asarray(img), size=size, tile=8, interpret=True
+            )
+        )
+        np.testing.assert_array_equal(
+            got, ndi.median_filter(img, size=size, mode="reflect")
+        )

@@ -87,6 +87,19 @@ class TestBatchPipeline:
         )
         assert again == []
 
+    def test_overflow_flagged(self):
+        """Regression: planes with more components than max_regions silently
+        undercounted; now they carry overflow=True (and a manifest marker)."""
+        from particle_col_image_segmentation_tpu.config import AnalysisConfig
+
+        rng = np.random.default_rng(0)
+        plane = rng.integers(1, 4, (64, 64)).astype(np.uint8)  # speckle
+        tiny = AnalysisConfig(max_regions=8)
+        (_, stats), = run_batch(["p"], lambda k: plane, tiny, batch_size=1,
+                                particle_val=2)
+        assert stats.num_regions > 8
+        assert stats.overflow
+
     def test_derive_class_values(self):
         from particle_col_image_segmentation_tpu.models.batch import (
             derive_class_values,
