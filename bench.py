@@ -69,7 +69,7 @@ def bench_device(batch: np.ndarray) -> float:
         # block_until_ready does not synchronize (the relay-attached chip):
         # the tables transitively depend on every pipeline stage, so summing
         # them suffices — no whole-plane reduction in the timed graph.
-        seg, num, areas, classes, particle_px, cell_px, class_px = (
+        seg, num, areas, classes, particle_px, cell_px, class_px, conv = (
             fused_segment_batch(imgs, cfg, particle_val=2, cell_vals=(1,))
         )
         return jnp.sum(num) + jnp.sum(areas) + jnp.sum(particle_px)

@@ -255,6 +255,8 @@ def main(argv=None) -> int:
                     pack_transfer=args.pack_transfer,
                 ):
                     flag = " OVERFLOW(raise --max-regions)" if stats.overflow else ""
+                    if not stats.converged:
+                        flag += " UNCONVERGED(stats invalid)"
                     print(
                         f"{path}: regions={stats.num_regions} "
                         f"particle_px={stats.particle_px} cell_px={stats.cell_px}"

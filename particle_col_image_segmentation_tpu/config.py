@@ -87,6 +87,14 @@ class AnalysisConfig:
     # Enforce the reference's hardcoded 2048×2048 plane shape
     # (tiff_analysis.py:734-737). Off by default so any square plane works.
     enforce_reference_shape: bool = False
+    # Fixpoint iteration budgets. Defaults converge on any realistic plane;
+    # pathological geometry (plane-spanning spirals) can exhaust them, which
+    # is DETECTED (host boundaries raise / flag, never silently wrong) —
+    # raise these to push through such planes. ccl_max_sweeps bounds the
+    # Pallas band-sweep down/up pairs; ccl_max_iters the XLA fixpoint
+    # rounds.
+    ccl_max_sweeps: int = 16
+    ccl_max_iters: int = 64
 
     @property
     def min_cell_area_map(self) -> dict:

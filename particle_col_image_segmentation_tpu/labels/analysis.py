@@ -48,6 +48,8 @@ class PlaneDeviceOut(NamedTuple):
     g_ctx: jnp.ndarray  # [n_strains+1, R+1] merge-group root per region
     #   (contexts: each strain in map order, then the combined union;
     #    -1 = centroid not on any dilated component)
+    converged: jnp.ndarray  # scalar bool: every fixpoint kernel reached its
+    #   fixpoint within budget; False ⇒ labels/tables are invalid
 
 
 def strain_values_of(cell_types: Tuple[Tuple[int, str], ...]):
@@ -69,11 +71,17 @@ def _stage_segment(img, cfg: AnalysisConfig, denoise: bool, particle_val: int):
         if denoise
         else img
     )
-    raw = connected_components_auto(den, background=None, num_classes=cfg.num_classes)
-    seg, num = compact_labels_auto(raw, cfg.max_regions, val=den)
+    raw, conv_ccl = connected_components_auto(
+        den, background=None, num_classes=cfg.num_classes, with_flag=True,
+        max_iters=cfg.ccl_max_iters, max_sweeps=cfg.ccl_max_sweeps,
+    )
+    seg, num, conv_cmp = compact_labels_auto(
+        raw, cfg.max_regions, val=den, with_flag=True,
+        max_sweeps=cfg.ccl_max_sweeps,
+    )
     table = region_props_auto(seg, den, cfg.max_regions)
     particle_area = jnp.sum((den == particle_val).astype(jnp.int32))
-    return den, seg, num, table, particle_area
+    return den, seg, num, table, particle_area, conv_ccl & conv_cmp
 
 
 @partial(jax.jit, static_argnames=("cfg", "particle_val", "strain_vals"))
@@ -120,8 +128,9 @@ def _stage_merge(den, table: RegionTable, cfg: AnalysisConfig, strain_vals):
     # background=None keeps the CCL on the uint8 value path (bg pixels get
     # inert labels); centroids off the dilated mask map to -1 below, exactly
     # as background=0's -1 labels did
-    ctx_raw = connected_components_auto(
-        dil.astype(jnp.uint8), background=None, num_classes=2
+    ctx_raw, conv = connected_components_auto(
+        dil.astype(jnp.uint8), background=None, num_classes=2, with_flag=True,
+        max_iters=cfg.ccl_max_iters, max_sweeps=cfg.ccl_max_sweeps,
     )
     # flat take_along_axis: a 1-D gather per context lowers far better on
     # TPU than [:, icy, icx] advanced indexing (batched 2-D gather)
@@ -131,7 +140,7 @@ def _stage_merge(den, table: RegionTable, cfg: AnalysisConfig, strain_vals):
     on_mask = jnp.take_along_axis(
         dil.reshape(S, H * W).astype(jnp.int32), flat_idx, axis=-1
     )
-    return jnp.where(on_mask > 0, g, -1)
+    return jnp.where(on_mask > 0, g, -1), jnp.all(conv)
 
 
 def analyze_plane_device(
@@ -164,14 +173,17 @@ def analyze_plane_device(
     particle_val = _particle_value(cell_types)
 
     img = jnp.asarray(img)
-    den, seg, num, table, particle_area = _stage_segment(
+    den, seg, num, table, particle_area, conv = _stage_segment(
         img, cfg=cfg, denoise=denoise, particle_val=particle_val
     )
     filled, overlap_counts = _stage_fill(
         den, cfg=cfg, particle_val=particle_val, strain_vals=strain_vals
     )
     if compute_merge:
-        g_ctx = _stage_merge(den, table, cfg=cfg, strain_vals=strain_vals)
+        g_ctx, conv_merge = _stage_merge(
+            den, table, cfg=cfg, strain_vals=strain_vals
+        )
+        conv = conv & conv_merge
     else:
         g_ctx = jnp.full(
             (len(strain_vals) + 1, cfg.max_regions + 1), -1, jnp.int32
@@ -186,6 +198,7 @@ def analyze_plane_device(
         filled=filled,
         overlap_counts=overlap_counts,
         g_ctx=g_ctx,
+        converged=conv,
     )
 
 
@@ -198,16 +211,23 @@ def dapi_dedup_device(
 
     Cells (value 1) whose component overlaps the other channel's cell mask by
     more than ``cfg.dapi_overlap_threshold`` of their area become value 2.
+
+    Returns (updated plane, converged bool scalar).
     """
     dapi_mask = dapi == 1
     other_mask = other == 1
     # background=None: bg pixels form (inert) labeled components too, which
     # keeps the whole CCL on the cheap uint8 value path — the removal test
     # is masked by dapi_mask below, so bg rows in the tables never act
-    raw = connected_components_auto(
-        dapi_mask.astype(jnp.uint8), background=None, num_classes=2
+    raw, conv_ccl = connected_components_auto(
+        dapi_mask.astype(jnp.uint8), background=None, num_classes=2,
+        with_flag=True, max_iters=cfg.ccl_max_iters,
+        max_sweeps=cfg.ccl_max_sweeps,
     )
-    seg, _ = compact_labels_auto(raw, cfg.max_regions, val=dapi_mask.astype(jnp.uint8))
+    seg, _, conv_cmp = compact_labels_auto(
+        raw, cfg.max_regions, val=dapi_mask.astype(jnp.uint8), with_flag=True,
+        max_sweeps=cfg.ccl_max_sweeps,
+    )
     R = cfg.max_regions + 1
     on_tpu = jax.default_backend() not in ("cpu", "gpu")
     if on_tpu and dapi.shape[-2] % 8 == 0:
@@ -227,4 +247,4 @@ def dapi_dedup_device(
     )
 
     remove_px = (table_lookup_auto(seg, remove.astype(jnp.int32)) > 0) & dapi_mask
-    return jnp.where(remove_px, jnp.uint8(2), dapi)
+    return jnp.where(remove_px, jnp.uint8(2), dapi), conv_ccl & conv_cmp

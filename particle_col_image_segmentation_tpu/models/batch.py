@@ -87,6 +87,11 @@ class PlaneStats:
     # dropped from the tables, so the pixel stats UNDERCOUNT.  Re-run the
     # plane with a larger AnalysisConfig.max_regions.
     overflow: bool = False
+    # False when a fixpoint kernel exhausted its iteration budget: the
+    # labels (and every stat) are INVALID for this plane.  The plane is not
+    # marked done in the manifest, so a re-run (with raised budgets)
+    # retries it.
+    converged: bool = True
 
 
 @partial(jax.jit, static_argnames=("cfg", "particle_val", "cell_vals", "packed"))
@@ -108,10 +113,16 @@ def fused_segment_batch(
 
         imgs = unpack_nibbles(imgs, jnp.uint8)
     den = median_label_filter_auto(imgs, cfg.denoise_size, cfg.num_classes)
-    raw = connected_components_auto(den, background=None, num_classes=cfg.num_classes)
+    raw, conv_ccl = connected_components_auto(
+        den, background=None, num_classes=cfg.num_classes, with_flag=True,
+        max_iters=cfg.ccl_max_iters, max_sweeps=cfg.ccl_max_sweeps,
+    )
     # gather-free compaction + MXU histogram tables on TPU (scatter/gather
     # fallbacks elsewhere); both batched over the leading axis in one launch
-    seg, num = compact_labels_auto(raw, cfg.max_regions, val=den)
+    seg, num, conv_cmp = compact_labels_auto(
+        raw, cfg.max_regions, val=den, with_flag=True,
+        max_sweeps=cfg.ccl_max_sweeps,
+    )
     areas, classes = region_counts_auto(seg, den, cfg.max_regions)
     # Every pixel belongs to exactly one class-homogeneous region (background
     # is labeled too), so all pixel histograms reduce over the [R+1] tables
@@ -126,7 +137,8 @@ def fused_segment_batch(
     )
     particle_px = class_px[..., particle_val]
     cell_px = sum(class_px[..., v] for v in cell_vals)
-    return seg, num, areas, classes, particle_px, cell_px, class_px
+    converged = conv_ccl & conv_cmp  # per plane [B]
+    return seg, num, areas, classes, particle_px, cell_px, class_px, converged
 
 
 def make_fused_segment_fn(
@@ -164,6 +176,7 @@ def make_fused_segment_fn(
             P(DATA_AXIS),  # particle_px
             P(DATA_AXIS),  # cell_px
             P(DATA_AXIS),  # class_px
+            P(DATA_AXIS),  # converged
         ),
         # every output is data-varying and the body is communication-free;
         # the replication checker trips on iota seeds inside the fixpoint
@@ -227,21 +240,31 @@ def run_batch(
                     dev_batch, cfg, particle_val, cell_vals,
                     packed=pack_transfer,
                 )
-        _, num, _, _, particle_px, cell_px, class_px = out
+        _, num, _, _, particle_px, cell_px, class_px, converged = out
         # ONE host readback per batch: each np.asarray is a device sync
         # (a full round trip on remote-attached chips), so the per-plane
-        # scalars ride a single packed [B, 3+C] array
+        # scalars ride a single packed [B, 4+C] array
         stats_dev = jnp.concatenate(
-            [num[:, None], particle_px[:, None], cell_px[:, None], class_px],
+            [num[:, None], particle_px[:, None], cell_px[:, None],
+             converged[:, None].astype(num.dtype), class_px],
             axis=-1,
         )
         stats_host = np.asarray(stats_dev)
         num = stats_host[:, 0]
         particle_px = stats_host[:, 1]
         cell_px = stats_host[:, 2]
-        class_px = stats_host[:, 3:]
+        conv_host = stats_host[:, 3]
+        class_px = stats_host[:, 4:]
         for b in range(count):
             path = todo[idx]
+            converged = bool(conv_host[b])
+            if not converged:
+                _log.error(
+                    "%s: CCL/compaction exhausted its iteration budget — "
+                    "stats INVALID for this plane; not marking done "
+                    "(pathological geometry; raise the sweep budgets in "
+                    "ops.ccl/ccl_tiles)", path,
+                )
             overflow = int(num[b]) > cfg.max_regions
             if overflow:
                 _log.warning(
@@ -255,8 +278,9 @@ def run_batch(
                 cell_px=int(cell_px[b]),
                 class_px=class_px[b],
                 overflow=overflow,
+                converged=converged,
             )
-            if manifest is not None:
+            if manifest is not None and converged:
                 meta = {
                     "regions": stats.num_regions,
                     "particle_px": stats.particle_px,

@@ -189,11 +189,14 @@ def process_multiple_h5_files(
     if len(cell_strains) > 1:
         other_name = "GFP" if cell_strains == ["6B07", "C3M10"] else "RFP"
         other = channel_ds_arrs[other_name]
-        dapi_updated = np.asarray(
-            dapi_dedup_device(
-                jnp.asarray(channel_ds_arrs["DAPI"]), jnp.asarray(other), cfg
-            )
+        dapi_dev, dedup_conv = dapi_dedup_device(
+            jnp.asarray(channel_ds_arrs["DAPI"]), jnp.asarray(other), cfg
         )
+        if not bool(dedup_conv):
+            raise RuntimeError(
+                "DAPI-dedup CCL did not converge within the kernel budget"
+            )
+        dapi_updated = np.asarray(dapi_dev)
         # The reference analyzes the already-denoised deduped plane directly
         # (:168) — no second median pass.
         dapi_res = analyze_plane(

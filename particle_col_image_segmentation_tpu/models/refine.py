@@ -49,13 +49,18 @@ def refine_plane_device(
     # set, so the feature is the complement.
     distance = edt(~binary_mask, cap=cfg.edt_cap)
     maxima = local_maxima(distance)
-    raw = connected_components_auto(maxima.astype(jnp.uint8), background=0, num_classes=2)
-    markers, num = compact_labels_auto(
-        raw, max_regions, val=maxima.astype(jnp.uint8)
+    raw, conv_ccl = connected_components_auto(
+        maxima.astype(jnp.uint8), background=0, num_classes=2, with_flag=True
     )
-    labels = watershed_auto(boundary_map.astype(jnp.float32), markers, binary_mask)
+    markers, num, conv_cmp = compact_labels_auto(
+        raw, max_regions, val=maxima.astype(jnp.uint8), with_flag=True
+    )
+    labels, conv_ws = watershed_auto(
+        boundary_map.astype(jnp.float32), markers, binary_mask, with_flag=True
+    )
     table = region_props_auto(labels, jnp.ones_like(labels, jnp.uint8), max_regions)
-    return labels, markers, num, table, distance
+    converged = conv_ccl & conv_cmp & conv_ws
+    return labels, markers, num, table, distance, converged
 
 
 @dataclasses.dataclass
@@ -90,9 +95,14 @@ def refine_boundaries(
             raise ValueError(
                 f"No channel axis of size <= 8 in shape {arr.shape}"
             )
-    labels, _, num, table, _ = refine_plane_device(
+    labels, _, num, table, _, converged = refine_plane_device(
         jnp.asarray(arr, jnp.float32), cfg, max_regions
     )
+    if not bool(converged):
+        raise RuntimeError(
+            "refine fixpoints (CCL/compaction/watershed) did not converge "
+            "within the kernel iteration budgets — labels are invalid"
+        )
     n = int(num)
     if n > max_regions:
         raise ValueError(f"{n} cells > max_regions={max_regions}")

@@ -86,6 +86,12 @@ def analyze_plane(
     out = device_out
 
     num = int(out.num)
+    if not bool(out.converged):
+        raise RuntimeError(
+            "CCL/compaction did not reach its fixpoint within the kernel "
+            "iteration budget — labels are invalid (pathological worst-case "
+            "geometry; raise the sweep budgets in ops.ccl/ccl_tiles)"
+        )
     if num > cfg.max_regions:
         raise ValueError(
             f"Plane has {num} components > max_regions={cfg.max_regions}; "

@@ -84,13 +84,17 @@ def _pointer_jump(lab):
     return jnp.minimum(flat, jumped).reshape(lab.shape)
 
 
-@partial(jax.jit, static_argnames=("connectivity", "max_iters", "num_classes"))
+@partial(
+    jax.jit,
+    static_argnames=("connectivity", "max_iters", "num_classes", "with_flag"),
+)
 def connected_components(
     img: jnp.ndarray,
     background: Optional[jnp.ndarray] = None,
     connectivity: int = 8,
     max_iters: int = 64,
     num_classes: int = 8,
+    with_flag: bool = False,
 ) -> jnp.ndarray:
     """Label components of equal-valued pixels.
 
@@ -102,6 +106,10 @@ def connected_components(
       max_iters: safety bound on the fixpoint loop.
       num_classes: exclusive upper bound on pixel values (static; drives the
         class-decomposed neighbor-min).
+      with_flag: also return a per-plane bool ``converged`` ([...] batch
+        shape) — False means ``max_iters`` ran out with labels still
+        changing; the labels are then NOT a valid CCL and callers must
+        surface the failure rather than use them.
 
     Returns:
       [..., H, W] int32; each foreground pixel holds the minimum linear index
@@ -129,6 +137,8 @@ def connected_components(
         axis=-2,
     )
 
+    batch_shape = img.shape[:-2]
+
     def body(state):
         lab, _, i = state
         new = _neighbor_min(lab, img, connectivity, num_classes)
@@ -141,16 +151,21 @@ def connected_components(
         # chains still collapse log-fast, common blobs converge on scans
         # alone.
         new = jax.lax.cond(i % 4 == 3, _pointer_jump, lambda l: l, new)
-        changed = jnp.any(new != lab)
+        changed = jnp.any(new != lab, axis=(-2, -1))  # per plane
         return new, changed, i + 1
 
     def cond(state):
         _, changed, i = state
-        return changed & (i < max_iters)
+        return jnp.any(changed) & (i < max_iters)
 
     lab0 = lin
-    lab, _, _ = jax.lax.while_loop(cond, body, (lab0, jnp.bool_(True), 0))
-    return jnp.where(fg, lab, -1)
+    lab, changed, _ = jax.lax.while_loop(
+        cond, body, (lab0, jnp.ones(batch_shape, bool), 0)
+    )
+    out = jnp.where(fg, lab, -1)
+    if with_flag:
+        return out, ~changed
+    return out
 
 
 @partial(jax.jit, static_argnames=("max_regions",))
@@ -187,13 +202,18 @@ def compact_labels(
     return seg.reshape(H, W), num
 
 
-@partial(jax.jit, static_argnames=("max_regions", "tile", "interpret"))
+@partial(
+    jax.jit,
+    static_argnames=("max_regions", "tile", "interpret", "with_flag", "max_sweeps"),
+)
 def compact_labels_sweeps(
     raw: jnp.ndarray,
     max_regions: int,
     tile: int = 64,
     interpret: bool = False,
     val: jnp.ndarray = None,
+    with_flag: bool = False,
+    max_sweeps: int = 16,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """compact_labels without the 4M-element gather (TPU band-sweep path).
 
@@ -234,30 +254,45 @@ def compact_labels_sweeps(
     # reached exactly when no +INF remains (converge_on="inf" — no confirm
     # sweep).
     vimg = raw3 if val is None else val.reshape(raw3.shape)
-    seg, band_counts = min_propagate(
+    res = min_propagate(
         raw3, vimg, tile=tile, interpret=interpret, converge_on="inf",
-        init="rank",
+        init="rank", with_flag=with_flag, max_sweeps=max_sweeps,
     )
+    seg, band_counts = res[0], res[1]
     num = jnp.sum(band_counts, axis=-1)
     if not batched:
         seg, num = seg[0], num[0]
     else:
         num = num.reshape(raw.shape[:-2])
+    if with_flag:
+        conv = res[2]
+        return seg, num, (conv.reshape(raw.shape[:-2]) if batched else conv[0])
     return seg, num
 
 
 def compact_labels_auto(
-    raw: jnp.ndarray, max_regions: int, val: jnp.ndarray = None
+    raw: jnp.ndarray, max_regions: int, val: jnp.ndarray = None,
+    with_flag: bool = False, max_sweeps: int = 16,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Backend dispatch: band-sweep compaction on TPU, gather path elsewhere."""
+    """Backend dispatch: band-sweep compaction on TPU, gather path elsewhere.
+
+    ``with_flag=True`` appends a per-plane ``converged`` bool (the gather
+    path is non-iterative and always converged)."""
     H, W = raw.shape[-2:]
     tile = _pick_band_tile(H)
     on_tpu = jax.default_backend() not in ("cpu", "gpu")
     if on_tpu and tile is not None and W % 128 == 0:
-        return compact_labels_sweeps(raw, max_regions, tile=tile, val=val)
+        return compact_labels_sweeps(
+            raw, max_regions, tile=tile, val=val, with_flag=with_flag,
+            max_sweeps=max_sweeps,
+        )
     if raw.ndim == 3:
-        return jax.vmap(lambda r: compact_labels(r, max_regions))(raw)
-    return compact_labels(raw, max_regions)
+        seg, num = jax.vmap(lambda r: compact_labels(r, max_regions))(raw)
+    else:
+        seg, num = compact_labels(raw, max_regions)
+    if with_flag:
+        return seg, num, jnp.ones(raw.shape[:-2], bool)
+    return seg, num
 
 
 def _pick_band_tile(H: int):
@@ -280,13 +315,18 @@ def connected_components_auto(
     background: Optional[int] = None,
     connectivity: int = 8,
     num_classes: int = 8,
+    with_flag: bool = False,
+    max_iters: int = 64,
+    max_sweeps: int = 16,
 ) -> jnp.ndarray:
     """connected_components with automatic kernel selection.
 
     On TPU backends, 2D (or leading-batched) planes with band-divisible
     heights use the Pallas Gauss-Seidel band sweeps (ops/ccl_tiles.py,
     ~7× faster); everything else falls back to the XLA fixpoint.  Both
-    produce identical labels.
+    produce identical labels.  ``with_flag=True`` appends a per-plane
+    ``converged`` bool — False means the kernel's iteration budget ran out
+    (pathological worst-case geometry) and the labels are invalid.
     """
     import jax as _jax
 
@@ -298,12 +338,14 @@ def connected_components_auto(
     if tile is None or W % 128 != 0 or not on_tpu:
         return connected_components(
             img, background=background, connectivity=connectivity,
-            num_classes=num_classes,
+            num_classes=num_classes, with_flag=with_flag,
+            max_iters=max_iters,
         )
     from particle_col_image_segmentation_tpu.ops.ccl_tiles import ccl_sweeps
 
     return ccl_sweeps(
-        img, background=background, connectivity=connectivity, tile=tile
+        img, background=background, connectivity=connectivity, tile=tile,
+        with_flag=with_flag, max_sweeps=max_sweeps,
     )
 
 

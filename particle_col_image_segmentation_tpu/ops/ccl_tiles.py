@@ -561,7 +561,7 @@ def _make_init_sweep(
     jax.jit,
     static_argnames=(
         "connectivity", "tile", "max_sweeps", "inner_iters", "interpret",
-        "converge_on", "init",
+        "converge_on", "init", "with_flag",
     ),
 )
 def min_propagate(
@@ -574,6 +574,7 @@ def min_propagate(
     interpret: bool = False,
     converge_on: str = "change",
     init: str = "array",
+    with_flag: bool = False,
 ) -> jnp.ndarray:
     """Propagate the min of ``lab`` within each equal-``val`` component.
 
@@ -591,6 +592,12 @@ def min_propagate(
     the per-plane linear index, synthesized inside the first down sweep —
     ``lab`` is ignored and may be a 1-element placeholder of the right
     batch shape metadata (pass val again).
+
+    ``with_flag=True`` additionally returns a per-plane bool ``converged``
+    (batch-shaped; scalar for a single plane), read for free from the final
+    sweep's per-band flags: False means the ``max_sweeps`` budget ran out
+    with work remaining and the labels are NOT at the fixpoint.  Callers at
+    host boundaries must surface that instead of using the labels.
     """
     batch_shape = val.shape[:-2]
     H, W = val.shape[-2:]
@@ -662,17 +669,28 @@ def min_propagate(
         _, flags, i = state
         return jnp.any(flags != 0) & (i < 2 * max_sweeps)
 
-    lab_p, _, _ = jax.lax.while_loop(cond, body, (lab_p, f0[:, 0, 0], 1))
+    lab_p, flags_f, _ = jax.lax.while_loop(cond, body, (lab_p, f0[:, 0, 0], 1))
     out = lab_p[_HALO : _HALO + B * H].reshape(B, H, W)
     out = out.reshape(val.shape[:-2] + (H, W))
+    extras = []
     if init == "rank":
-        return out, band_counts.reshape(B, bands_per_plane)
-    return out
+        extras.append(band_counts.reshape(B, bands_per_plane))
+    if with_flag:
+        # final sweep's per-band flags: all zero ⇔ that plane is at the
+        # fixpoint (the loop exits either fully clean or at the sweep cap)
+        conv = jnp.all(
+            flags_f.reshape(B, bands_per_plane) == 0, axis=-1
+        ).reshape(batch_shape)
+        extras.append(conv)
+    return (out, *extras) if extras else out
 
 
 @partial(
     jax.jit,
-    static_argnames=("connectivity", "tile", "max_sweeps", "inner_iters", "interpret"),
+    static_argnames=(
+        "connectivity", "tile", "max_sweeps", "inner_iters", "interpret",
+        "with_flag",
+    ),
 )
 def ccl_sweeps(
     img: jnp.ndarray,
@@ -682,6 +700,7 @@ def ccl_sweeps(
     max_sweeps: int = 16,
     inner_iters: int = 16,
     interpret: bool = False,
+    with_flag: bool = False,
 ) -> jnp.ndarray:
     """connected_components via Gauss-Seidel band sweeps.
 
@@ -716,9 +735,13 @@ def ccl_sweeps(
 
     # init="linear": the first down sweep synthesizes the per-plane linear-
     # index seed in VMEM — no whole-plane iota/pad materialization in HBM
-    lab = min_propagate(
+    res = min_propagate(
         v, v, connectivity=connectivity, tile=tile, max_sweeps=max_sweeps,
         inner_iters=inner_iters, interpret=interpret, init="linear",
+        with_flag=with_flag,
     )
-    out = jnp.where(fg, lab, -1)
-    return out.reshape(img.shape)
+    lab = res[0] if with_flag else res
+    out = jnp.where(fg, lab, -1).reshape(img.shape)
+    if with_flag:
+        return out, res[1].reshape(img.shape[:-2])
+    return out

@@ -52,13 +52,14 @@ def _shifted(x, dy, dx, fill):
     return jnp.full((H, W), fill, x.dtype).at[sl_dst].set(x[sl_src])
 
 
-@partial(jax.jit, static_argnames=("connectivity", "max_iters"))
+@partial(jax.jit, static_argnames=("connectivity", "max_iters", "with_flag"))
 def watershed(
     image: jnp.ndarray,
     markers: jnp.ndarray,
     mask: Optional[jnp.ndarray] = None,
     connectivity: int = 1,
     max_iters: int = 1024,
+    with_flag: bool = False,
 ) -> jnp.ndarray:
     """Flood ``markers`` over the relief ``image`` within ``mask``.
 
@@ -67,6 +68,9 @@ def watershed(
       markers: [H, W] int marker labels (>0 seeds, 0 elsewhere).
       mask: optional [H, W] bool; pixels outside stay 0.
       connectivity: 1 (4-neighbors, skimage default) or 2 (8).
+      with_flag: also return a bool ``converged`` — False means a phase hit
+        ``max_iters`` with work left (huge/winding basins); unreached in-mask
+        pixels would then silently read 0, so callers must surface it.
 
     Returns [H, W] int32 labels.
     """
@@ -92,7 +96,7 @@ def watershed(
         _, changed, i = state
         return changed & (i < max_iters)
 
-    cost, _, _ = jax.lax.while_loop(
+    cost, c_changed, _ = jax.lax.while_loop(
         cond, cost_body, (cost0, jnp.bool_(True), 0)
     )
 
@@ -110,32 +114,40 @@ def watershed(
         new = jnp.where(seeded, lab0, jnp.where(m, best, _BIG_LAB))
         return new, jnp.any(new != lab), i + 1
 
-    lab, _, _ = jax.lax.while_loop(
+    lab, l_changed, _ = jax.lax.while_loop(
         cond, lab_body, (lab_init, jnp.bool_(True), 0)
     )
     reached = m & (cost < _INF) & (lab != _BIG_LAB)
-    return jnp.where(reached, lab, 0)
+    out = jnp.where(reached, lab, 0)
+    if with_flag:
+        return out, ~(c_changed | l_changed)
+    return out
 
 def watershed_auto(
     image: jnp.ndarray,
     markers: jnp.ndarray,
     mask: Optional[jnp.ndarray] = None,
     connectivity: int = 1,
+    with_flag: bool = False,
 ) -> jnp.ndarray:
     """watershed with automatic kernel selection: the Pallas band sweeps on
     TPU backends (band-divisible heights), the XLA fixpoint elsewhere.
-    Both produce identical labels (two-phase confluence)."""
+    Both produce identical labels (two-phase confluence).  ``with_flag=True``
+    appends a bool ``converged``."""
     backend = jax.default_backend()
     H, W = image.shape[-2:]
     tile = next((t for t in (64, 32, 16, 8) if H % t == 0), None)
     # band DMAs need lane-aligned widths (Mosaic memref slicing), same
     # gating as connected_components_auto
     if tile is None or W % 128 != 0 or backend in ("cpu", "gpu"):
-        return watershed(image, markers, mask, connectivity=connectivity)
+        return watershed(
+            image, markers, mask, connectivity=connectivity, with_flag=with_flag
+        )
     from particle_col_image_segmentation_tpu.ops.watershed_tiles import (
         watershed_sweeps,
     )
 
     return watershed_sweeps(
-        image, markers, mask, connectivity=connectivity, tile=tile
+        image, markers, mask, connectivity=connectivity, tile=tile,
+        with_flag=with_flag,
     )

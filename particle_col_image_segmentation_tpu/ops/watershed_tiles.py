@@ -191,7 +191,10 @@ def _make_sweep(kernel_fn, n_in, T, n_bands, Hp, W, out_dtype, downward,
 
 @partial(
     jax.jit,
-    static_argnames=("connectivity", "tile", "max_sweeps", "inner_iters", "interpret"),
+    static_argnames=(
+        "connectivity", "tile", "max_sweeps", "inner_iters", "interpret",
+        "with_flag",
+    ),
 )
 def watershed_sweeps(
     image: jnp.ndarray,
@@ -202,9 +205,11 @@ def watershed_sweeps(
     max_sweeps: int = 16,
     inner_iters: int = 256,
     interpret: bool = False,
+    with_flag: bool = False,
 ) -> jnp.ndarray:
     """Band-sweep watershed for one [H, W] plane; same contract (and
-    bit-identical output) as ops.watershed.watershed."""
+    bit-identical output) as ops.watershed.watershed.  ``with_flag=True``
+    appends a bool ``converged`` (False ⇔ a phase hit ``max_sweeps``)."""
     H, W = image.shape
     T = tile
     assert H % T == 0, (H, T)
@@ -242,7 +247,7 @@ def watershed_sweeps(
         return changed & (i < max_sweeps)
 
     c1 = cost_pair(cost_p)
-    cost_p, _, _ = jax.lax.while_loop(
+    cost_p, c_changed, _ = jax.lax.while_loop(
         cond, cost_body, (c1, jnp.any(c1 != cost_p), 1)
     )
 
@@ -263,9 +268,14 @@ def watershed_sweeps(
         return nl, jnp.any(nl != l), i + 1
 
     l1 = lab_pair(lab_p0)
-    lab_p, _, _ = jax.lax.while_loop(cond, lab_body, (l1, jnp.any(l1 != lab_p0), 1))
+    lab_p, l_changed, _ = jax.lax.while_loop(
+        cond, lab_body, (l1, jnp.any(l1 != lab_p0), 1)
+    )
 
     lab = lab_p[_HALO : _HALO + H, :]
     cost = cost_p[_HALO : _HALO + H, :]
     reached = m & (cost < _INF) & (lab != _BIG_LAB)
-    return jnp.where(reached, lab, 0)
+    out = jnp.where(reached, lab, 0)
+    if with_flag:
+        return out, ~(c_changed | l_changed)
+    return out

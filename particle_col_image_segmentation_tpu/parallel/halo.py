@@ -32,16 +32,28 @@ def exchange_rows(x: jnp.ndarray, halo: int, axis_name: str = SPACE_AXIS):
     h_loc = x.shape[-2]
     hops = -(-halo // h_loc)  # ceil
 
+    # Ship only the rows each hop actually contributes (the far hop carries
+    # the remainder): ppermuting the full band per hop would move h_loc/halo×
+    # the needed bytes over ICI inside the hottest fixpoint loops.  Hop k<hops
+    # contributes a full band (r_k = h_loc); hop k=hops the remaining rows —
+    # the parts concatenate to exactly ``halo`` contiguous rows.
     top_parts = []
     bottom_parts = []
     for k in range(1, hops + 1):
+        r_k = min(h_loc, halo - (k - 1) * h_loc)
         down_perm = [(i, i + k) for i in range(n - k)]
         up_perm = [(i + k, i) for i in range(n - k)]
-        # shard i-k's full band (zeros when it doesn't exist)
-        top_parts.insert(0, jax.lax.ppermute(x, axis_name, down_perm))
-        bottom_parts.append(jax.lax.ppermute(x, axis_name, up_perm))
-    top = jnp.concatenate(top_parts, axis=-2)[..., -halo:, :]
-    bottom = jnp.concatenate(bottom_parts, axis=-2)[..., :halo, :]
+        # shard i∓k's boundary rows (zeros when that shard doesn't exist)
+        top_parts.insert(
+            0, jax.lax.ppermute(x[..., h_loc - r_k :, :], axis_name, down_perm)
+        )
+        bottom_parts.append(
+            jax.lax.ppermute(x[..., :r_k, :], axis_name, up_perm)
+        )
+    top = jnp.concatenate(top_parts, axis=-2) if hops > 1 else top_parts[0]
+    bottom = (
+        jnp.concatenate(bottom_parts, axis=-2) if hops > 1 else bottom_parts[0]
+    )
     return top, bottom
 
 

@@ -48,7 +48,10 @@ def _neighbor_min_padded(lab_p, img_p):
     return out
 
 
-def _local_scans(lab, img):
+def _scan_masks(img):
+    """Loop-invariant same-value masks for the row/column segmented scans
+    (hoisted out of the fixpoint bodies — they depend only on the value
+    image, not on the evolving labels)."""
     same_row = jnp.concatenate(
         [jnp.zeros(img.shape[:-1] + (1,), bool), img[..., :, 1:] == img[..., :, :-1]],
         axis=-1,
@@ -60,11 +63,14 @@ def _local_scans(lab, img):
         ],
         axis=-2,
     )
+    return same_row, jnp.swapaxes(same_col, -1, -2)
+
+
+def _local_scans(lab, masks):
+    same_row, same_col_t = masks
     lab = seg_min_scan_bidi(lab, same_row, axis=-1)
     lab = jnp.swapaxes(
-        seg_min_scan_bidi(
-            jnp.swapaxes(lab, -1, -2), jnp.swapaxes(same_col, -1, -2), axis=-1
-        ),
+        seg_min_scan_bidi(jnp.swapaxes(lab, -1, -2), same_col_t, axis=-1),
         -1,
         -2,
     )
@@ -123,26 +129,43 @@ def _compact_and_tables_shard(lab, lin, den, base, max_regions, max_iters):
 
     seed0 = jnp.where(is_root, rank, _INF)
 
+    # value image (lab) is fixed under the loop: exchange its halo and build
+    # the scan masks ONCE, not per iteration (one ppermute saved per round)
+    l_p = pad_with_halo(lab, 1, edge_mode="constant", fill=-7)
+    l_p = jnp.pad(l_p, [(0, 0)] * (lab.ndim - 1) + [(1, 1)], constant_values=-7)
+    masks = _scan_masks(lab)
+    b_planes = lab.shape[0]
+
     def body(state):
-        s, _, i = state
+        s, _, _, i = state
         s_p = pad_with_halo(s, 1, edge_mode="constant", fill=_INF)
-        l_p = pad_with_halo(lab, 1, edge_mode="constant", fill=-7)
         s_p = jnp.pad(s_p, [(0, 0)] * (s.ndim - 1) + [(1, 1)], constant_values=_INF)
-        l_p = jnp.pad(l_p, [(0, 0)] * (s.ndim - 1) + [(1, 1)], constant_values=-7)
         new = _neighbor_min_padded(s_p, l_p)
-        new = _local_scans(new, lab)
+        new = _local_scans(new, masks)
         new = _value_jump(new, lab, base)
-        changed_local = jnp.any(new != s).astype(jnp.int32)
-        changed = jax.lax.psum(
-            jax.lax.psum(changed_local, SPACE_AXIS), DATA_AXIS
+        # per-plane change count over the space axis (planes on other DATA
+        # shards are independent); the loop itself must exit in lockstep on
+        # every device (collectives inside), hence the global any
+        ch_planes = jax.lax.psum(
+            jnp.any(new != s, axis=(-2, -1)).astype(jnp.int32), SPACE_AXIS
         )
-        return new, changed > 0, i + 1
+        changed = jax.lax.psum(
+            jax.lax.psum(jnp.any(ch_planes > 0).astype(jnp.int32), SPACE_AXIS),
+            DATA_AXIS,
+        )
+        return new, ch_planes, changed > 0, i + 1
 
     def cond(state):
-        _, changed, i = state
+        _, _, changed, i = state
         return changed & (i < max_iters)
 
-    seed, _, _ = jax.lax.while_loop(cond, body, (seed0, jnp.bool_(True), 0))
+    ch0 = jax.lax.pcast(
+        jnp.ones((b_planes,), jnp.int32), (DATA_AXIS,), to="varying"
+    )
+    seed, ch_planes, _, _ = jax.lax.while_loop(
+        cond, body, (seed0, ch0, jnp.bool_(True), 0)
+    )
+    converged = ch_planes == 0  # [b_loc] per plane
     seg = jnp.where(seed == _INF, 0, seed)
 
     R = max_regions + 1
@@ -159,7 +182,7 @@ def _compact_and_tables_shard(lab, lin, den, base, max_regions, max_iters):
     csum = jax.lax.psum(csum_l, SPACE_AXIS)
     class_id = csum // jnp.maximum(area, 1)
     del b_loc
-    return seg, area, class_id
+    return seg, area, class_id, converged
 
 
 def _segment_shard(
@@ -184,31 +207,45 @@ def _segment_shard(
     # den); mark the seed accordingly for shard_map's vma type system
     lin = jax.lax.pcast(lin, (DATA_AXIS,), to="varying")
 
+    # den is fixed under the loop — exchange its halo and build the scan
+    # masks ONCE (one ppermute collective saved per iteration)
+    img_p = pad_with_halo(den.astype(jnp.int32), 1, edge_mode="constant", fill=-1)
+    img_p = jnp.pad(
+        img_p, [(0, 0)] * (den.ndim - 1) + [(1, 1)], constant_values=-1
+    )
+    masks = _scan_masks(den)
+    b_planes = den.shape[0]
+
     def body(state):
-        lab, _, i = state
+        lab, _, _, i = state
         lab_p = pad_with_halo(lab, 1, edge_mode="constant", fill=_INF)
-        img_p = pad_with_halo(den.astype(jnp.int32), 1, edge_mode="constant", fill=-1)
         lab_p = jnp.pad(
             lab_p, [(0, 0)] * (lab.ndim - 1) + [(1, 1)], constant_values=_INF
         )
-        img_p = jnp.pad(
-            img_p, [(0, 0)] * (lab.ndim - 1) + [(1, 1)], constant_values=-1
-        )
         new = _neighbor_min_padded(lab_p, img_p)
-        new = _local_scans(new, den)
+        new = _local_scans(new, masks)
         new = _local_pointer_jump(new, base)
         new = _local_pointer_jump(new, base)
-        changed_local = jnp.any(new != lab).astype(jnp.int32)
-        changed = jax.lax.psum(
-            jax.lax.psum(changed_local, SPACE_AXIS), DATA_AXIS
+        ch_planes = jax.lax.psum(
+            jnp.any(new != lab, axis=(-2, -1)).astype(jnp.int32), SPACE_AXIS
         )
-        return new, changed > 0, i + 1
+        changed = jax.lax.psum(
+            jax.lax.psum(jnp.any(ch_planes > 0).astype(jnp.int32), SPACE_AXIS),
+            DATA_AXIS,
+        )
+        return new, ch_planes, changed > 0, i + 1
 
     def cond(state):
-        _, changed, i = state
+        _, _, changed, i = state
         return changed & (i < max_iters)
 
-    lab, _, _ = jax.lax.while_loop(cond, body, (lin, jnp.bool_(True), 0))
+    ch0 = jax.lax.pcast(
+        jnp.ones((b_planes,), jnp.int32), (DATA_AXIS,), to="varying"
+    )
+    lab, ch_planes, _, _ = jax.lax.while_loop(
+        cond, body, (lin, ch0, jnp.bool_(True), 0)
+    )
+    ccl_converged = ch_planes == 0  # [b_loc]
 
     particle_local = jnp.sum(
         (den == particle_val).astype(jnp.int32), axis=(-2, -1)
@@ -235,11 +272,12 @@ def _segment_shard(
         overlap_ct = overlap_ct + jax.lax.psum(ov_local, SPACE_AXIS)
         filled = jnp.where(overlap, jnp.asarray(particle_val, den.dtype), filled)
     if not with_tables:
-        return den, lab, particle_ct, n_comp, filled, overlap_ct
-    seg, area, class_id = _compact_and_tables_shard(
+        return den, lab, particle_ct, n_comp, filled, overlap_ct, ccl_converged
+    seg, area, class_id, cmp_converged = _compact_and_tables_shard(
         lab, lin, den, base, cfg.max_regions, max_iters
     )
-    return den, lab, particle_ct, n_comp, filled, overlap_ct, seg, area, class_id
+    return (den, lab, particle_ct, n_comp, filled, overlap_ct,
+            ccl_converged & cmp_converged, seg, area, class_id)
 
 
 def make_sharded_segment_fn(
@@ -252,7 +290,11 @@ def make_sharded_segment_fn(
 ):
     """Build the jitted sharded step: [B,H,W] uint8 →
     (den [B,H,W], labels [B,H,W] global-root ids, particle_px [B],
-     n_comp [B], filled [B,H,W], overlap_px [B]).
+     n_comp [B], filled [B,H,W], overlap_px [B], converged [B]).
+
+    ``converged`` is per-plane: False means the distributed fixpoint hit its
+    ``max_iters`` budget with labels still changing — the labels/tables for
+    that plane are invalid and callers must surface the failure.
 
     With ``with_tables`` the step additionally returns the same per-region
     outputs as the single-chip fused pass (models/batch.py):
@@ -270,6 +312,7 @@ def make_sharded_segment_fn(
         P(DATA_AXIS),
         P(DATA_AXIS, SPACE_AXIS, None),
         P(DATA_AXIS),
+        P(DATA_AXIS),  # converged
     )
     if with_tables:
         plane_specs = plane_specs + (

@@ -292,9 +292,10 @@ class TestScatterFreeTables:
             [synthetic_label_plane(seed=s, shape=(64, 64)) for s in (41, 42)]
         ).astype(np.uint8)
         cfg = AnalysisConfig(max_regions=1024)
-        seg, num, areas, classes, particle_px, cell_px, class_px = (
+        seg, num, areas, classes, particle_px, cell_px, class_px, conv = (
             fused_segment_batch(jnp.asarray(imgs), cfg)
         )
+        assert bool(np.all(np.asarray(conv)))
         for b in range(2):
             den = ndi.median_filter(imgs[b], size=5)
             ref, ref_n = ond.label(den, background=-1, return_num=True)
@@ -388,6 +389,66 @@ class TestBandSweepConvergence:
         np.testing.assert_array_equal(got, ref)
         # the whole spiral is ONE component
         assert len(np.unique(ref[img == 1])) == 1
+
+    def test_nonconvergence_detected(self):
+        """Regression: exhausted iteration budgets once exited SILENTLY with
+        invalid labels; with_flag must report converged=False then."""
+        from particle_col_image_segmentation_tpu.ops.ccl import (
+            connected_components,
+        )
+        from particle_col_image_segmentation_tpu.ops.ccl_tiles import ccl_sweeps
+
+        img = synthetic_label_plane(seed=13, shape=(64, 64))
+        # ample budget → certified converged
+        _, conv = connected_components(
+            jnp.asarray(img), with_flag=True
+        )
+        assert bool(conv)
+        # starved budget → flagged, not silent
+        _, conv = connected_components(
+            jnp.asarray(img), max_iters=1, with_flag=True
+        )
+        assert not bool(conv)
+        # Gauss-Seidel sweeps converge on blob planes in one down+up pair;
+        # starve them with the spiral (many alternating rounds needed)
+        n = 32
+        sp = np.zeros((n, n), np.uint8)
+        top, bot, left, right = 0, n - 1, 0, n - 1
+        while left < right and top < bot:
+            sp[top, left:right + 1] = 1
+            sp[top:bot + 1, right] = 1
+            sp[bot, left + 2:right + 1] = 1
+            sp[top + 2:bot + 1, left + 2] = 1
+            top += 2; bot -= 2; left += 2; right -= 2
+        _, conv = ccl_sweeps(
+            jnp.asarray(sp), background=0, tile=8, max_sweeps=1,
+            interpret=True, with_flag=True,
+        )
+        assert not bool(conv)
+        _, conv = ccl_sweeps(
+            jnp.asarray(sp), background=0, tile=8, max_sweeps=256,
+            interpret=True, with_flag=True,
+        )
+        assert bool(conv)
+
+    def test_watershed_nonconvergence_detected(self):
+        from scipy import ndimage as ndi
+
+        from particle_col_image_segmentation_tpu.ops.watershed import watershed
+
+        n = 64
+        m = np.zeros((n, n), bool)
+        m[8:56, 8:56] = True
+        dist = ndi.distance_transform_edt(m)
+        prob = (1.0 - dist / max(1.0, dist.max())).astype(np.float32)
+        mk = np.zeros((n, n), np.int32)
+        mk[32, 32] = 1
+        _, conv = watershed(jnp.asarray(prob), jnp.asarray(mk),
+                            jnp.asarray(m), with_flag=True)
+        assert bool(conv)
+        _, conv = watershed(jnp.asarray(prob), jnp.asarray(mk),
+                            jnp.asarray(m), max_iters=2, with_flag=True)
+        assert not bool(conv)
 
 
 class TestPallasMedian:

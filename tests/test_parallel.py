@@ -41,7 +41,7 @@ def test_sharded_matches_oracle(n_data, n_space):
     batch = np.stack(
         [synthetic_label_plane(seed=s, shape=(H, W)) for s in range(B)]
     )
-    den, labels, particle_px, n_comp, filled, overlap_px = sharded_segment_batch(
+    den, labels, particle_px, n_comp, filled, overlap_px, conv = sharded_segment_batch(
         batch, mesh, CFG, particle_val=2
     )
     den = np.asarray(den)
@@ -70,7 +70,7 @@ def test_sharded_cross_boundary_component():
     B, H, W = 4, 64, 64
     batch = np.full((B, H, W), 3, np.uint8)
     batch[:, :, 30:34] = 1  # vertical stripe through all 4 row-shards
-    _, labels, _, n_comp, _, _ = sharded_segment_batch(batch, mesh, CFG, particle_val=2)
+    _, labels, _, n_comp, _, _, _ = sharded_segment_batch(batch, mesh, CFG, particle_val=2)
     labels = np.asarray(labels)
     for b in range(B):
         stripe = labels[b][:, 30:34]
@@ -99,11 +99,13 @@ def test_sharded_tables_match_fused(n_data, n_space):
         [synthetic_label_plane(seed=100 + s, shape=(H, W)) for s in range(B)]
     )
     fn = make_sharded_segment_fn(mesh, CFG, particle_val=2, with_tables=True)
-    (den, labels, particle_px, n_comp, filled, overlap_px,
+    (den, labels, particle_px, n_comp, filled, overlap_px, conv,
      seg, area, class_id) = fn(jnp.asarray(batch))
+    assert bool(np.all(np.asarray(conv)))
 
     ref = fused_segment_batch(jnp.asarray(batch), CFG)
-    rseg, rnum, rarea, rclass, rpart, _, _ = ref
+    rseg, rnum, rarea, rclass, rpart, _, _, rconv = ref
+    assert bool(np.all(np.asarray(rconv)))
     np.testing.assert_array_equal(np.asarray(seg), np.asarray(rseg))
     np.testing.assert_array_equal(np.asarray(n_comp), np.asarray(rnum))
     np.testing.assert_array_equal(np.asarray(area), np.asarray(rarea))

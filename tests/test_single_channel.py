@@ -34,7 +34,9 @@ def test_dapi_dedup_parity():
     other = synthetic_label_plane(
         seed=9, cell_types={1: "C3M10", 2: "Particle", 3: "Background"}, shape=(160, 160)
     )
-    ours = np.asarray(dapi_dedup_device(jnp.asarray(dapi), jnp.asarray(other), CFG))
+    ours_dev, conv = dapi_dedup_device(jnp.asarray(dapi), jnp.asarray(other), CFG)
+    assert bool(conv)
+    ours = np.asarray(ours_dev)
     ref = rp.combine_cell_positions_and_clusters(dapi, other, CFG)
     np.testing.assert_array_equal(ours, ref)
 
