@@ -121,9 +121,12 @@ class RefineConfig:
     boundary_threshold: float = 0.5
     # Channel index of the boundary-probability map (ref :34).
     boundary_channel: int = 3
-    # Cap (px) for the bounded exact EDT used to seed markers; exact wherever
-    # the true distance is below the cap. Framework-only knob.
-    edt_cap: int = 96
+    # Cap (px) for the marker-seeding EDT, or None (default) for the EXACT
+    # uncapped transform (scipy parity). A cap saturates distances beyond it
+    # into one flat plateau, which local_maxima would merge into a single
+    # giant marker on any region deeper than the cap — only set this on
+    # planes known to be shallower than the cap, for speed.
+    edt_cap: int | None = None
 
 
 @dataclasses.dataclass(frozen=True)

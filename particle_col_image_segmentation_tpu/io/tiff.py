@@ -41,10 +41,35 @@ def read_tiff_stack(path: str) -> np.ndarray:
     return np.stack(frames)
 
 
+def read_imagej_channels(path: str) -> Optional[int]:
+    """Channel count from ImageJ hyperstack metadata (ImageDescription tag
+    270, ``channels=N``), or None when absent.  This is how tifffile knows
+    the true [Z, C, H, W] structure the reference iterates — page counts
+    alone cannot distinguish Z·C groupings."""
+    import re
+
+    from PIL import Image
+
+    try:
+        with Image.open(path) as img:
+            desc = img.tag_v2.get(270, "") if hasattr(img, "tag_v2") else ""
+    except Exception:
+        return None
+    m = re.search(r"channels=(\d+)", str(desc))
+    return int(m.group(1)) if m else None
+
+
 def read_zstack(path: str, num_channels: Optional[int] = None) -> np.ndarray:
     """Read a z-stack; with ``num_channels`` reshape pages [Z*C,H,W] →
-    [Z, C, H, W] (the layout split_zstack iterates, reference :52-58)."""
+    [Z, C, H, W] (the layout split_zstack iterates, reference :52-58).
+
+    The TIFF's own ImageJ ``channels=`` metadata takes precedence over the
+    caller's ``num_channels`` hint: grouping pages by a wrong guess would
+    mix different z planes into fake channels."""
     arr = read_tiff_stack(path)
+    meta_ch = read_imagej_channels(path)
+    if meta_ch is not None:
+        num_channels = meta_ch
     if num_channels is not None and arr.ndim == 3:
         z = arr.shape[0] // num_channels
         arr = arr[: z * num_channels].reshape(z, num_channels, *arr.shape[1:])

@@ -75,15 +75,24 @@ def load_isotope_mats(folder: str) -> Dict[str, np.ndarray]:
 
 
 def to_uint8_display(raw: np.ndarray) -> np.ndarray:
-    """uint8(raw * 255/max) with MATLAB rounding+saturation (ref :30-39)."""
-    m = float(np.max(raw))
+    """uint8(raw * 255/max) with MATLAB rounding+saturation (ref :30-39).
+
+    MATLAB parity points: uint8() rounds half AWAY from zero (np.round is
+    half-to-even — off by one at exact .5), max() ignores NaN, and
+    uint8(NaN) = 0 (numpy's float→uint8 NaN cast is undefined behavior)."""
+    raw = np.asarray(raw, np.float64)
+    m = float(np.nanmax(raw)) if raw.size else 0.0
     scaled = raw * (255.0 / m) if m > 0 else np.zeros_like(raw)
-    return np.clip(np.round(scaled), 0, 255).astype(np.uint8)
+    out = np.clip(np.floor(scaled + 0.5), 0, 255)
+    return np.where(np.isnan(out), 0, out).astype(np.uint8)
 
 
 def ratio_image(num: np.ndarray, den: np.ndarray) -> np.ndarray:
-    """uint8(num/den * 255/max(num/den)) (ref :45-69)."""
-    ratio = np.asarray(num, np.float64) / np.asarray(den, np.float64)
+    """uint8(num/den * 255/max(num/den)) (ref :45-69).  0/0 pixels are NaN
+    → 0 and x/0 is +Inf → NaN under the ∞-max scaling → 0, as MATLAB's
+    uint8() defines them."""
+    with np.errstate(invalid="ignore", divide="ignore"):
+        ratio = np.asarray(num, np.float64) / np.asarray(den, np.float64)
     return to_uint8_display(ratio)
 
 
@@ -213,8 +222,15 @@ def analyze_roi_class(
     """Per-ROI sums, activities, positions, and activity maps for one painted
     class (the body of ref loops :122-170 / :186-234)."""
     acq = next(iter(isotopes.values())).shape[0]
-    raw = connected_components(jnp.asarray(mask, jnp.uint8), background=0, num_classes=2)
-    labels, num = compact_labels(raw, cfg.max_rois)
+    # Label the TRANSPOSED mask so compact ids follow COLUMN-major first-
+    # pixel order — MATLAB regionprops/bwconncomp numbering (the .m script's
+    # per-ROI loop index and every CSV row order).  8-connectivity is
+    # transpose-symmetric, so components are identical.
+    rawT = connected_components(
+        jnp.asarray(np.asarray(mask).T, jnp.uint8), background=0, num_classes=2
+    )
+    labelsT, num = compact_labels(rawT, cfg.max_rois)
+    labels = jnp.swapaxes(labelsT, 0, 1)
     n = int(num)
     if n > cfg.max_rois:
         raise ValueError(f"{n} ROIs > max_rois={cfg.max_rois}")

@@ -32,6 +32,7 @@ from particle_col_image_segmentation_tpu.ops import (
     region_props_auto,
     watershed_auto,
 )
+from particle_col_image_segmentation_tpu.ops.edt import edt_exact
 from particle_col_image_segmentation_tpu.ops.pairwise import (
     min_dist_to_set,
     nearest_neighbor_dists,
@@ -46,8 +47,14 @@ def refine_plane_device(
     binary_mask = boundary_map < cfg.boundary_threshold  # reference :44-45
     # reference :60: scipy edt(binary_mask) = distance of object pixels to
     # the nearest boundary pixel; our edt measures distance TO the feature
-    # set, so the feature is the complement.
-    distance = edt(~binary_mask, cap=cfg.edt_cap)
+    # set, so the feature is the complement.  EXACT by default: a capped
+    # transform saturates deep regions into one plateau that local_maxima
+    # would merge into a single giant marker (cfg.edt_cap opts into the
+    # cheaper capped path for provably-shallow planes).
+    if cfg.edt_cap is None:
+        distance = edt_exact(~binary_mask)
+    else:
+        distance = edt(~binary_mask, cap=cfg.edt_cap)
     maxima = local_maxima(distance)
     raw, conv_ccl = connected_components_auto(
         maxima.astype(jnp.uint8), background=0, num_classes=2, with_flag=True

@@ -88,8 +88,17 @@ def process_tif(input_file: str, channel_indices: Sequence[int]) -> List[str]:
     # reference would also row-iterate a _mip.tif through the plane loop
     # (:52) and write per-row fragments — a latent defect (2-D mips are
     # projections, not stacks); here mips of any format are move-only.
-    if not input_file.endswith(".tif") or "_mip" in input_file.lower():
+    # basename only: a DIRECTORY containing "_mip" must not downgrade the
+    # stacks inside it to move-only (same path-token bug class _strip_tokens
+    # fixes for output naming)
+    if (
+        not input_file.endswith(".tif")
+        or "_mip" in os.path.basename(input_file).lower()
+    ):
         return []
+    # The filename token is only a fallback hint: the TIFF's own ImageJ
+    # channels= metadata (when present) decides the page grouping, exactly
+    # as tifffile reconstructs [Z, C, H, W] for the reference (:50-51).
     n_ch = 4 if used_channels == "_CY5_RFP_GFP_DAPI" else 2
     zstack = read_zstack(destination, num_channels=n_ch)
     if zstack.ndim == 3:  # single plane [C,H,W]

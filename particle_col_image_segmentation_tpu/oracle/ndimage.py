@@ -166,6 +166,8 @@ def regionprops(label_image: np.ndarray) -> List[Region]:
     regions = []
     for k in range(n):
         s, e = starts[k], starts[k + 1]
+        if s == e:  # absent label id — skimage skips it, so do we
+            continue
         r, c = rows[s:e], cols[s:e]
         regions.append(
             Region(

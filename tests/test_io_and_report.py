@@ -95,6 +95,42 @@ class TestZsplit:
         plane = read_tiff_stack(os.path.join(rfp_folder, files[0]))
         np.testing.assert_array_equal(plane, stack[0, 0])
 
+    def test_imagej_metadata_overrides_token_guess(self, tmp_path):
+        """Regression: channel count came only from filename tokens; a stack
+        whose token disagrees with its real structure was regrouped wrongly.
+        The TIFF's own ImageJ channels= metadata must win."""
+        from PIL import Image
+
+        from particle_col_image_segmentation_tpu.io.tiff import read_zstack
+
+        stack = (
+            np.random.default_rng(5).integers(0, 255, (12, 8, 8)).astype(np.uint8)
+        )
+        p = str(tmp_path / "Tp_RFP_GFP_1_zstack.tif")  # token says 2-channel
+        pages = [Image.fromarray(s) for s in stack]
+        pages[0].save(
+            p, save_all=True, append_images=pages[1:],
+            tiffinfo={270: "ImageJ=1.53c\nimages=12\nchannels=4\nslices=3\n"},
+        )
+        arr = read_zstack(p, num_channels=2)  # caller's (wrong) token hint
+        assert arr.shape == (3, 4, 8, 8)  # metadata grouping wins
+        np.testing.assert_array_equal(arr.reshape(12, 8, 8), stack)
+
+    def test_mip_dirname_does_not_downgrade_stack(self, tmp_path, monkeypatch):
+        """Regression: '_mip' anywhere in the PATH made process_tif move-only;
+        only the file's basename may trigger that."""
+        acq = tmp_path / "exports_mip_top" / "acq1"
+        acq.mkdir(parents=True)
+        stack = (
+            np.random.default_rng(6).integers(0, 255, (2, 2, 16, 16)).astype(np.uint8)
+        )
+        write_tiff(str(acq / "Tp_RFP_GFP_7_zstack.tif"), stack.reshape(4, 16, 16))
+        monkeypatch.chdir(tmp_path)
+        zsplit.process_folder(str(tmp_path / "exports_mip_top"), [1, 2])
+        clean = acq / "Tp_7"
+        rfp = clean / "Tp_7_zstack_RFP"
+        assert rfp.is_dir() and len(list(rfp.iterdir())) == 2
+
     def test_mip_tif_moved_not_split(self, tmp_path, monkeypatch):
         # a 2-D projection must be moved into the clean folder, never fed
         # through the plane loop (reference defect, SURVEY.md §2.6)

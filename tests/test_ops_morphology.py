@@ -44,6 +44,19 @@ class TestEDT:
         sel = ref <= 10
         np.testing.assert_allclose(ours[sel], ref[sel], rtol=1e-6)
 
+    @pytest.mark.parametrize("seed,p", [(0, 0.02), (3, 0.001), (4, 0.3)])
+    def test_exact_uncapped(self, seed, p):
+        """Regression: refine's marker seeding needs scipy-exact EDT at ANY
+        depth — a saturating cap merged deep-region maxima into one marker."""
+        from particle_col_image_segmentation_tpu.ops.edt import edt_sq_exact
+
+        m = random_binary((64, 96), p=p, seed=seed)
+        if not m.any():
+            m[3, 5] = True
+        ours = np.asarray(edt_sq_exact(jnp.asarray(m)))
+        ref = ndi.distance_transform_edt(~m) ** 2
+        np.testing.assert_allclose(ours, np.round(ref))
+
 
 class TestDilation:
     @pytest.mark.parametrize("r", [1, 2, 5, 20])

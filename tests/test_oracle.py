@@ -85,6 +85,13 @@ class TestRegionprops:
                 r.coords, np.stack([ys, xs], axis=1)
             )
 
+    def test_skips_absent_label_ids(self):
+        """Regression: non-contiguous ids once crashed (skimage skips them)."""
+        lab = np.array([[1, 0], [0, 3]])
+        regions = ond.regionprops(lab)
+        assert [r.label for r in regions] == [1, 3]
+        assert [r.area for r in regions] == [1, 1]
+
     def test_dict_access_and_adhoc_attr(self):
         img = synthetic_label_plane(seed=2)
         regions = ond.regionprops(ond.label(img))

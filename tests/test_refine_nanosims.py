@@ -120,6 +120,31 @@ class TestNanoSIMS:
         # positions: 1-based centroid of the solid mask
         np.testing.assert_allclose(res.positions[0], [14.5 + 1, 14.5 + 1], atol=0.6)
 
+    def test_roi_order_is_matlab_column_major(self):
+        """Regression: ROI ids were raster (row-major) ordered; MATLAB
+        regionprops numbers by COLUMN-major first pixel, which defines the
+        .m script's ROI index and every CSV row order."""
+        iso = self._isotopes()
+        mask = np.zeros((96, 96), bool)
+        mask[0:6, 50:56] = True    # raster-first, but column 50
+        mask[40:46, 3:9] = True    # later rows, but column 3 → MATLAB first
+        res = nanosims.analyze_roi_class(mask, iso)
+        assert res.num_rois == 2
+        # positions are (x=col, y=row) 1-based: ROI 1 must be the column-3 one
+        assert res.positions[0][0] < res.positions[1][0]
+
+    def test_uint8_display_matlab_rounding(self):
+        """Regression: np.round's half-to-even differed from MATLAB uint8's
+        half-away-from-zero at exact .5; and NaN pixels must cast to 0."""
+        raw = np.array([[1.0, 510.0]])
+        out = nanosims.to_uint8_display(raw)  # 1*255/510 = 0.5 exactly
+        assert out[0, 0] == 1  # MATLAB uint8(0.5) = 1 (np.round gives 0)
+        ratio = nanosims.ratio_image(
+            np.array([[0.0, 5.0]]), np.array([[0.0, 5.0]])
+        )
+        assert ratio[0, 0] == 0  # 0/0 = NaN → uint8(NaN) = 0 in MATLAB
+        assert ratio[0, 1] == 255
+
     def test_full_analysis_and_rows(self):
         iso = self._isotopes()
         rgb = _painted_rois()
