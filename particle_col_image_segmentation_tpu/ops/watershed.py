@@ -6,16 +6,22 @@ with an iteration-order-independent formulation in two confluent phases:
   1. **costs**: every masked pixel's minimax distance to the seed set —
      min over paths of the maximum relief along the path (Bellman-Ford-style
      relaxation of a min/max semilattice → unique fixpoint);
-  2. **labels**: with costs FIXED, the smallest marker id reachable through
-     "optimal edges" (n → p is optimal iff max(cost[n], img[p]) == cost[p])
-     — min-propagation on a fixed graph → unique fixpoint.
+  2. **labels**: with costs FIXED, propagate the lexicographically smallest
+     (geodesic step count, marker id) pair through "optimal edges" (n → p is
+     optimal iff max(cost[n], img[p]) == cost[p]) — a lexicographic min is
+     still a semilattice meet, so this remains a unique-fixpoint phase.
+
+The distance component is the plateau tie-breaker: skimage's priority flood
+claims equal-cost plateaus by arrival order (BFS from the entry points), so
+"nearest marker along an optimal path, then smallest id" tracks it far more
+closely than a bare min-id (which hands every plateau to marker 1).
 
 A joint (cost, label) relaxation is monotone but NOT confluent (a label can
 ratchet onto a justification that later disappears), so different schedules
 (Jacobi vs Gauss-Seidel, XLA vs Pallas) would disagree; the two-phase split
 makes every schedule produce identical output.  Agreement with skimage's
-sequential priority flood is by boundary IoU (plateau ties differ;
-BASELINE.json contract).
+sequential priority flood is by boundary IoU (exact queue-order ties still
+differ; BASELINE.json contract).
 """
 
 from __future__ import annotations
@@ -100,22 +106,34 @@ def watershed(
         cond, cost_body, (cost0, jnp.bool_(True), 0)
     )
 
-    # ---- phase 2: min labels over optimal edges ----------------------
+    # ---- phase 2: lexicographic (dist, label) over optimal edges -----
     lab_init = jnp.where(seeded, lab0, _BIG_LAB)
+    dist_init = jnp.where(seeded, 0, _BIG_LAB)
 
     def lab_body(state):
-        lab, _, i = state
-        best = lab
+        lab, dist, _, i = state
+        best_l, best_d = lab, dist
         for dy, dx in offsets:
             nc = _shifted(cost, dy, dx, jnp.float32(_INF))
             nl = _shifted(lab, dy, dx, _BIG_LAB)
+            nd = _shifted(dist, dy, dx, _BIG_LAB)
             optimal = jnp.maximum(nc, img) == cost
-            best = jnp.minimum(best, jnp.where(optimal, nl, _BIG_LAB))
-        new = jnp.where(seeded, lab0, jnp.where(m, best, _BIG_LAB))
-        return new, jnp.any(new != lab), i + 1
+            cand_d = jnp.where(optimal & (nd < _BIG_LAB), nd + 1, _BIG_LAB)
+            cand_l = jnp.where(optimal, nl, _BIG_LAB)
+            take = (cand_d < best_d) | ((cand_d == best_d) & (cand_l < best_l))
+            best_d = jnp.where(take, cand_d, best_d)
+            best_l = jnp.where(take, cand_l, best_l)
+        new_l = jnp.where(seeded, lab0, jnp.where(m, best_l, _BIG_LAB))
+        new_d = jnp.where(seeded, 0, jnp.where(m, best_d, _BIG_LAB))
+        ch = jnp.any(new_l != lab) | jnp.any(new_d != dist)
+        return new_l, new_d, ch, i + 1
 
-    lab, l_changed, _ = jax.lax.while_loop(
-        cond, lab_body, (lab_init, jnp.bool_(True), 0)
+    def lab_cond(state):
+        _, _, changed, i = state
+        return changed & (i < max_iters)
+
+    lab, _, l_changed, _ = jax.lax.while_loop(
+        lab_cond, lab_body, (lab_init, dist_init, jnp.bool_(True), 0)
     )
     reached = m & (cost < _INF) & (lab != _BIG_LAB)
     out = jnp.where(reached, lab, 0)

@@ -72,28 +72,40 @@ def _relax_cost(cost, img, flags, connectivity: int, inner_iters: int):
     return cost
 
 
-def _relax_label(lab, cost, img, flags, connectivity: int, inner_iters: int):
+def _relax_label(lab, dist, cost, img, flags, connectivity: int,
+                 inner_iters: int):
+    """Lexicographic (geodesic step count, marker id) relaxation over optimal
+    edges — the plateau tie-break matching ops/watershed.py phase 2."""
     in_mask = (flags & _MASK_BIT) != 0
     is_seed = (flags & _SEED_BIT) != 0
     updatable = in_mask & ~is_seed
 
     def body(state):
-        lab, _, i = state
-        best = lab
+        lab, dist, _, i = state
+        best_l, best_d = lab, dist
         for dy, dx in _offsets(connectivity):
             nc = _shift(cost, dy, dx, _INF)
             nl = _shift(lab, dy, dx, _BIG_LAB)
+            nd = _shift(dist, dy, dx, _BIG_LAB)
             optimal = jnp.maximum(nc, img) == cost
-            best = jnp.minimum(best, jnp.where(optimal, nl, _BIG_LAB))
-        new = jnp.where(updatable, best, lab)
-        return new, jnp.any(new != lab), i + 1
+            cand_d = jnp.where(optimal & (nd < _BIG_LAB), nd + 1, _BIG_LAB)
+            cand_l = jnp.where(optimal, nl, _BIG_LAB)
+            take = (cand_d < best_d) | ((cand_d == best_d) & (cand_l < best_l))
+            best_d = jnp.where(take, cand_d, best_d)
+            best_l = jnp.where(take, cand_l, best_l)
+        new_l = jnp.where(updatable, best_l, lab)
+        new_d = jnp.where(updatable, best_d, dist)
+        ch = jnp.any(new_l != lab) | jnp.any(new_d != dist)
+        return new_l, new_d, ch, i + 1
 
     def cond(state):
-        _, changed, i = state
+        _, _, changed, i = state
         return changed & (i < inner_iters)
 
-    lab, _, _ = jax.lax.while_loop(cond, body, (lab, jnp.bool_(True), 0))
-    return lab
+    lab, dist, _, _ = jax.lax.while_loop(
+        cond, body, (lab, dist, jnp.bool_(True), 0)
+    )
+    return lab, dist
 
 
 def _cost_kernel(cost_in, img_hbm, flags_hbm, cost_io,
@@ -131,38 +143,42 @@ def _cost_kernel(cost_in, img_hbm, flags_hbm, cost_io,
     )
 
 
-def _label_kernel(lab_in, cost_hbm, img_hbm, flags_hbm, lab_io,
-                  *, T, n_bands, downward, connectivity, inner_iters):
-    del lab_in
+def _label_kernel(lab_in, dist_in, cost_hbm, img_hbm, flags_hbm, lab_io,
+                  dist_io, *, T, n_bands, downward, connectivity, inner_iters):
+    del lab_in, dist_in
     i = pl.program_id(0)
     band = i if downward else (n_bands - 1) - i
     start = band * T
 
-    def run(lab_s, cost_s, img_s, flags_s, sem):
+    def run(lab_s, dist_s, cost_s, img_s, flags_s, sem):
         win = 2 * _HALO + T
         for src, dst in (
-            (lab_io, lab_s), (cost_hbm, cost_s), (img_hbm, img_s),
-            (flags_hbm, flags_s),
+            (lab_io, lab_s), (dist_io, dist_s), (cost_hbm, cost_s),
+            (img_hbm, img_s), (flags_hbm, flags_s),
         ):
             cp = pltpu.make_async_copy(src.at[pl.ds(start, win), :], dst, sem)
             cp.start()
             cp.wait()
-        lab_s[:, :] = _relax_label(
-            lab_s[:, :], cost_s[:, :], img_s[:, :], flags_s[:, :],
-            connectivity, inner_iters,
+        new_l, new_d = _relax_label(
+            lab_s[:, :], dist_s[:, :], cost_s[:, :], img_s[:, :],
+            flags_s[:, :], connectivity, inner_iters,
         )
-        wb = pltpu.make_async_copy(
-            lab_s.at[pl.ds(_HALO, T), :],
-            lab_io.at[pl.ds(start + _HALO, T), :],
-            sem,
-        )
-        wb.start()
-        wb.wait()
+        lab_s[:, :] = new_l
+        dist_s[:, :] = new_d
+        for buf, io in ((lab_s, lab_io), (dist_s, dist_io)):
+            wb = pltpu.make_async_copy(
+                buf.at[pl.ds(_HALO, T), :],
+                io.at[pl.ds(start + _HALO, T), :],
+                sem,
+            )
+            wb.start()
+            wb.wait()
 
     W = img_hbm.shape[-1]
     win = 2 * _HALO + T
     pl.run_scoped(
         run,
+        pltpu.VMEM((win, W), jnp.int32),
         pltpu.VMEM((win, W), jnp.int32),
         pltpu.VMEM((win, W), jnp.float32),
         pltpu.VMEM((win, W), jnp.float32),
@@ -172,18 +188,30 @@ def _label_kernel(lab_in, cost_hbm, img_hbm, flags_hbm, lab_io,
 
 
 def _make_sweep(kernel_fn, n_in, T, n_bands, Hp, W, out_dtype, downward,
-                connectivity, inner_iters, interpret):
+                connectivity, inner_iters, interpret, n_state: int = 1):
+    """``n_state`` leading operands are carried in place (aliased outputs):
+    1 for the cost sweeps, 2 for the (label, dist) sweeps."""
     kernel = partial(
         kernel_fn, T=T, n_bands=n_bands, downward=downward,
         connectivity=connectivity, inner_iters=inner_iters,
     )
+    if n_state == 1:
+        out_specs = pl.BlockSpec(memory_space=pl.ANY)
+        out_shape = jax.ShapeDtypeStruct((Hp, W), out_dtype)
+    else:
+        out_specs = tuple(
+            pl.BlockSpec(memory_space=pl.ANY) for _ in range(n_state)
+        )
+        out_shape = tuple(
+            jax.ShapeDtypeStruct((Hp, W), out_dtype) for _ in range(n_state)
+        )
     return pl.pallas_call(
         kernel,
         grid=(n_bands,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_in,
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        out_shape=jax.ShapeDtypeStruct((Hp, W), out_dtype),
-        input_output_aliases={0: 0},
+        out_specs=out_specs,
+        out_shape=out_shape,
+        input_output_aliases={k: k for k in range(n_state)},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )
@@ -251,25 +279,35 @@ def watershed_sweeps(
         cond, cost_body, (c1, jnp.any(c1 != cost_p), 1)
     )
 
-    ld = _make_sweep(_label_kernel, 4, *args, jnp.int32, True, connectivity,
-                     inner_iters, interpret)
-    lu = _make_sweep(_label_kernel, 4, *args, jnp.int32, False, connectivity,
-                     inner_iters, interpret)
+    ld = _make_sweep(_label_kernel, 5, *args, jnp.int32, True, connectivity,
+                     inner_iters, interpret, n_state=2)
+    lu = _make_sweep(_label_kernel, 5, *args, jnp.int32, False, connectivity,
+                     inner_iters, interpret, n_state=2)
     lab_p0 = jnp.pad(
         jnp.where(seeded, lab0, _BIG_LAB), pad, constant_values=_BIG_LAB
     )
+    dist_p0 = jnp.pad(
+        jnp.where(seeded, 0, _BIG_LAB), pad, constant_values=_BIG_LAB
+    )
 
-    def lab_pair(l):
-        return lu(ld(l, cost_p, img_p, flags_p), cost_p, img_p, flags_p)
+    def lab_pair(l, d):
+        l, d = ld(l, d, cost_p, img_p, flags_p)
+        return lu(l, d, cost_p, img_p, flags_p)
 
     def lab_body(state):
-        l, _, i = state
-        nl = lab_pair(l)
-        return nl, jnp.any(nl != l), i + 1
+        l, d, _, i = state
+        nl, nd = lab_pair(l, d)
+        ch = jnp.any(nl != l) | jnp.any(nd != d)
+        return nl, nd, ch, i + 1
 
-    l1 = lab_pair(lab_p0)
-    lab_p, l_changed, _ = jax.lax.while_loop(
-        cond, lab_body, (l1, jnp.any(l1 != lab_p0), 1)
+    def lab_cond(state):
+        _, _, changed, i = state
+        return changed & (i < max_sweeps)
+
+    l1, d1 = lab_pair(lab_p0, dist_p0)
+    ch1 = jnp.any(l1 != lab_p0) | jnp.any(d1 != dist_p0)
+    lab_p, _, l_changed, _ = jax.lax.while_loop(
+        lab_cond, lab_body, (l1, d1, ch1, 1)
     )
 
     lab = lab_p[_HALO : _HALO + H, :]

@@ -52,17 +52,94 @@ def check_seed(seed: int) -> None:
     assert_plane_parity(img, cell_types, cfg)
 
 
+def check_experiment_seed(seed: int, tmp_root: str) -> None:
+    """Randomized single-file experiment folder → the three CSVs must match
+    an independent oracle replication of the reference flow byte-for-byte."""
+    import shutil
+
+    from particle_col_image_segmentation_tpu.io.hdf5 import save_h5_plane
+    from particle_col_image_segmentation_tpu.models import experiment
+    from particle_col_image_segmentation_tpu.oracle import reference_pipeline as rp
+    from particle_col_image_segmentation_tpu.report.csvio import (
+        write_cell_position_info,
+        write_density_info,
+        write_merged_cell_position_info,
+    )
+
+    rng = np.random.default_rng(10_000 + seed)
+    cell_types = STRAIN_SETS[int(rng.integers(len(STRAIN_SETS)))]
+    # the file flow goes through normalize_ds_arr, which (like the
+    # reference's 2048² assumption, relaxed to any square) requires square
+    square = [s for s in SHAPES if s[0] == s[1]]
+    shape = square[int(rng.integers(len(square)))]
+    cfg = AnalysisConfig(max_regions=4096)
+    strains = [n for n in cell_types.values() if n not in ("Particle", "Background")]
+    name = f"Tp_{'_'.join(strains)}_s{seed}"
+    folder = os.path.join(tmp_root, f"exp{seed}", "24h", name)
+    os.makedirs(folder)
+    img = synthetic_label_plane(seed=10_000 + seed, cell_types=cell_types, shape=shape)
+    save_h5_plane(os.path.join(folder, name + "_labels.h5"), img)
+    experiment.process_single_h5_file(
+        folder, name + "_labels.h5", cfg, make_figures=False
+    )
+
+    den = rp.denoise(img, cfg)
+    pos, clusters, particle_area, merged = rp.get_cell_positions_and_areas(
+        den, cell_types, merged=True, cfg=cfg
+    )
+    counts, dens, ratios = rp.get_cell_counts_and_densities(
+        pos, clusters, particle_area, cfg
+    )
+    _, filled_area = rp.recreate_particle_area(
+        den.copy(), cell_types, particle_area, cfg
+    )
+    exp_dir = os.path.join(tmp_root, f"expected{seed}")
+    os.makedirs(exp_dir)
+    write_cell_position_info(
+        pos, clusters, os.path.join(exp_dir, "pos.csv"), filled_area, cfg
+    )
+    write_merged_cell_position_info(
+        merged, os.path.join(exp_dir, "merged.csv"), filled_area, cfg
+    )
+    write_density_info(
+        os.path.join(exp_dir, "density.csv"), name, dens, ratios, counts
+    )
+
+    def read(p):
+        with open(p) as f:
+            return f.read()
+
+    assert read(os.path.join(folder, name + "_cell_pos.csv")) == read(
+        os.path.join(exp_dir, "pos.csv")
+    )
+    assert read(os.path.join(folder, name + "_merged_cell_pos.csv")) == read(
+        os.path.join(exp_dir, "merged.csv")
+    )
+    assert read(
+        os.path.join(os.path.dirname(folder), f"exp{seed}_24h_cell_density_info.csv")
+    ) == read(os.path.join(exp_dir, "density.csv"))
+    shutil.rmtree(os.path.join(tmp_root, f"exp{seed}"))
+    shutil.rmtree(exp_dir)
+
+
 def main():
+    import tempfile
+
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 200
+    mode = sys.argv[2] if len(sys.argv) > 2 else "plane"
+    tmp_root = tempfile.mkdtemp(prefix="pcis_soak_")
     for seed in range(n):
         try:
-            check_seed(seed)
+            if mode == "experiment":
+                check_experiment_seed(seed, tmp_root)
+            else:
+                check_seed(seed)
         except Exception:
-            print(f"FAIL at seed {seed}", flush=True)
+            print(f"FAIL at seed {seed} (mode={mode})", flush=True)
             raise
         if seed % 20 == 19:
             print(f"{seed + 1}/{n} ok", flush=True)
-    print(f"all {n} seeds ok")
+    print(f"all {n} seeds ok (mode={mode})")
 
 
 if __name__ == "__main__":
