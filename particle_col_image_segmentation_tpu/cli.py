@@ -214,16 +214,22 @@ def main(argv=None) -> int:
         if not paths:
             print("no .h5 planes found under", args.folder)
             return 1
-        # class values per file: explicit flags win; otherwise derive from
-        # the path tokens (analyze's rules) and group same-signature paths
-        # so each group runs one statically-shaped fused fn
-        if args.particle_val is not None:
-            groups = {(args.particle_val, tuple(args.cell_vals or (1,))): paths}
+        # class values per file: explicit flags win (either flag alone
+        # overrides its half); otherwise derive from the path tokens
+        # (analyze's rules) and group same-signature paths so each group
+        # runs one statically-shaped fused fn
+        if args.particle_val is not None and args.cell_vals is not None:
+            groups = {(args.particle_val, tuple(args.cell_vals)): paths}
         else:
             sig_of = derive_class_values(folder_to_files)
             groups = {}
             for path in paths:
-                groups.setdefault(sig_of[path], []).append(path)
+                pv, cv = sig_of[path]
+                if args.particle_val is not None:
+                    pv = args.particle_val
+                if args.cell_vals is not None:
+                    cv = tuple(args.cell_vals)
+                groups.setdefault((pv, cv), []).append(path)
         mesh = None
         if args.data_parallel:
             from particle_col_image_segmentation_tpu.parallel.mesh import make_mesh
@@ -243,9 +249,13 @@ def main(argv=None) -> int:
         sink = None
         writer = None
         if args.csv:
-            sink = open(args.csv, "w", newline="")
+            # append on a manifest resume: truncating would permanently lose
+            # the rows of planes the manifest now skips
+            resume = manifest is not None and os.path.exists(args.csv)
+            sink = open(args.csv, "a" if resume else "w", newline="")
             writer = _csv.writer(sink)
-            writer.writerow(["plane", "regions", "particle_px", "cell_px"])
+            if not resume:
+                writer.writerow(["plane", "regions", "particle_px", "cell_px"])
         try:
             for (particle_val, cell_vals), group_paths in groups.items():
                 for path, stats in run_batch(
@@ -273,7 +283,11 @@ def main(argv=None) -> int:
     elif args.command == "bench":
         import subprocess
 
-        return subprocess.call([sys.executable, "bench.py"])
+        bench = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "bench.py",
+        )
+        return subprocess.call([sys.executable, bench])
     return 0
 
 

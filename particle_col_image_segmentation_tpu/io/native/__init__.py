@@ -37,15 +37,26 @@ def _build() -> Optional[ctypes.CDLL]:
     global _build_failed
     if not os.path.exists(_LIB_PATH) or os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC):
         try:
+            # build to a private temp name, then atomic-rename into place:
+            # concurrent processes (test workers, parallel CLIs) must never
+            # CDLL a half-written .so
+            tmp = f"{_LIB_PATH}.{os.getpid()}.tmp"
             subprocess.run(
                 ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", "-pthread",
-                 _SRC, "-o", _LIB_PATH],
+                 _SRC, "-o", tmp],
                 check=True, capture_output=True,
             )
-        except (subprocess.CalledProcessError, FileNotFoundError):
+            os.replace(tmp, _LIB_PATH)
+        except (subprocess.CalledProcessError, FileNotFoundError, OSError):
             _build_failed = True
             return None
-    lib = ctypes.CDLL(_LIB_PATH)
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        # stale/corrupt artifact — degrade to the PIL fallback, as the
+        # module contract promises
+        _build_failed = True
+        return None
     lib.pcis_tiff_inspect.argtypes = [ctypes.c_char_p, ctypes.POINTER(TiffPageInfo)]
     lib.pcis_tiff_inspect.restype = ctypes.c_int
     lib.pcis_tiff_read.argtypes = [ctypes.c_char_p, ctypes.c_void_p, ctypes.c_uint64]
@@ -124,20 +135,29 @@ class NativePrefetcher:
             raise RuntimeError("native io unavailable")
         self._lib = lib
         self._paths = paths
+        # cache page geometry up front: get() must not re-read the file from
+        # disk (it may have changed/vanished since the pool decoded it, and
+        # the re-inspect would double per-plane I/O)
+        self._geom = {}
+        for i, p in enumerate(paths):
+            info = TiffPageInfo()
+            pages = lib.pcis_tiff_inspect(p.encode(), ctypes.byref(info))
+            if pages > 0:
+                self._geom[i] = (pages, info.height, info.width,
+                                 info.bits_per_sample)
         arr = (ctypes.c_char_p * len(paths))(*[p.encode() for p in paths])
         self._handle = lib.pcis_prefetch_start(arr, len(paths), num_threads)
-        self._shapes = {}
 
     def get(self, idx: int) -> Optional[np.ndarray]:
         size = self._lib.pcis_prefetch_wait(self._handle, idx)
-        if size == 0:
+        geom = self._geom.get(idx)
+        if size == 0 or geom is None:
             return None
-        info = TiffPageInfo()
-        pages = self._lib.pcis_tiff_inspect(
-            self._paths[idx].encode(), ctypes.byref(info)
-        )
-        dtype = np.uint8 if info.bits_per_sample == 8 else np.uint16
-        out = np.empty((pages, info.height, info.width), dtype)
+        pages, h, w, bps = geom
+        dtype = np.uint8 if bps == 8 else np.uint16
+        out = np.empty((pages, h, w), dtype)
+        if out.nbytes != size:  # file changed between inspect and decode
+            return None
         rc = self._lib.pcis_prefetch_take(
             self._handle, idx, out.ctypes.data_as(ctypes.c_void_p), out.nbytes
         )

@@ -136,7 +136,13 @@ def fused_segment_batch(
         axis=-1,
     )
     particle_px = class_px[..., particle_val]
-    cell_px = sum(class_px[..., v] for v in cell_vals)
+    # empty cell_vals (e.g. an RFP plane with no cell class under the
+    # 6B07/6B07+C3M10 rules) must still yield a [B] array, not Python 0
+    cell_px = (
+        sum(class_px[..., v] for v in cell_vals)
+        if cell_vals
+        else jnp.zeros_like(particle_px)
+    )
     converged = conv_ccl & conv_cmp  # per plane [B]
     return seg, num, areas, classes, particle_px, cell_px, class_px, converged
 
@@ -280,6 +286,11 @@ def run_batch(
                 overflow=overflow,
                 converged=converged,
             )
+            # yield FIRST, mark done after: if the consumer crashes while
+            # recording this plane (CSV write, etc.) the plane stays
+            # unmarked and a resume retries it — at-least-once, never a
+            # done-but-unrecorded gap
+            yield path, stats
             if manifest is not None and converged:
                 meta = {
                     "regions": stats.num_regions,
@@ -288,5 +299,4 @@ def run_batch(
                 if overflow:
                     meta["overflow"] = True
                 manifest.mark_done(path, meta=meta)
-            yield path, stats
             idx += 1

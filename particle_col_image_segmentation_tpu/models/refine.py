@@ -55,7 +55,7 @@ def refine_plane_device(
         distance = edt_exact(~binary_mask)
     else:
         distance = edt(~binary_mask, cap=cfg.edt_cap)
-    maxima = local_maxima(distance)
+    maxima, conv_max = local_maxima(distance, with_flag=True)
     raw, conv_ccl = connected_components_auto(
         maxima.astype(jnp.uint8), background=0, num_classes=2, with_flag=True
     )
@@ -66,7 +66,7 @@ def refine_plane_device(
         boundary_map.astype(jnp.float32), markers, binary_mask, with_flag=True
     )
     table = region_props_auto(labels, jnp.ones_like(labels, jnp.uint8), max_regions)
-    converged = conv_ccl & conv_cmp & conv_ws
+    converged = conv_max & conv_ccl & conv_cmp & conv_ws
     return labels, markers, num, table, distance, converged
 
 

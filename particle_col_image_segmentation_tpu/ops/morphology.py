@@ -76,7 +76,9 @@ def _neighbor_or(x: jnp.ndarray, allowed: jnp.ndarray, connectivity: int = 4):
 
 
 def _propagate_fixpoint(seed, allowed, same_row, same_col, connectivity, max_iters):
-    """OR-propagate ``seed`` through ``allowed``, scan-accelerated fixpoint."""
+    """OR-propagate ``seed`` through ``allowed``, scan-accelerated fixpoint.
+    Returns (out, converged) — False means ``max_iters`` ran out with
+    propagation still spreading (the result is NOT the fixpoint)."""
 
     def body(state):
         x, _, i = state
@@ -89,8 +91,10 @@ def _propagate_fixpoint(seed, allowed, same_row, same_col, connectivity, max_ite
         _, changed, i = state
         return changed & (i < max_iters)
 
-    out, _, _ = jax.lax.while_loop(cond, body, (seed & allowed, jnp.bool_(True), 0))
-    return out
+    out, changed, _ = jax.lax.while_loop(
+        cond, body, (seed & allowed, jnp.bool_(True), 0)
+    )
+    return out, ~changed
 
 
 def _run_masks(allowed):
@@ -113,12 +117,16 @@ def _run_masks(allowed):
     return same_row, same_col
 
 
-@partial(jax.jit, static_argnames=("max_iters",))
-def fill_holes(mask: jnp.ndarray, max_iters: int = 256) -> jnp.ndarray:
+@partial(jax.jit, static_argnames=("max_iters", "with_flag"))
+def fill_holes(
+    mask: jnp.ndarray, max_iters: int = 256, with_flag: bool = False
+) -> jnp.ndarray:
     """scipy.ndimage.binary_fill_holes parity (4-connected background flood).
 
     Background connected to the border stays background; every other
-    background pixel is a hole and gets filled.
+    background pixel is a hole and gets filled.  ``with_flag=True`` appends
+    a ``converged`` bool — False means the flood budget ran out and
+    unreached corridors were WRONGLY filled; callers must surface it.
     """
     mask = mask.astype(bool)
     bg = ~mask
@@ -129,19 +137,24 @@ def fill_holes(mask: jnp.ndarray, max_iters: int = 256) -> jnp.ndarray:
     border = border.at[..., :, 0].set(True)
     border = border.at[..., :, -1].set(True)
     same_row, same_col = _run_masks(bg)
-    reach = _propagate_fixpoint(border & bg, bg, same_row, same_col, 4, max_iters)
-    return ~reach
+    reach, conv = _propagate_fixpoint(
+        border & bg, bg, same_row, same_col, 4, max_iters
+    )
+    return (~reach, conv) if with_flag else ~reach
 
 
-@partial(jax.jit, static_argnames=("connectivity", "max_iters"))
+@partial(jax.jit, static_argnames=("connectivity", "max_iters", "with_flag"))
 def local_maxima(
-    img: jnp.ndarray, connectivity: int = 2, max_iters: int = 256
+    img: jnp.ndarray, connectivity: int = 2, max_iters: int = 256,
+    with_flag: bool = False,
 ) -> jnp.ndarray:
     """skimage.morphology.local_maxima parity (plateau-aware, borders allowed).
 
     A pixel is marked iff its equal-value plateau has no neighbor with a
     strictly greater value.  "Bad" status (has higher neighbor) is flood-
     propagated through equal-valued runs to the whole plateau.
+    ``with_flag=True`` appends a ``converged`` bool (False ⇔ the plateau
+    flood budget ran out — spurious maxima may remain).
     """
     H, W = img.shape[-2:]
     offsets4 = [(-1, 0), (1, 0), (0, -1), (0, 1)]
@@ -205,8 +218,10 @@ def local_maxima(
         _, changed, i = state
         return changed & (i < max_iters)
 
-    bad, _, _ = jax.lax.while_loop(cond, body, (has_higher, jnp.bool_(True), 0))
-    return ~bad
+    bad, changed, _ = jax.lax.while_loop(
+        cond, body, (has_higher, jnp.bool_(True), 0)
+    )
+    return (~bad, ~changed) if with_flag else ~bad
 
 
 def boundary_mask(mask: jnp.ndarray) -> jnp.ndarray:

@@ -53,10 +53,15 @@ def otsu_threshold(img: jnp.ndarray, bins: int = 256) -> jnp.ndarray:
 @partial(jax.jit, static_argnames=("max_regions", "min_area"))
 def threshold_and_count(
     img: jnp.ndarray, max_regions: int = 4096, min_area: int = 1
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """BASELINE config #1 as one fused graph: Otsu → binary mask → CCL →
     particle count.  Returns (mask, compact labels, count of components with
-    area ≥ min_area)."""
+    area ≥ min_area, num_components).
+
+    ``num_components`` is the TRUE component count: callers must check it
+    against ``max_regions`` — components past capacity are dropped from the
+    area table, so ``count`` undercounts when num_components > max_regions
+    (same overflow contract as run_batch's PlaneStats)."""
     from particle_col_image_segmentation_tpu.ops.ccl import (
         compact_labels,
         connected_components,
@@ -69,4 +74,4 @@ def threshold_and_count(
     seg, num = compact_labels(raw, max_regions)
     area, _ = region_counts(seg, mask.astype(jnp.int32), max_regions)
     count = jnp.sum((area[1:] >= min_area).astype(jnp.int32))
-    return mask, seg, count
+    return mask, seg, count, num

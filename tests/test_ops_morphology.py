@@ -300,7 +300,8 @@ class TestOpenCloseThreshold:
         yy, xx = np.mgrid[:64, :64]
         for cy, cx in [(16, 16), (16, 48), (48, 16), (48, 48)]:
             img[(yy - cy) ** 2 + (xx - cx) ** 2 <= 36] = 900.0
-        mask, seg, count = threshold_and_count(jnp.asarray(img), max_regions=64)
+        mask, seg, count, num = threshold_and_count(jnp.asarray(img), max_regions=64)
+        assert int(num) == int(count) or int(num) >= int(count)
         assert int(count) == 4
         assert np.array_equal(np.asarray(mask), img > 500)
 

@@ -87,6 +87,44 @@ class TestBatchPipeline:
         )
         assert again == []
 
+    def test_empty_cell_vals(self):
+        """Regression: cell_vals=() (RFP plane with no cell class under the
+        6B07/6B07+C3M10 rules) crashed run_batch with a 0-d cell_px."""
+        plane = synthetic_label_plane(
+            seed=3, cell_types={1: "Particle", 2: "Background"},
+            shape=(64, 64), n_cells_per_strain=0, n_clusters_per_strain=0,
+        )
+        (_, stats), = run_batch(
+            ["p"], lambda k: plane, CFG, batch_size=1,
+            particle_val=1, cell_vals=(),
+        )
+        assert stats.cell_px == 0 and stats.particle_px > 0
+
+    def test_csv_resume_appends(self, tmp_path):
+        """Regression: the batch CLI truncated --csv on a manifest resume,
+        permanently losing rows of already-done planes."""
+        from particle_col_image_segmentation_tpu.cli import main as cli_main
+        from particle_col_image_segmentation_tpu.io.hdf5 import save_h5_plane
+
+        d = tmp_path / "3D05" / "a"
+        d.mkdir(parents=True)
+        for i in range(2):
+            save_h5_plane(
+                str(d / f"Tp_3D05_{i}_scan.h5"),
+                synthetic_label_plane(seed=i, shape=(64, 64)),
+            )
+        csv = str(tmp_path / "out.csv")
+        mani = str(tmp_path / "m.jsonl")
+        args = ["batch", str(tmp_path), "--batch-size", "1",
+                "--manifest", mani, "--csv", csv]
+        assert cli_main(args) == 0
+        rows1 = open(csv).read().strip().splitlines()
+        assert len(rows1) == 3  # header + 2 planes
+        # resume: everything done → nothing new, but nothing LOST either
+        assert cli_main(args) == 0
+        rows2 = open(csv).read().strip().splitlines()
+        assert rows2 == rows1
+
     def test_overflow_flagged(self):
         """Regression: planes with more components than max_regions silently
         undercounted; now they carry overflow=True (and a manifest marker)."""
