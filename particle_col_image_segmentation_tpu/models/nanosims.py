@@ -71,6 +71,13 @@ def load_isotope_mats(folder: str) -> Dict[str, np.ndarray]:
     out = {}
     for key, fname in names.items():
         out[key] = crop_frame(loadmat(os.path.join(folder, fname))["IM"].astype(np.float64))
+    # deuterium-labeling variant (the .m script carries it commented out,
+    # :13-14/:26-27): load 1H/2H when the acquisition includes them —
+    # analyze_roi_class then also reports the D activity 2H/(1H+2H)
+    for key, fname in (("H1", "1H.mat"), ("H2", "2H.mat")):
+        path = os.path.join(folder, fname)
+        if os.path.exists(path):
+            out[key] = crop_frame(loadmat(path)["IM"].astype(np.float64))
     return out
 
 
@@ -212,6 +219,10 @@ class RoiClassResult:
     positions: np.ndarray  # [R, 2] (x, y), acquisition space, 1-based
     labels: np.ndarray  # painted-space ROI label image
     activity_images: Dict[str, np.ndarray]  # painted-space act maps (N/C/O17/O18)
+    # deuterium variant (only when 1H/2H images are present): [R, 2] H sums
+    # and [R] D activity = 2H/(1H+2H)
+    h_sums: Optional[np.ndarray] = None
+    d_activity: Optional[np.ndarray] = None
 
 
 def analyze_roi_class(
@@ -234,11 +245,15 @@ def analyze_roi_class(
     n = int(num)
     if n > cfg.max_rois:
         raise ValueError(f"{n} ROIs > max_rois={cfg.max_rois}")
-    iso_stack = jnp.asarray(np.stack([isotopes[k] for k in _SUM_ORDER]), jnp.float32)
+    with_h = "H1" in isotopes and "H2" in isotopes
+    keys = _SUM_ORDER + (("H1", "H2") if with_h else ())
+    iso_stack = jnp.asarray(np.stack([isotopes[k] for k in keys]), jnp.float32)
     if n == 0:
         return RoiClassResult(
             0, np.zeros((0, 7)), np.zeros((0, 4)), np.zeros((0, 2)),
             np.asarray(labels), {k: np.zeros(mask.shape) for k in ("N", "C", "O17", "O18")},
+            h_sums=np.zeros((0, 2)) if with_h else None,
+            d_activity=np.zeros((0,)) if with_h else None,
         )
     # round the scan length up to a bucket so varying ROI counts reuse one
     # compiled scan; padded ids have empty masks → zero rows, sliced off
@@ -246,6 +261,12 @@ def analyze_roi_class(
     sums, cents = _roi_scan(labels, iso_stack, bucket, acq)
     sums = np.asarray(sums, np.float64)[:n]
     cents = np.asarray(cents)[:n]
+    h_sums = d_activity = None
+    if with_h:
+        h_sums = sums[:, 7:9]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            d_activity = h_sums[:, 1] / (h_sums[:, 0] + h_sums[:, 1])
+        sums = sums[:, :7]
     c12, c13, n14, n15, o16, o17, o18 = (sums[:, i] for i in range(7))
     with np.errstate(invalid="ignore", divide="ignore"):
         acts = np.stack(
@@ -269,6 +290,8 @@ def analyze_roi_class(
         positions=np.asarray(cents, np.float64),
         labels=lab_np,
         activity_images=act_imgs,
+        h_sums=h_sums,
+        d_activity=d_activity,
     )
 
 
@@ -361,6 +384,20 @@ def run_nanosims(
     result = analyze_nanosims(isotopes, rois_rgb, cfg)
     write_matrix_csv(os.path.join(out_dir, "data.csv"), result.all_data)
     write_matrix_csv(os.path.join(out_dir, "data_xy.csv"), result.data_xy)
+    if result.red.h_sums is not None:
+        # deuterium variant rows: class, i, 1H, 2H, Dact, Dact·100 — an
+        # ADDITIVE sidecar so the 5-isotope data.csv contract is unchanged
+        d_rows = []
+        for cls_id, res in ((1, result.red), (2, result.green)):
+            for i in range(res.num_rois):
+                d_rows.append([
+                    cls_id, i + 1, res.h_sums[i, 0], res.h_sums[i, 1],
+                    res.d_activity[i], res.d_activity[i] * 100.0,
+                ])
+        write_matrix_csv(
+            os.path.join(out_dir, "data_deuterium.csv"),
+            np.asarray(d_rows, np.float64).reshape(-1, 6),
+        )
     if result.nearest is not None:
         write_matrix_csv(
             os.path.join(out_dir, "data_dist_nearest.csv"),

@@ -133,6 +133,36 @@ class TestNanoSIMS:
         # positions are (x=col, y=row) 1-based: ROI 1 must be the column-3 one
         assert res.positions[0][0] < res.positions[1][0]
 
+    def test_deuterium_variant(self, tmp_path):
+        """The .m script's commented-out 1H/2H variant (:13-14,:26-27): when
+        1H.mat/2H.mat are present, a data_deuterium.csv sidecar reports
+        D activity = 2H/(1H+2H) per ROI; the 5-isotope outputs unchanged."""
+        from scipy.io import savemat
+
+        rng = np.random.default_rng(7)
+        names = {"14N12C": 1, "15N12C": 1, "12C": 1, "13C": 1, "16O": 1,
+                 "17O": 1, "18O": 1, "Esi": 1, "1H": 1, "2H": 1}
+        for f in names:
+            savemat(str(tmp_path / f"{f}.mat"),
+                    {"IM": rng.poisson(50, (98, 98)).astype(np.float64)})
+        from PIL import Image
+
+        rgb = np.zeros((108, 108, 3), np.uint8)
+        rgb[..., 2] = 255
+        rgb[10:20, 10:22] = (255, 0, 0)
+        Image.fromarray(rgb).save(str(tmp_path / "rois.png"))
+        res = nanosims.run_nanosims(
+            str(tmp_path), str(tmp_path / "rois.png"),
+            out_dir=str(tmp_path), make_figures=False,
+        )
+        assert res.red.h_sums is not None and res.red.h_sums.shape == (1, 2)
+        h1, h2 = res.red.h_sums[0]
+        np.testing.assert_allclose(res.red.d_activity[0], h2 / (h1 + h2))
+        rows = open(str(tmp_path / "data_deuterium.csv")).read().strip().splitlines()
+        assert len(rows) == 1 and rows[0].startswith("1,1,")
+        # 5-isotope outputs untouched: data.csv still 17 columns
+        assert len(open(str(tmp_path / "data.csv")).readline().split(",")) == 17
+
     def test_uint8_display_matlab_rounding(self):
         """Regression: np.round's half-to-even differed from MATLAB uint8's
         half-away-from-zero at exact .5; and NaN pixels must cast to 0."""
