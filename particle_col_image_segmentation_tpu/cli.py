@@ -255,7 +255,9 @@ def main(argv=None) -> int:
             sink = open(args.csv, "a" if resume else "w", newline="")
             writer = _csv.writer(sink)
             if not resume:
-                writer.writerow(["plane", "regions", "particle_px", "cell_px"])
+                writer.writerow(
+                    ["plane", "regions", "particle_px", "cell_px", "status"]
+                )
         try:
             for (particle_val, cell_vals), group_paths in groups.items():
                 for path, stats in run_batch(
@@ -273,9 +275,18 @@ def main(argv=None) -> int:
                         f"{flag}"
                     )
                     if writer is not None:
+                        # a status column keeps rows self-describing: an
+                        # unconverged plane is not marked done in the
+                        # manifest, so a resume appends a second (valid) row
+                        # for the same plane — consumers keep rows with
+                        # status == "ok"
+                        status = (
+                            "overflow" if stats.overflow
+                            else ("unconverged" if not stats.converged else "ok")
+                        )
                         writer.writerow(
                             [path, stats.num_regions, stats.particle_px,
-                             stats.cell_px]
+                             stats.cell_px, status]
                         )
         finally:
             if sink is not None:

@@ -31,6 +31,11 @@ def get_pos_and_density_file_names(cur_folder: str) -> Tuple[str, str]:
     # absolute path, so parts[-3:-1] exist there; a shallow relative CLI
     # argument (e.g. "exp/run") must not crash the name derivation.
     parts = os.path.abspath(cur_folder).split(os.sep)
+    # even after abspath a path can have fewer than three components
+    # (e.g. "/data" → ["", "data"]); pad with empty ancestor tokens rather
+    # than crash the name derivation
+    while len(parts) < 3:
+        parts.insert(0, "")
     density_name = f"{parts[-3]}_{parts[-2]}_cell_density_info.csv"
     density_path = os.path.join(cur_folder, "..", density_name)
     cell_pos_path = os.path.join(cur_folder, f"{parts[-1]}_cell_pos.csv")

@@ -43,7 +43,7 @@ def _build() -> Optional[ctypes.CDLL]:
             tmp = f"{_LIB_PATH}.{os.getpid()}.tmp"
             subprocess.run(
                 ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", "-pthread",
-                 _SRC, "-o", tmp],
+                 _SRC, "-o", tmp, "-lz"],
                 check=True, capture_output=True,
             )
             os.replace(tmp, _LIB_PATH)
@@ -72,6 +72,10 @@ def _build() -> Optional[ctypes.CDLL]:
     lib.pcis_prefetch_start.restype = ctypes.c_void_p
     lib.pcis_prefetch_wait.argtypes = [ctypes.c_void_p, ctypes.c_int]
     lib.pcis_prefetch_wait.restype = ctypes.c_uint64
+    lib.pcis_prefetch_geom.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.POINTER(TiffPageInfo),
+    ]
+    lib.pcis_prefetch_geom.restype = ctypes.c_int
     lib.pcis_prefetch_take.argtypes = [
         ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_uint64,
     ]
@@ -135,28 +139,21 @@ class NativePrefetcher:
             raise RuntimeError("native io unavailable")
         self._lib = lib
         self._paths = paths
-        # cache page geometry up front: get() must not re-read the file from
-        # disk (it may have changed/vanished since the pool decoded it, and
-        # the re-inspect would double per-plane I/O)
-        self._geom = {}
-        for i, p in enumerate(paths):
-            info = TiffPageInfo()
-            pages = lib.pcis_tiff_inspect(p.encode(), ctypes.byref(info))
-            if pages > 0:
-                self._geom[i] = (pages, info.height, info.width,
-                                 info.bits_per_sample)
         arr = (ctypes.c_char_p * len(paths))(*[p.encode() for p in paths])
         self._handle = lib.pcis_prefetch_start(arr, len(paths), num_threads)
 
     def get(self, idx: int) -> Optional[np.ndarray]:
+        # geometry is recorded by the decode workers themselves (one mmap
+        # parse per file, inside the pool) — no up-front serial inspect pass
+        # over the whole path list, and get() never re-reads the file
         size = self._lib.pcis_prefetch_wait(self._handle, idx)
-        geom = self._geom.get(idx)
-        if size == 0 or geom is None:
+        info = TiffPageInfo()
+        pages = self._lib.pcis_prefetch_geom(self._handle, idx, ctypes.byref(info))
+        if size == 0 or pages <= 0:
             return None
-        pages, h, w, bps = geom
-        dtype = np.uint8 if bps == 8 else np.uint16
-        out = np.empty((pages, h, w), dtype)
-        if out.nbytes != size:  # file changed between inspect and decode
+        dtype = np.uint8 if info.bits_per_sample == 8 else np.uint16
+        out = np.empty((pages, info.height, info.width), dtype)
+        if out.nbytes != size:
             return None
         rc = self._lib.pcis_prefetch_take(
             self._handle, idx, out.ctypes.data_as(ctypes.c_void_p), out.nbytes

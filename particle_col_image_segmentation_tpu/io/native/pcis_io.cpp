@@ -1,16 +1,21 @@
 // pcis_io — native host-side I/O for the TPU segmentation framework.
 //
 // The reference's I/O is tifffile/libtiff via Python (split_zstack.py:50,64);
-// here the hot path (uncompressed grayscale TIFF strips feeding the device
-// loader) is a small C++ library with a ctypes ABI:
+// here the hot path (grayscale TIFF planes feeding the device loader) is a
+// small C++ library with a ctypes ABI:
 //
-//   * read classic little-endian TIFFs (uncompressed, grayscale 8/16-bit,
-//     single or multi page) straight into a caller buffer;
+//   * read classic and BigTIFF little-endian grayscale 8/16-bit files —
+//     uncompressed, LZW (compression 5, incl. horizontal predictor 2) and
+//     Deflate (8 / 32946) — in strip or tile layout, single or multi page,
+//     straight into a caller buffer;
 //   * write single-page uncompressed TIFFs;
 //   * a pthread prefetch pool that decodes a list of files ahead of the
 //     consumer (overlapping host decode with device compute).
 //
-// Compressed/exotic TIFFs fall back to the PIL codec on the Python side.
+// Files are mmap()ed, not slurped: inspect touches only the IFD pages, so
+// probing a directory of multi-GB stacks does no bulk I/O (the decode path
+// faults in strip data on demand).  Unsupported TIFFs (big-endian, RGB,
+// JPEG-compressed, ...) report 0 pages so Python falls back to PIL.
 
 #include <cstdint>
 #include <cstdio>
@@ -24,11 +29,14 @@
 #include <queue>
 #include <atomic>
 
-extern "C" {
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
 
-// ---------------------------------------------------------------------------
-// TIFF structures (classic, little-endian only)
-// ---------------------------------------------------------------------------
+#include <zlib.h>
+
+extern "C" {
 
 struct TiffPageInfo {
   uint32_t width;
@@ -39,103 +47,381 @@ struct TiffPageInfo {
 
 namespace {
 
+// ---------------------------------------------------------------------------
+// lazy file access
+// ---------------------------------------------------------------------------
+
+struct Mapped {
+  const uint8_t* p = nullptr;
+  size_t n = 0;
+  bool open(const char* path) {
+    int fd = ::open(path, O_RDONLY);
+    if (fd < 0) return false;
+    struct stat st;
+    if (fstat(fd, &st) != 0 || st.st_size <= 0) { ::close(fd); return false; }
+    void* m = mmap(nullptr, (size_t)st.st_size, PROT_READ, MAP_PRIVATE, fd, 0);
+    ::close(fd);
+    if (m == MAP_FAILED) return false;
+    p = (const uint8_t*)m;
+    n = (size_t)st.st_size;
+    return true;
+  }
+  ~Mapped() { if (p) munmap((void*)p, n); }
+  Mapped() = default;
+  Mapped(const Mapped&) = delete;
+  Mapped& operator=(const Mapped&) = delete;
+};
+
 struct Reader {
   const uint8_t* p;
   size_t n;
-  bool ok = true;
-  uint16_t u16(size_t off) const { return off + 2 <= n ? (uint16_t)(p[off] | p[off + 1] << 8) : 0; }
-  uint32_t u32(size_t off) const {
-    return off + 4 <= n ? (uint32_t)(p[off] | p[off + 1] << 8 | p[off + 2] << 16 | (uint32_t)p[off + 3] << 24) : 0;
+  uint16_t u16(uint64_t off) const {
+    return off + 2 <= n ? (uint16_t)(p[off] | p[off + 1] << 8) : 0;
+  }
+  uint32_t u32(uint64_t off) const {
+    return off + 4 <= n
+      ? (uint32_t)(p[off] | p[off + 1] << 8 | p[off + 2] << 16 | (uint32_t)p[off + 3] << 24)
+      : 0;
+  }
+  uint64_t u64(uint64_t off) const {
+    return off + 8 <= n ? (uint64_t)u32(off) | ((uint64_t)u32(off + 4) << 32) : 0;
   }
 };
 
+// ---------------------------------------------------------------------------
+// IFD parsing (classic + BigTIFF, little-endian)
+// ---------------------------------------------------------------------------
+
 struct Ifd {
   uint32_t width = 0, height = 0, bps = 8, spp = 1, compression = 1;
+  uint32_t predictor = 1, fill_order = 1, sample_format = 1;
   uint32_t rows_per_strip = 0xffffffff;
-  std::vector<uint64_t> strip_offsets, strip_counts;
-  uint32_t next = 0;
+  uint32_t tile_w = 0, tile_h = 0;       // nonzero → tiled layout
+  std::vector<uint64_t> seg_offsets, seg_counts;  // strips or tiles
+  uint64_t next = 0;
 };
 
-bool read_file(const char* path, std::vector<uint8_t>& out) {
-  FILE* f = fopen(path, "rb");
-  if (!f) return false;
-  fseek(f, 0, SEEK_END);
-  long sz = ftell(f);
-  fseek(f, 0, SEEK_SET);
-  out.resize((size_t)sz);
-  size_t got = fread(out.data(), 1, (size_t)sz, f);
-  fclose(f);
-  return got == (size_t)sz;
+// element size per TIFF type id (0 = unsupported for our tags)
+inline uint64_t type_size(uint16_t type) {
+  switch (type) {
+    case 1: case 2: case 6: case 7: return 1;  // BYTE/ASCII/SBYTE/UNDEF
+    case 3: case 8: return 2;                  // SHORT
+    case 4: case 9: case 11: return 4;         // LONG / FLOAT
+    case 16: case 17: return 8;                // LONG8
+    default: return 0;
+  }
 }
 
-// Parse one IFD at offset; returns false on structural error.
-bool parse_ifd(const Reader& r, uint32_t off, Ifd* ifd) {
-  if (off + 2 > r.n) return false;
-  uint16_t count = r.u16(off);
-  size_t base = off + 2;
-  if (base + 12ull * count + 4 > r.n) return false;
-  for (uint16_t i = 0; i < count; i++) {
-    size_t e = base + 12ull * i;
+// Parse one IFD at offset; `big` selects BigTIFF entry layout.
+bool parse_ifd(const Reader& r, uint64_t off, bool big, Ifd* ifd) {
+  uint64_t count, base, entry_sz = big ? 20 : 12;
+  if (big) {
+    if (off + 8 > r.n) return false;
+    count = r.u64(off);
+    base = off + 8;
+  } else {
+    if (off + 2 > r.n) return false;
+    count = r.u16(off);
+    base = off + 2;
+  }
+  if (count > 65536 || base + entry_sz * count + (big ? 8 : 4) > r.n) return false;
+  for (uint64_t i = 0; i < count; i++) {
+    uint64_t e = base + entry_sz * i;
     uint16_t tag = r.u16(e), type = r.u16(e + 2);
-    uint32_t cnt = r.u32(e + 4);
-    auto value_at = [&](uint32_t idx) -> uint64_t {
-      size_t elt = type == 3 ? 2 : 4;  // SHORT or LONG
-      size_t total = elt * cnt;
-      size_t voff = total <= 4 ? e + 8 : r.u32(e + 8);
-      size_t p = voff + elt * idx;
-      return type == 3 ? (uint64_t)r.u16(p) : (uint64_t)r.u32(p);
+    uint64_t cnt = big ? r.u64(e + 4) : r.u32(e + 4);
+    uint64_t vfield = big ? e + 12 : e + 8;
+    uint64_t inline_cap = big ? 8 : 4;
+    uint64_t elt = type_size(type);
+    if (elt == 0) continue;
+    uint64_t voff = elt * cnt <= inline_cap
+        ? vfield
+        : (big ? r.u64(vfield) : (uint64_t)r.u32(vfield));
+    auto value_at = [&](uint64_t idx) -> uint64_t {
+      uint64_t p = voff + elt * idx;
+      switch (elt) {
+        case 1: return p < r.n ? r.p[p] : 0;
+        case 2: return r.u16(p);
+        case 4: return r.u32(p);
+        default: return r.u64(p);
+      }
     };
     switch (tag) {
       case 256: ifd->width = (uint32_t)value_at(0); break;
       case 257: ifd->height = (uint32_t)value_at(0); break;
       case 258: ifd->bps = (uint32_t)value_at(0); break;
       case 259: ifd->compression = (uint32_t)value_at(0); break;
+      case 266: ifd->fill_order = (uint32_t)value_at(0); break;
       case 277: ifd->spp = (uint32_t)value_at(0); break;
       case 278: ifd->rows_per_strip = (uint32_t)value_at(0); break;
-      case 273:
-        ifd->strip_offsets.resize(cnt);
-        for (uint32_t k = 0; k < cnt; k++) ifd->strip_offsets[k] = value_at(k);
+      case 317: ifd->predictor = (uint32_t)value_at(0); break;
+      case 339: ifd->sample_format = (uint32_t)value_at(0); break;
+      case 322: ifd->tile_w = (uint32_t)value_at(0); break;
+      case 323: ifd->tile_h = (uint32_t)value_at(0); break;
+      case 273: case 324:
+        ifd->seg_offsets.resize(cnt);
+        for (uint64_t k = 0; k < cnt; k++) ifd->seg_offsets[k] = value_at(k);
         break;
-      case 279:
-        ifd->strip_counts.resize(cnt);
-        for (uint32_t k = 0; k < cnt; k++) ifd->strip_counts[k] = value_at(k);
+      case 279: case 325:
+        ifd->seg_counts.resize(cnt);
+        for (uint64_t k = 0; k < cnt; k++) ifd->seg_counts[k] = value_at(k);
         break;
       default: break;
     }
   }
-  ifd->next = r.u32(base + 12ull * count);
+  ifd->next = big ? r.u64(base + entry_sz * count) : (uint64_t)r.u32(base + entry_sz * count);
   return true;
 }
 
-// Walk IFD chain; fills pages. Returns false if not a supported TIFF.
-bool parse_tiff(const std::vector<uint8_t>& buf, std::vector<Ifd>& pages) {
-  Reader r{buf.data(), buf.size()};
-  if (buf.size() < 8 || buf[0] != 'I' || buf[1] != 'I' || r.u16(2) != 42) return false;
-  uint32_t off = r.u32(4);
+// Walk IFD chain; fills pages. Returns false if not a little-endian TIFF.
+bool parse_tiff(const Reader& r, std::vector<Ifd>& pages) {
+  if (r.n < 8 || r.p[0] != 'I' || r.p[1] != 'I') return false;
+  uint16_t magic = r.u16(2);
+  bool big = false;
+  uint64_t off;
+  if (magic == 42) {
+    off = r.u32(4);
+  } else if (magic == 43) {               // BigTIFF
+    if (r.u16(4) != 8 || r.u16(6) != 0 || r.n < 16) return false;
+    big = true;
+    off = r.u64(8);
+  } else {
+    return false;
+  }
   int guard = 0;
   while (off && guard++ < 65536) {
     Ifd ifd;
-    if (!parse_ifd(r, off, &ifd)) return false;
-    pages.push_back(ifd);
-    off = ifd.next;
+    if (!parse_ifd(r, off, big, &ifd)) return false;
+    pages.push_back(std::move(ifd));
+    off = pages.back().next;
   }
   return !pages.empty();
 }
 
+bool page_supported(const Ifd& p) {
+  if (p.spp != 1 || (p.bps != 8 && p.bps != 16)) return false;
+  if (p.width == 0 || p.height == 0) return false;
+  if (p.compression != 1 && p.compression != 5 && p.compression != 8 &&
+      p.compression != 32946)
+    return false;
+  if (p.predictor != 1 && p.predictor != 2) return false;
+  if (p.fill_order != 1) return false;
+  if (p.sample_format != 1) return false;   // unsigned int only
+  if (p.seg_offsets.empty() || p.seg_offsets.size() != p.seg_counts.size())
+    return false;
+  if ((p.tile_w != 0) != (p.tile_h != 0)) return false;
+  return true;
+}
+
+// ---------------------------------------------------------------------------
+// segment decoders
+// ---------------------------------------------------------------------------
+
+// TIFF LZW (MSB-first codes, early code-width change).  Returns bytes written
+// or SIZE_MAX on malformed input; stops at out_cap (partial final strips are
+// legal — callers size out_cap to the segment's logical extent).
+size_t lzw_decode(const uint8_t* in, size_t n, uint8_t* out, size_t out_cap) {
+  constexpr int kClear = 256, kEoi = 257, kFirst = 258, kMax = 4096;
+  static thread_local std::vector<uint16_t> prefix(kMax);
+  static thread_local std::vector<uint8_t> suffix(kMax), stack(kMax);
+  int next_code = kFirst, code_bits = 9;
+  uint64_t bitbuf = 0;
+  int bitcnt = 0;
+  size_t ip = 0, op = 0;
+  int prev = -1;
+  auto get_code = [&]() -> int {
+    while (bitcnt < code_bits) {
+      if (ip >= n) return kEoi;
+      bitbuf = (bitbuf << 8) | in[ip++];
+      bitcnt += 8;
+    }
+    bitcnt -= code_bits;
+    return (int)((bitbuf >> bitcnt) & ((1u << code_bits) - 1));
+  };
+  auto emit = [&](int code, int* first_byte) -> bool {
+    size_t sp = 0;
+    while (code >= kFirst) {
+      if (sp >= stack.size() || code >= next_code) return false;
+      stack[sp++] = suffix[code];
+      code = prefix[code];
+    }
+    if (code < 0 || code > 255) return false;
+    *first_byte = code;
+    if (op < out_cap) out[op++] = (uint8_t)code;
+    while (sp && op < out_cap) out[op++] = stack[--sp];
+    return true;
+  };
+  for (;;) {
+    int code = get_code();
+    if (code == kEoi) break;
+    if (code == kClear) {
+      next_code = kFirst;
+      code_bits = 9;
+      prev = -1;
+      continue;
+    }
+    int first = 0;
+    if (prev < 0) {
+      if (!emit(code, &first)) return SIZE_MAX;
+    } else if (code < next_code) {
+      if (!emit(code, &first)) return SIZE_MAX;
+      if (next_code < kMax) {
+        prefix[next_code] = (uint16_t)prev;
+        suffix[next_code] = (uint8_t)first;
+        next_code++;
+      }
+    } else if (code == next_code && next_code < kMax) {
+      // KwKwK case: new entry = prev + first(prev)
+      int pf = 0;
+      size_t save = op;
+      if (!emit(prev, &pf)) return SIZE_MAX;
+      (void)save;
+      if (op < out_cap) out[op++] = (uint8_t)pf;
+      prefix[next_code] = (uint16_t)prev;
+      suffix[next_code] = (uint8_t)pf;
+      next_code++;
+      first = pf;
+    } else {
+      return SIZE_MAX;
+    }
+    prev = code;
+    // TIFF "early change": width bumps one code early
+    if (next_code == (1 << code_bits) - 1 && code_bits < 12) code_bits++;
+    if (op >= out_cap) break;
+  }
+  return op;
+}
+
+size_t zlib_decode(const uint8_t* in, size_t n, uint8_t* out, size_t out_cap) {
+  z_stream zs;
+  memset(&zs, 0, sizeof(zs));
+  if (inflateInit(&zs) != Z_OK) return SIZE_MAX;
+  zs.next_in = const_cast<uint8_t*>(in);
+  zs.avail_in = (uInt)n;
+  zs.next_out = out;
+  zs.avail_out = (uInt)out_cap;
+  int rc = inflate(&zs, Z_FINISH);
+  size_t got = zs.total_out;
+  inflateEnd(&zs);
+  if (rc != Z_STREAM_END && rc != Z_BUF_ERROR && rc != Z_OK) return SIZE_MAX;
+  return got;
+}
+
+// Undo horizontal differencing in place: rows of `w` samples, 8 or 16 bit LE.
+void undo_predictor2(uint8_t* buf, size_t nbytes, uint32_t w, uint32_t bps) {
+  if (bps == 8) {
+    size_t rows = nbytes / w;
+    for (size_t r = 0; r < rows; r++) {
+      uint8_t* row = buf + r * w;
+      for (uint32_t c = 1; c < w; c++) row[c] = (uint8_t)(row[c] + row[c - 1]);
+    }
+  } else {
+    size_t row_bytes = (size_t)w * 2, rows = nbytes / row_bytes;
+    for (size_t r = 0; r < rows; r++) {
+      uint8_t* row = buf + r * row_bytes;
+      uint16_t acc;
+      memcpy(&acc, row, 2);
+      for (uint32_t c = 1; c < w; c++) {
+        uint16_t v;
+        memcpy(&v, row + c * 2, 2);
+        acc = (uint16_t)(acc + v);
+        memcpy(row + c * 2, &acc, 2);
+      }
+    }
+  }
+}
+
+// Decode one strip/tile into out (out_cap = logical uncompressed bytes for a
+// full segment; short final segments are fine).  Returns bytes produced or
+// SIZE_MAX on error.  seg_w = samples per row inside the segment (strip: image
+// width; tile: tile width) — needed by the predictor.
+size_t decode_segment(const Ifd& p, const uint8_t* src, size_t src_n,
+                      uint8_t* out, size_t out_cap, uint32_t seg_w) {
+  size_t got;
+  switch (p.compression) {
+    case 1:
+      got = src_n < out_cap ? src_n : out_cap;
+      memcpy(out, src, got);
+      break;
+    case 5:
+      got = lzw_decode(src, src_n, out, out_cap);
+      break;
+    default:  // 8 / 32946
+      got = zlib_decode(src, src_n, out, out_cap);
+      break;
+  }
+  if (got == SIZE_MAX) return SIZE_MAX;
+  if (p.predictor == 2) undo_predictor2(out, got, seg_w, p.bps);
+  return got;
+}
+
+// Decode a full page into dst (page-major caller layout, row-major pixels).
+bool decode_page(const Reader& r, const Ifd& p, uint8_t* dst) {
+  uint64_t pix = p.bps / 8;
+  uint64_t row_bytes = (uint64_t)p.width * pix;
+  uint64_t page_bytes = row_bytes * p.height;
+  if (p.tile_w == 0) {
+    // strip layout
+    uint64_t rps = p.rows_per_strip ? p.rows_per_strip : p.height;
+    if (rps > p.height) rps = p.height;
+    uint64_t written = 0;
+    for (size_t s = 0; s < p.seg_offsets.size() && written < page_bytes; s++) {
+      uint64_t off = p.seg_offsets[s], cnt = p.seg_counts[s];
+      if (off + cnt > r.n) return false;
+      uint64_t strip_rows = rps;
+      uint64_t rows_left = (page_bytes - written) / row_bytes;
+      if (strip_rows > rows_left) strip_rows = rows_left;
+      uint64_t cap = strip_rows * row_bytes;
+      size_t got = decode_segment(p, r.p + off, cnt, dst + written, cap, p.width);
+      if (got == SIZE_MAX || got < cap) return false;
+      written += cap;
+    }
+    return written == page_bytes;
+  }
+  // tile layout
+  uint64_t tiles_x = (p.width + p.tile_w - 1) / p.tile_w;
+  uint64_t tiles_y = (p.height + p.tile_h - 1) / p.tile_h;
+  if (p.seg_offsets.size() < tiles_x * tiles_y) return false;
+  uint64_t tile_row_bytes = (uint64_t)p.tile_w * pix;
+  uint64_t tile_bytes = tile_row_bytes * p.tile_h;
+  std::vector<uint8_t> tb(tile_bytes);
+  for (uint64_t ty = 0; ty < tiles_y; ty++) {
+    for (uint64_t tx = 0; tx < tiles_x; tx++) {
+      uint64_t s = ty * tiles_x + tx;
+      uint64_t off = p.seg_offsets[s], cnt = p.seg_counts[s];
+      if (off + cnt > r.n) return false;
+      size_t got = decode_segment(p, r.p + off, cnt, tb.data(), tile_bytes, p.tile_w);
+      if (got == SIZE_MAX || got < tile_bytes) return false;
+      uint64_t copy_rows = p.tile_h, copy_cols_b = tile_row_bytes;
+      if ((ty + 1) * p.tile_h > p.height) copy_rows = p.height - ty * p.tile_h;
+      if ((tx + 1) * p.tile_w > p.width)
+        copy_cols_b = ((uint64_t)p.width - tx * p.tile_w) * pix;
+      for (uint64_t rr = 0; rr < copy_rows; rr++) {
+        uint64_t drow = ty * p.tile_h + rr;
+        memcpy(dst + drow * row_bytes + tx * p.tile_w * pix,
+               tb.data() + rr * tile_row_bytes, copy_cols_b);
+      }
+    }
+  }
+  return true;
+}
+
 }  // namespace
 
+// ---------------------------------------------------------------------------
+// public ABI
+// ---------------------------------------------------------------------------
+
 // Inspect: returns number of pages (≤0 on error / unsupported) and fills
-// info with page-0 geometry.  Unsupported (compressed, big-endian, RGB)
-// files return 0 so Python falls back to PIL.
+// info with page-0 geometry.  mmap-backed — touches only IFD bytes, no bulk
+// read.  Unsupported files return 0 so Python falls back to PIL.
 int pcis_tiff_inspect(const char* path, TiffPageInfo* info) {
-  std::vector<uint8_t> buf;
-  if (!read_file(path, buf)) return -1;
+  Mapped m;
+  if (!m.open(path)) return -1;
+  Reader r{m.p, m.n};
   std::vector<Ifd> pages;
-  if (!parse_tiff(buf, pages)) return 0;
+  if (!parse_tiff(r, pages)) return 0;
   for (const auto& p : pages) {
-    if (p.compression != 1 || p.spp != 1 || (p.bps != 8 && p.bps != 16) ||
-        p.width == 0 || p.height == 0 || p.strip_offsets.empty())
-      return 0;
+    if (!page_supported(p)) return 0;
     // mixed-geometry multipage files (embedded thumbnails / pyramid levels)
     // would be packed misaligned into the (pages, h0, w0) caller buffer —
     // punt those to the PIL fallback
@@ -153,29 +439,23 @@ int pcis_tiff_inspect(const char* path, TiffPageInfo* info) {
 // Read all pages into out (caller-allocated: pages*height*width*(bps/8)
 // bytes, row-major, page-major).  Returns 0 on success.
 int pcis_tiff_read(const char* path, uint8_t* out, uint64_t out_size) {
-  std::vector<uint8_t> buf;
-  if (!read_file(path, buf)) return -1;
+  Mapped m;
+  if (!m.open(path)) return -1;
+  Reader r{m.p, m.n};
   std::vector<Ifd> pages;
-  if (!parse_tiff(buf, pages)) return -2;
-  for (const auto& p : pages)  // same geometry guard as inspect
-    if (p.width != pages[0].width || p.height != pages[0].height ||
-        p.bps != pages[0].bps)
+  if (!parse_tiff(r, pages)) return -2;
+  for (const auto& p : pages)  // same support/geometry guard as inspect
+    if (!page_supported(p) || p.width != pages[0].width ||
+        p.height != pages[0].height || p.bps != pages[0].bps)
       return -5;
   uint64_t cursor = 0;
   for (const auto& p : pages) {
     uint64_t page_bytes = (uint64_t)p.width * p.height * (p.bps / 8);
-    uint64_t written = 0;
-    for (size_t s = 0; s < p.strip_offsets.size(); s++) {
-      uint64_t off = p.strip_offsets[s], cnt = p.strip_counts[s];
-      if (off + cnt > buf.size() || cursor + written + cnt > out_size) return -3;
-      if (written + cnt > page_bytes) cnt = page_bytes - written;
-      memcpy(out + cursor + written, buf.data() + off, cnt);
-      written += cnt;
-    }
-    if (written != page_bytes) return -4;
+    if (cursor + page_bytes > out_size) return -3;
+    if (!decode_page(r, p, out + cursor)) return -4;
     cursor += page_bytes;
   }
-  return 0;
+  return cursor == out_size ? 0 : -3;
 }
 
 // Write a single-page uncompressed grayscale TIFF (8 or 16 bit).
@@ -223,6 +503,8 @@ int pcis_tiff_write(const char* path, const uint8_t* data, uint32_t height,
 struct Prefetcher {
   std::vector<std::string> paths;
   std::vector<std::vector<uint8_t>> results;  // decoded pixel buffers
+  std::vector<TiffPageInfo> infos;            // page-0 geometry per item
+  std::vector<int> npages;                    // page count per item
   std::vector<int> status;                    // -1 pending, 0 ok, >0 error
   std::queue<size_t> work;
   std::mutex mu;
@@ -239,7 +521,7 @@ struct Prefetcher {
         idx = work.front();
         work.pop();
       }
-      TiffPageInfo info;
+      TiffPageInfo info{};
       int pages = pcis_tiff_inspect(paths[idx].c_str(), &info);
       int st = 1;
       if (pages > 0) {
@@ -254,6 +536,8 @@ struct Prefetcher {
       {
         std::lock_guard<std::mutex> g(mu);
         status[idx] = st;
+        infos[idx] = info;
+        npages[idx] = pages > 0 ? pages : 0;
       }
       remaining--;
       cv_done.notify_all();
@@ -265,6 +549,8 @@ void* pcis_prefetch_start(const char** path_array, int n_paths, int n_threads) {
   auto* p = new Prefetcher();
   p->paths.assign(path_array, path_array + n_paths);
   p->results.resize(n_paths);
+  p->infos.resize(n_paths);
+  p->npages.assign(n_paths, 0);
   p->status.assign(n_paths, -1);
   p->remaining = n_paths;
   for (int i = 0; i < n_paths; i++) p->work.push((size_t)i);
@@ -279,6 +565,17 @@ uint64_t pcis_prefetch_wait(void* handle, int idx) {
   std::unique_lock<std::mutex> lk(p->mu);
   p->cv_done.wait(lk, [&] { return p->status[idx] != -1; });
   return p->status[idx] == 0 ? p->results[idx].size() : 0;
+}
+
+// Geometry of a decoded item (valid after wait): page count (0 on error) +
+// page-0 info.  Workers record this during decode, so callers need no
+// separate up-front inspect pass over the path list.
+int pcis_prefetch_geom(void* handle, int idx, TiffPageInfo* info) {
+  auto* p = (Prefetcher*)handle;
+  std::unique_lock<std::mutex> lk(p->mu);
+  p->cv_done.wait(lk, [&] { return p->status[idx] != -1; });
+  *info = p->infos[idx];
+  return p->status[idx] == 0 ? p->npages[idx] : 0;
 }
 
 // Copy decoded bytes for idx into out and free them. Returns 0 on success.

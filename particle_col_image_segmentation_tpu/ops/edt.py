@@ -97,10 +97,12 @@ def edt_sq_exact(feature: jnp.ndarray, rows_per_step: int = 8) -> jnp.ndarray:
         directional_distance(jnp.flip(feature, -1), axis=-1, cap=capw), -1
     )
     dh = jnp.minimum(right, left).astype(jnp.int32)
-    dh2 = dh * dh  # ≤ (W+1)²
-
     inf = jnp.int32((H + W + 2) * (H + W + 2))
-    dh2 = jnp.minimum(dh2, inf)
+    # Rows with no feature pixel come back saturated at capw from the
+    # directional scans; they must contribute +inf to the phase-2 min-plus,
+    # not a finite (W+1)² candidate, or any pixel whose true nearest feature
+    # is farther than W+1 rows away gets a too-small distance.
+    dh2 = jnp.where(dh >= capw, inf, dh * dh)
     C = rows_per_step
     Hp = -(-H // C) * C
     pad = [(0, 0)] * (feature.ndim - 2) + [(0, Hp - H), (0, 0)]

@@ -171,6 +171,14 @@ class TestDiscovery:
         assert d.endswith("_cell_density_info.csv")
         assert p == os.path.join("folder1", "folder1_cell_pos.csv")
 
+    def test_pos_density_names_shallow_absolute(self):
+        # even an ABSOLUTE path can have <3 components ("/data" →
+        # ["", "data"]); the derivation pads instead of IndexError
+        # (ADVICE r1 low)
+        d, p = get_pos_and_density_file_names(os.sep + "data")
+        assert d.endswith("_cell_density_info.csv")  # empty ancestor tokens
+        assert p == os.path.join(os.sep + "data", "data_cell_pos.csv")
+
     def test_remove_channels_and_clean(self):
         assert remove_channels("Tp_RFP_1_zstack.tif") == "Tp_1_zstack.tif"
         assert clean_acquisition_name("Tp_GFP_2_zstack.tif") == "Tp_2"

@@ -85,3 +85,96 @@ def test_unsupported_returns_none(tmp_path):
     p = tmp_path / "not_a_tiff.tif"
     p.write_bytes(b"garbage data not tiff")
     assert native.read_tiff(str(p)) is None
+
+
+class TestCompressedAndExoticLayouts:
+    """Native decode of real-world microscope TIFF layouts the reference
+    reads via tifffile (split_zstack.py:50-51): LZW, deflate, horizontal
+    predictor, tiled pages, BigTIFF, multi-page 16-bit."""
+
+    @pytest.mark.parametrize("comp", ["tiff_lzw", "tiff_adobe_deflate"])
+    @pytest.mark.parametrize("dtype", [np.uint8, np.uint16])
+    def test_pil_written_compressed(self, tmp_path, comp, dtype):
+        from PIL import Image
+
+        arr = np.random.default_rng(11).integers(
+            0, np.iinfo(dtype).max, (70, 90)
+        ).astype(dtype)
+        p = str(tmp_path / f"{comp}_{dtype.__name__}.tif")
+        Image.fromarray(arr).save(p, compression=comp)
+        got = native.read_tiff(p)
+        assert got is not None, "native codec rejected a compressed TIFF"
+        np.testing.assert_array_equal(got, arr)
+
+    def test_multipage_16bit_lzw(self, tmp_path):
+        from PIL import Image
+
+        stacks = [
+            np.random.default_rng(i).integers(0, 65535, (24, 30)).astype(np.uint16)
+            for i in range(4)
+        ]
+        p = str(tmp_path / "zstack_lzw.tif")
+        ims = [Image.fromarray(a) for a in stacks]
+        ims[0].save(p, save_all=True, append_images=ims[1:], compression="tiff_lzw")
+        got = native.read_tiff(p)
+        assert got is not None and got.shape == (4, 24, 30)
+        np.testing.assert_array_equal(got, np.stack(stacks))
+
+    @pytest.mark.parametrize("dtype", [np.uint8, np.uint16])
+    @pytest.mark.parametrize(
+        "kw",
+        [
+            dict(compression=8, predictor=2, rows_per_strip=16),
+            dict(compression=8, tile=(32, 16)),
+            dict(compression=8, predictor=2, tile=(16, 32)),
+            dict(bigtiff=True, rows_per_strip=20),
+            dict(compression=8, bigtiff=True, rows_per_strip=33),
+            dict(compression=8, predictor=2, tile=(32, 32), bigtiff=True),
+        ],
+        ids=["pred2", "tiled", "tiled-pred2", "bigtiff", "bigtiff-deflate",
+             "bigtiff-tiled-pred2"],
+    )
+    def test_crafted_layouts(self, tmp_path, dtype, kw):
+        from fixtures import craft_tiff
+
+        arr = np.random.default_rng(13).integers(
+            0, np.iinfo(dtype).max, (70, 90)
+        ).astype(dtype)
+        p = str(tmp_path / "crafted.tif")
+        craft_tiff(p, arr, **kw)
+        got = native.read_tiff(p)
+        assert got is not None, f"native codec rejected layout {kw}"
+        np.testing.assert_array_equal(got, arr)
+
+    def test_crafter_matches_pil(self, tmp_path):
+        """The crafter itself is validated against PIL's independent reader
+        (so crafted-layout tests aren't self-referential)."""
+        from PIL import Image
+
+        from fixtures import craft_tiff
+
+        arr = np.random.default_rng(17).integers(0, 255, (70, 90)).astype(np.uint8)
+        for kw in (
+            dict(compression=8, predictor=2, rows_per_strip=16),
+            dict(compression=8, tile=(32, 16)),
+        ):
+            p = str(tmp_path / "check.tif")
+            craft_tiff(p, arr, **kw)
+            np.testing.assert_array_equal(np.asarray(Image.open(p)), arr)
+
+    def test_prefetcher_compressed(self, tmp_path):
+        """Prefetch pool decodes compressed files; geometry comes from the
+        workers (no up-front serial inspect — ADVICE r1 medium)."""
+        from PIL import Image
+
+        arrays, paths = [], []
+        for i in range(5):
+            a = np.random.default_rng(20 + i).integers(0, 65535, (40, 40)).astype(np.uint16)
+            p = str(tmp_path / f"c{i}.tif")
+            Image.fromarray(a).save(p, compression="tiff_lzw")
+            arrays.append(a)
+            paths.append(p)
+        pf = native.NativePrefetcher(paths, num_threads=2)
+        for idx in (4, 1, 0, 3, 2):
+            np.testing.assert_array_equal(pf.get(idx), arrays[idx])
+        pf.close()

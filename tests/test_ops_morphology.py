@@ -57,6 +57,28 @@ class TestEDT:
         ref = ndi.distance_transform_edt(~m) ** 2
         np.testing.assert_allclose(ours, np.round(ref))
 
+    @pytest.mark.parametrize(
+        "shape,feat",
+        [
+            ((256, 32), [(1, 7)]),  # distances ≫ W+1: featureless-row sentinel
+            ((256, 32), [(250, 0), (4, 31)]),
+            ((128, 128), [(0, 0)]),  # corner feature, many featureless rows
+            ((300, 16), [(150, 8)]),
+        ],
+    )
+    def test_exact_tall_narrow_distant_feature(self, shape, feat):
+        """Regression (ADVICE r1): rows with no feature pixel must contribute
+        +inf to the min-plus, not (W+1)² — tall-narrow planes with distant
+        features previously got far-too-small distances."""
+        from particle_col_image_segmentation_tpu.ops.edt import edt_sq_exact
+
+        m = np.zeros(shape, bool)
+        for r, c in feat:
+            m[r, c] = True
+        ours = np.asarray(edt_sq_exact(jnp.asarray(m)))
+        ref = ndi.distance_transform_edt(~m) ** 2
+        np.testing.assert_allclose(ours, np.round(ref))
+
 
 class TestDilation:
     @pytest.mark.parametrize("r", [1, 2, 5, 20])

@@ -240,8 +240,9 @@ class TestCLIParsing:
         assert rc == 0
         with open(stats_csv) as f:
             rows = list(csv.reader(f))
-        assert rows[0] == ["plane", "regions", "particle_px", "cell_px"]
+        assert rows[0] == ["plane", "regions", "particle_px", "cell_px", "status"]
         assert len(rows) == 4 and all(int(r[1]) > 0 for r in rows[1:])
+        assert all(r[4] == "ok" for r in rows[1:])
         capsys.readouterr()
         rc = main(
             ["batch", str(exp), "--batch-size", "2", "--manifest", manifest,
