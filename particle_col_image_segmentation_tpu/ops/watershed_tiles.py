@@ -1,12 +1,14 @@
 """Pallas band-sweep watershed (Gauss-Seidel two-phase minimax flooding).
 
-Same two confluent phases as ops/watershed.py — minimax costs first, then
-min labels over the fixed optimal-edge graph — iterated inside VMEM over
-full-width row bands with in-place write-back (the ops/ccl_tiles.py
-machinery).  Because each phase is confluent, the Gauss-Seidel band schedule
-produces bit-identical output to the XLA Jacobi kernel, while the
-O(basin-diameter) relaxation runs at VPU speed instead of one full-plane
-HBM round trip per step.
+Same two phases as ops/watershed.py — minimax costs first, then the
+(level distance, entry img, claimer img, marker id) claim relaxation over
+the fixed optimal-edge graph — iterated inside VMEM over full-width row
+bands with in-place write-back (the ops/ccl_tiles.py machinery).  Both
+phases have a unique fixpoint, so the Gauss-Seidel band schedule produces
+bit-identical output to the XLA Jacobi kernel, while the O(basin-diameter)
+relaxation runs at VPU speed instead of one full-plane HBM round trip per
+step.  Phase 2 shares its candidate/fold definitions with ops/watershed.py
+and recomputes only band-interior rows (see _relax_label).
 """
 
 from __future__ import annotations
@@ -72,40 +74,64 @@ def _relax_cost(cost, img, flags, connectivity: int, inner_iters: int):
     return cost
 
 
-def _relax_label(lab, dist, cost, img, flags, connectivity: int,
-                 inner_iters: int):
-    """Lexicographic (geodesic step count, marker id) relaxation over optimal
-    edges — the plateau tie-break matching ops/watershed.py phase 2."""
+def _relax_label(lab, dist, eimg, cost, img, flags, connectivity: int,
+                 inner_iters: int, T: int):
+    """Claim relaxation over optimal edges with the lexicographic
+    (level distance, entry img, claimer img, marker id) key — the same
+    recompute-from-scratch step as ops/watershed.py phase 2 (one shared
+    candidate/fold definition).
+
+    Only the band's interior rows [HALO, HALO+T) are recomputed: the level
+    reset makes recomputation non-monotone, so recomputing a window-edge
+    halo row (whose true claimers live outside the window) would replace a
+    valid state with a worse one and rot the band from the edges in.  Halo
+    rows stay frozen at their sweep-start values — stale-but-valid neighbor
+    reads, under which the chaotic relaxation still reaches the unique
+    fixpoint."""
+    from particle_col_image_segmentation_tpu.ops.watershed import (
+        claim_candidates,
+        fold_claim,
+    )
+
     in_mask = (flags & _MASK_BIT) != 0
     is_seed = (flags & _SEED_BIT) != 0
-    updatable = in_mask & ~is_seed
+    rows = jax.lax.broadcasted_iota(jnp.int32, lab.shape, 0)
+    interior = (rows >= _HALO) & (rows < _HALO + T)
+    updatable = in_mask & ~is_seed & interior
 
     def body(state):
-        lab, dist, _, i = state
-        best_l, best_d = lab, dist
+        lab, dist, eimg, _, i = state
+        shape = lab.shape
+        best = (
+            jnp.full(shape, _BIG_LAB, jnp.int32),
+            jnp.full(shape, _INF, jnp.float32),
+            jnp.full(shape, _INF, jnp.float32),
+            jnp.full(shape, _BIG_LAB, jnp.int32),
+        )
         for dy, dx in _offsets(connectivity):
-            nc = _shift(cost, dy, dx, _INF)
-            nl = _shift(lab, dy, dx, _BIG_LAB)
-            nd = _shift(dist, dy, dx, _BIG_LAB)
-            optimal = jnp.maximum(nc, img) == cost
-            cand_d = jnp.where(optimal & (nd < _BIG_LAB), nd + 1, _BIG_LAB)
-            cand_l = jnp.where(optimal, nl, _BIG_LAB)
-            take = (cand_d < best_d) | ((cand_d == best_d) & (cand_l < best_l))
-            best_d = jnp.where(take, cand_d, best_d)
-            best_l = jnp.where(take, cand_l, best_l)
-        new_l = jnp.where(updatable, best_l, lab)
-        new_d = jnp.where(updatable, best_d, dist)
-        ch = jnp.any(new_l != lab) | jnp.any(new_d != dist)
-        return new_l, new_d, ch, i + 1
+            best = fold_claim(
+                best,
+                claim_candidates(cost, img, lab, dist, eimg, dy, dx, _shift),
+            )
+        bd, be, _, bl = best
+        new_l = jnp.where(updatable, bl, lab)
+        new_d = jnp.where(updatable, bd, dist)
+        new_e = jnp.where(updatable, be, eimg)
+        ch = (
+            jnp.any(new_l != lab)
+            | jnp.any(new_d != dist)
+            | jnp.any(new_e != eimg)
+        )
+        return new_l, new_d, new_e, ch, i + 1
 
     def cond(state):
-        _, _, changed, i = state
+        _, _, _, changed, i = state
         return changed & (i < inner_iters)
 
-    lab, dist, _, _ = jax.lax.while_loop(
-        cond, body, (lab, dist, jnp.bool_(True), 0)
+    lab, dist, eimg, _, _ = jax.lax.while_loop(
+        cond, body, (lab, dist, eimg, jnp.bool_(True), 0)
     )
-    return lab, dist
+    return lab, dist, eimg
 
 
 def _cost_kernel(cost_in, img_hbm, flags_hbm, cost_io,
@@ -143,29 +169,31 @@ def _cost_kernel(cost_in, img_hbm, flags_hbm, cost_io,
     )
 
 
-def _label_kernel(lab_in, dist_in, cost_hbm, img_hbm, flags_hbm, lab_io,
-                  dist_io, *, T, n_bands, downward, connectivity, inner_iters):
-    del lab_in, dist_in
+def _label_kernel(lab_in, dist_in, eimg_in, cost_hbm, img_hbm, flags_hbm,
+                  lab_io, dist_io, eimg_io, *, T, n_bands, downward,
+                  connectivity, inner_iters):
+    del lab_in, dist_in, eimg_in
     i = pl.program_id(0)
     band = i if downward else (n_bands - 1) - i
     start = band * T
 
-    def run(lab_s, dist_s, cost_s, img_s, flags_s, sem):
+    def run(lab_s, dist_s, eimg_s, cost_s, img_s, flags_s, sem):
         win = 2 * _HALO + T
         for src, dst in (
-            (lab_io, lab_s), (dist_io, dist_s), (cost_hbm, cost_s),
-            (img_hbm, img_s), (flags_hbm, flags_s),
+            (lab_io, lab_s), (dist_io, dist_s), (eimg_io, eimg_s),
+            (cost_hbm, cost_s), (img_hbm, img_s), (flags_hbm, flags_s),
         ):
             cp = pltpu.make_async_copy(src.at[pl.ds(start, win), :], dst, sem)
             cp.start()
             cp.wait()
-        new_l, new_d = _relax_label(
-            lab_s[:, :], dist_s[:, :], cost_s[:, :], img_s[:, :],
-            flags_s[:, :], connectivity, inner_iters,
+        new_l, new_d, new_e = _relax_label(
+            lab_s[:, :], dist_s[:, :], eimg_s[:, :], cost_s[:, :],
+            img_s[:, :], flags_s[:, :], connectivity, inner_iters, T,
         )
         lab_s[:, :] = new_l
         dist_s[:, :] = new_d
-        for buf, io in ((lab_s, lab_io), (dist_s, dist_io)):
+        eimg_s[:, :] = new_e
+        for buf, io in ((lab_s, lab_io), (dist_s, dist_io), (eimg_s, eimg_io)):
             wb = pltpu.make_async_copy(
                 buf.at[pl.ds(_HALO, T), :],
                 io.at[pl.ds(start + _HALO, T), :],
@@ -182,6 +210,7 @@ def _label_kernel(lab_in, dist_in, cost_hbm, img_hbm, flags_hbm, lab_io,
         pltpu.VMEM((win, W), jnp.int32),
         pltpu.VMEM((win, W), jnp.float32),
         pltpu.VMEM((win, W), jnp.float32),
+        pltpu.VMEM((win, W), jnp.float32),
         pltpu.VMEM((win, W), jnp.int32),
         pltpu.SemaphoreType.DMA,
     )
@@ -190,7 +219,8 @@ def _label_kernel(lab_in, dist_in, cost_hbm, img_hbm, flags_hbm, lab_io,
 def _make_sweep(kernel_fn, n_in, T, n_bands, Hp, W, out_dtype, downward,
                 connectivity, inner_iters, interpret, n_state: int = 1):
     """``n_state`` leading operands are carried in place (aliased outputs):
-    1 for the cost sweeps, 2 for the (label, dist) sweeps."""
+    1 for the cost sweeps, 3 for the (label, dist, entry-img) sweeps.
+    ``out_dtype`` is one dtype or a per-state tuple."""
     kernel = partial(
         kernel_fn, T=T, n_bands=n_bands, downward=downward,
         connectivity=connectivity, inner_iters=inner_iters,
@@ -199,11 +229,15 @@ def _make_sweep(kernel_fn, n_in, T, n_bands, Hp, W, out_dtype, downward,
         out_specs = pl.BlockSpec(memory_space=pl.ANY)
         out_shape = jax.ShapeDtypeStruct((Hp, W), out_dtype)
     else:
+        dtypes = (
+            out_dtype if isinstance(out_dtype, tuple)
+            else (out_dtype,) * n_state
+        )
         out_specs = tuple(
             pl.BlockSpec(memory_space=pl.ANY) for _ in range(n_state)
         )
         out_shape = tuple(
-            jax.ShapeDtypeStruct((Hp, W), out_dtype) for _ in range(n_state)
+            jax.ShapeDtypeStruct((Hp, W), dt) for dt in dtypes
         )
     return pl.pallas_call(
         kernel,
@@ -279,35 +313,42 @@ def watershed_sweeps(
         cond, cost_body, (c1, jnp.any(c1 != cost_p), 1)
     )
 
-    ld = _make_sweep(_label_kernel, 5, *args, jnp.int32, True, connectivity,
-                     inner_iters, interpret, n_state=2)
-    lu = _make_sweep(_label_kernel, 5, *args, jnp.int32, False, connectivity,
-                     inner_iters, interpret, n_state=2)
+    state_dtypes = (jnp.int32, jnp.int32, jnp.float32)
+    ld = _make_sweep(_label_kernel, 6, *args, state_dtypes, True, connectivity,
+                     inner_iters, interpret, n_state=3)
+    lu = _make_sweep(_label_kernel, 6, *args, state_dtypes, False, connectivity,
+                     inner_iters, interpret, n_state=3)
     lab_p0 = jnp.pad(
         jnp.where(seeded, lab0, _BIG_LAB), pad, constant_values=_BIG_LAB
     )
     dist_p0 = jnp.pad(
         jnp.where(seeded, 0, _BIG_LAB), pad, constant_values=_BIG_LAB
     )
+    eimg_p0 = jnp.pad(
+        jnp.where(seeded, jnp.float32(-_INF), jnp.float32(_INF)),
+        pad, constant_values=_INF,
+    )
 
-    def lab_pair(l, d):
-        l, d = ld(l, d, cost_p, img_p, flags_p)
-        return lu(l, d, cost_p, img_p, flags_p)
+    def lab_pair(l, d, e):
+        l, d, e = ld(l, d, e, cost_p, img_p, flags_p)
+        return lu(l, d, e, cost_p, img_p, flags_p)
 
     def lab_body(state):
-        l, d, _, i = state
-        nl, nd = lab_pair(l, d)
-        ch = jnp.any(nl != l) | jnp.any(nd != d)
-        return nl, nd, ch, i + 1
+        l, d, e, _, i = state
+        nl, nd, ne = lab_pair(l, d, e)
+        ch = jnp.any(nl != l) | jnp.any(nd != d) | jnp.any(ne != e)
+        return nl, nd, ne, ch, i + 1
 
     def lab_cond(state):
-        _, _, changed, i = state
+        _, _, _, changed, i = state
         return changed & (i < max_sweeps)
 
-    l1, d1 = lab_pair(lab_p0, dist_p0)
-    ch1 = jnp.any(l1 != lab_p0) | jnp.any(d1 != dist_p0)
-    lab_p, _, l_changed, _ = jax.lax.while_loop(
-        lab_cond, lab_body, (l1, d1, ch1, 1)
+    l1, d1, e1 = lab_pair(lab_p0, dist_p0, eimg_p0)
+    ch1 = (
+        jnp.any(l1 != lab_p0) | jnp.any(d1 != dist_p0) | jnp.any(e1 != eimg_p0)
+    )
+    lab_p, _, _, l_changed, _ = jax.lax.while_loop(
+        lab_cond, lab_body, (l1, d1, e1, ch1, 1)
     )
 
     lab = lab_p[_HALO : _HALO + H, :]

@@ -245,6 +245,35 @@ class TestWatershed:
         for lab in (1, 2):
             assert _iou(out == lab, ref == lab) > 0.9
 
+    @pytest.mark.parametrize("seed,n,thr", [(1, 256, 0.985), (2, 128, 0.99)])
+    def test_priority_flood_iou_regression(self, seed, n, thr):
+        """Regression (VERDICT r1 #4): the (level distance, entry img,
+        claimer img, marker id) claim key must hold ≥0.985 boundary IoU vs
+        the priority-flood oracle on touching-cell reliefs (the old
+        (distance, id) key measured 0.974 on the seed-1 fixture)."""
+        from particle_col_image_segmentation_tpu.utils.metrics import (
+            boundary_iou,
+        )
+
+        rng = np.random.default_rng(seed)
+        m = np.zeros((n, n), bool)
+        yy, xx = np.mgrid[:n, :n]
+        for _ in range(n // 21):
+            cy, cx = rng.integers(25, n - 25, 2)
+            r2 = int(rng.integers(80, 250))
+            m |= (yy - cy) ** 2 + (xx - cx) ** 2 <= r2
+            m |= (yy - cy) ** 2 + (xx - cx - int(1.5 * np.sqrt(r2))) ** 2 <= r2
+        dist = ndi.distance_transform_edt(m)
+        prob = (1.0 - dist / max(1.0, dist.max())).astype(np.float32)
+        binary = prob < 0.5
+        odist = ndi.distance_transform_edt(binary)
+        omark = ond.label(ond.local_maxima(odist).astype(np.uint8))
+        ref = ond.watershed(prob, omark, mask=binary)
+        out = np.asarray(
+            watershed(jnp.asarray(prob), jnp.asarray(omark), jnp.asarray(binary))
+        )
+        assert boundary_iou(out, ref) >= thr
+
     def test_mask_and_marker_preservation(self):
         rng = np.random.default_rng(3)
         img = rng.random((40, 40)).astype(np.float32)
