@@ -29,8 +29,15 @@ from particle_col_image_segmentation_tpu.parallel.halo import pad_with_halo
 from particle_col_image_segmentation_tpu.parallel.mesh import DATA_AXIS, SPACE_AXIS
 
 _INF = jnp.iinfo(jnp.int32).max
+_FINF = 3.4e38
 
-__all__ = ["sharded_segment_batch", "make_sharded_segment_fn"]
+__all__ = [
+    "sharded_segment_batch",
+    "make_sharded_segment_fn",
+    "make_sharded_analysis_fn",
+    "make_sharded_dapi_dedup_fn",
+    "make_sharded_watershed_fn",
+]
 
 
 def _neighbor_min_padded(lab_p, img_p):
@@ -104,7 +111,68 @@ def _value_jump(vals, lab, base):
     return jnp.minimum(flat_v, jnp.where(ok, jumped, _INF)).reshape(shape)
 
 
-def _compact_and_tables_shard(lab, lin, den, base, max_regions, max_iters):
+def _linear_ids(shape_ref):
+    """(lin, base, row_offset): global linear pixel ids for this shard's
+    band, for any leading batch/context dims of ``shape_ref``."""
+    h_loc, W = shape_ref.shape[-2:]
+    sidx = jax.lax.axis_index(SPACE_AXIS)
+    row_offset = sidx * h_loc
+    base = row_offset * W
+    rows = jax.lax.broadcasted_iota(jnp.int32, shape_ref.shape, shape_ref.ndim - 2)
+    cols = jax.lax.broadcasted_iota(jnp.int32, shape_ref.shape, shape_ref.ndim - 1)
+    lin = (rows + row_offset) * W + cols
+    return lin, base, row_offset
+
+
+def _dist_ccl(val, base, lin, max_iters):
+    """Distributed equal-value CCL fixpoint: per-iteration halo exchange of
+    boundary labels + shard-local segmented scans + pointer jumping, global
+    psum convergence.  ``val`` is [..., h_loc, W] (any leading dims);
+    labels converge to the global min linear index of each component.
+    Returns (lab, ch_planes) with ch_planes summed over the trailing plane
+    axes (0 = converged)."""
+    img_p = pad_with_halo(val.astype(jnp.int32), 1, edge_mode="constant", fill=-1)
+    img_p = jnp.pad(
+        img_p, [(0, 0)] * (val.ndim - 1) + [(1, 1)], constant_values=-1
+    )
+    masks = _scan_masks(val)
+    lin = jax.lax.pcast(lin, (DATA_AXIS,), to="varying")
+
+    def body(state):
+        lab, _, _, i = state
+        lab_p = pad_with_halo(lab, 1, edge_mode="constant", fill=_INF)
+        lab_p = jnp.pad(
+            lab_p, [(0, 0)] * (lab.ndim - 1) + [(1, 1)], constant_values=_INF
+        )
+        new = _neighbor_min_padded(lab_p, img_p)
+        new = _local_scans(new, masks)
+        new = _local_pointer_jump(new, base)
+        new = _local_pointer_jump(new, base)
+        ch_planes = jax.lax.psum(
+            jnp.any(new != lab, axis=(-2, -1)).astype(jnp.int32), SPACE_AXIS
+        )
+        changed = jax.lax.psum(
+            jax.lax.psum(jnp.any(ch_planes > 0).astype(jnp.int32), SPACE_AXIS),
+            DATA_AXIS,
+        )
+        return new, ch_planes, changed > 0, i + 1
+
+    def cond(state):
+        _, _, changed, i = state
+        return changed & (i < max_iters)
+
+    ch0 = jax.lax.pcast(
+        jnp.ones(val.shape[:-2], jnp.int32), (DATA_AXIS,), to="varying"
+    )
+    lab, ch_planes, _, _ = jax.lax.while_loop(
+        cond, body, (lin, ch0, jnp.bool_(True), 0)
+    )
+    return lab, ch_planes
+
+
+def _compact_and_tables_shard(
+    lab, lin, den, base, max_regions, max_iters, extra=(),
+):
     """Global compact ids + region tables from converged global root labels.
 
     Shards hold contiguous row bands in space-axis order, so the global
@@ -114,6 +182,10 @@ def _compact_and_tables_shard(lab, lin, den, base, max_regions, max_iters):
     exchange fixpoint as the CCL (value image = the root labels themselves,
     exactly component-constant), accelerated by root-gather jumps.  Tables
     are shard-local segment sums psum-reduced over the space axis.
+
+    ``extra``: additional [b_loc, h_loc, W] planes segment-summed per region
+    and psum'd alongside area/class (centroid coordinate sums for the merge
+    stage, overlap masks for DAPI dedup); returned as the trailing tuple.
     """
     is_root = lab == lin
     local_counts = jnp.sum(is_root.astype(jnp.int32), axis=(-2, -1))  # [b_loc]
@@ -169,25 +241,81 @@ def _compact_and_tables_shard(lab, lin, den, base, max_regions, max_iters):
     seg = jnp.where(seed == _INF, 0, seed)
 
     R = max_regions + 1
-    b_loc = seg.shape[0]
 
-    def tables_one(s2, v2):
+    def tables_one(s2, stacked):
         ids = s2.ravel()
-        area = jax.ops.segment_sum(jnp.ones_like(ids), ids, num_segments=R)
-        csum = jax.ops.segment_sum(v2.ravel().astype(jnp.int32), ids, num_segments=R)
-        return area, csum
+        cols = jnp.concatenate(
+            [jnp.ones((ids.shape[0], 1), jnp.int32),
+             stacked.reshape(stacked.shape[0], -1).T.astype(jnp.int32)],
+            axis=-1,
+        )
+        return jax.ops.segment_sum(cols, ids, num_segments=R)
 
-    area_l, csum_l = jax.vmap(tables_one)(seg, den)
-    area = jax.lax.psum(area_l, SPACE_AXIS)
-    csum = jax.lax.psum(csum_l, SPACE_AXIS)
-    class_id = csum // jnp.maximum(area, 1)
-    del b_loc
-    return seg, area, class_id, converged
+    planes = jnp.stack((den.astype(jnp.int32),) + tuple(extra), axis=1)
+    sums_l = jax.vmap(tables_one)(seg, planes)  # [b_loc, R, 2+len(extra)]
+    sums = jax.lax.psum(sums_l, SPACE_AXIS)
+    area = sums[..., 0]
+    class_id = sums[..., 1] // jnp.maximum(area, 1)
+    extra_sums = tuple(sums[..., 2 + k] for k in range(len(extra)))
+    return seg, area, class_id, converged, extra_sums
+
+
+def _merge_shard(den, area, sr_hi, sr_lo, sc_hi, sc_lo, cfg: AnalysisConfig,
+                 strain_vals, max_iters: int):
+    """Distributed proximity-merge grouping (labels/analysis.py:_stage_merge,
+    reference tiff_analysis.py:826-851): per strain context + the union,
+    dilate by disk(r), run the distributed CCL on the dilated masks, and
+    read the global component root under every region's truncated centroid.
+
+    Tables are replicated across the space axis, so centroids are derived
+    locally; the gather happens on the band that owns the centroid row and
+    is pmax-combined (roots ≥ 0 > the off-mask −1 > the off-band sentinel).
+    Returns (g_ctx [b_loc, S+1, R+1], converged [b_loc]).
+    """
+    from particle_col_image_segmentation_tpu.ops.regionprops import (
+        _exact_floor_div,
+    )
+
+    h_loc, W = den.shape[-2:]
+    n_sp = jax.lax.axis_size(SPACE_AXIS)
+    Hg = n_sp * h_loc
+    d = jnp.maximum(area, 1)
+    icy = jnp.clip(_exact_floor_div(sr_hi, sr_lo, d), 0, Hg - 1)  # [b, R+1]
+    icx = jnp.clip(_exact_floor_div(sc_hi, sc_lo, d), 0, W - 1)
+
+    masks = [den == v for v in strain_vals]
+    union = masks[0]
+    for m in masks[1:]:
+        union = union | m
+    ctx = jnp.stack(masks + [union], axis=0)  # [S, b, h, W]
+    r = cfg.merge_disk_radius
+    pm = pad_with_halo(ctx, r, edge_mode="constant", fill=False)
+    dil = edt_sq(pm, cap=r)[..., r:-r, :] <= r * r  # dilate == EDT(X) ≤ r
+
+    lin, base, row_offset = _linear_ids(dil)
+    lab, ch = _dist_ccl(dil.astype(jnp.uint8), base, lin, max_iters)
+
+    S, b = ctx.shape[0], ctx.shape[1]
+    flat_lab = lab.reshape(S, b, h_loc * W)
+    flat_dil = dil.reshape(S, b, h_loc * W).astype(jnp.int32)
+    ly = icy - row_offset
+    on_band = (ly >= 0) & (ly < h_loc)  # [b, R+1]
+    idx = jnp.clip(ly, 0, h_loc - 1) * W + icx
+    idxS = jnp.broadcast_to(idx[None], (S,) + idx.shape)
+    g = jnp.take_along_axis(flat_lab, idxS, axis=-1)  # [S, b, R+1]
+    on_mask = jnp.take_along_axis(flat_dil, idxS, axis=-1)
+    sentinel = jnp.iinfo(jnp.int32).min
+    local = jnp.where(
+        on_band[None], jnp.where(on_mask > 0, g, -1), sentinel
+    )
+    g_ctx = jax.lax.pmax(local, SPACE_AXIS)  # owning band wins
+    converged = jnp.all(ch == 0, axis=0)  # [b]
+    return jnp.moveaxis(g_ctx, 0, 1), converged
 
 
 def _segment_shard(
     img, cfg: AnalysisConfig, particle_val: int, cell_vals, max_iters: int,
-    with_tables: bool = False,
+    with_tables: bool = False, with_merge: bool = False,
 ):
     """Body run per shard: [b_loc, h_loc, W] →
     (den, lab, particle_ct, n_comp, filled, overlap_ct[, seg, area, class_id])."""
@@ -197,54 +325,8 @@ def _segment_shard(
     img_h = jnp.pad(img_h, [(0, 0)] * (img.ndim - 1) + [(half, half)], mode="symmetric")
     den = median_label_filter_padded(img_h, cfg.denoise_size, cfg.num_classes)
 
-    sidx = jax.lax.axis_index(SPACE_AXIS)
-    row_offset = sidx * h_loc
-    base = row_offset * W
-    rows = jax.lax.broadcasted_iota(jnp.int32, den.shape, den.ndim - 2)
-    cols = jax.lax.broadcasted_iota(jnp.int32, den.shape, den.ndim - 1)
-    lin = (rows + row_offset) * W + cols
-    # the while carry becomes data-varying inside the body (it mixes with
-    # den); mark the seed accordingly for shard_map's vma type system
-    lin = jax.lax.pcast(lin, (DATA_AXIS,), to="varying")
-
-    # den is fixed under the loop — exchange its halo and build the scan
-    # masks ONCE (one ppermute collective saved per iteration)
-    img_p = pad_with_halo(den.astype(jnp.int32), 1, edge_mode="constant", fill=-1)
-    img_p = jnp.pad(
-        img_p, [(0, 0)] * (den.ndim - 1) + [(1, 1)], constant_values=-1
-    )
-    masks = _scan_masks(den)
-    b_planes = den.shape[0]
-
-    def body(state):
-        lab, _, _, i = state
-        lab_p = pad_with_halo(lab, 1, edge_mode="constant", fill=_INF)
-        lab_p = jnp.pad(
-            lab_p, [(0, 0)] * (lab.ndim - 1) + [(1, 1)], constant_values=_INF
-        )
-        new = _neighbor_min_padded(lab_p, img_p)
-        new = _local_scans(new, masks)
-        new = _local_pointer_jump(new, base)
-        new = _local_pointer_jump(new, base)
-        ch_planes = jax.lax.psum(
-            jnp.any(new != lab, axis=(-2, -1)).astype(jnp.int32), SPACE_AXIS
-        )
-        changed = jax.lax.psum(
-            jax.lax.psum(jnp.any(ch_planes > 0).astype(jnp.int32), SPACE_AXIS),
-            DATA_AXIS,
-        )
-        return new, ch_planes, changed > 0, i + 1
-
-    def cond(state):
-        _, _, changed, i = state
-        return changed & (i < max_iters)
-
-    ch0 = jax.lax.pcast(
-        jnp.ones((b_planes,), jnp.int32), (DATA_AXIS,), to="varying"
-    )
-    lab, ch_planes, _, _ = jax.lax.while_loop(
-        cond, body, (lin, ch0, jnp.bool_(True), 0)
-    )
+    lin, base, _ = _linear_ids(den)
+    lab, ch_planes = _dist_ccl(den, base, lin, max_iters)
     ccl_converged = ch_planes == 0  # [b_loc]
 
     particle_local = jnp.sum(
@@ -273,11 +355,34 @@ def _segment_shard(
         filled = jnp.where(overlap, jnp.asarray(particle_val, den.dtype), filled)
     if not with_tables:
         return den, lab, particle_ct, n_comp, filled, overlap_ct, ccl_converged
-    seg, area, class_id, cmp_converged = _compact_and_tables_shard(
-        lab, lin, den, base, cfg.max_regions, max_iters
+    extra = ()
+    if with_merge:
+        # global centroid coordinate sums in the same exact (hi, lo) int32
+        # digit split as ops.regionprops (Σrow can exceed int32)
+        from particle_col_image_segmentation_tpu.ops.regionprops import (
+            HILO_BASE,
+        )
+
+        _, _, row_offset = _linear_ids(den)
+        rows_g = (
+            jax.lax.broadcasted_iota(jnp.int32, den.shape, den.ndim - 2)
+            + row_offset
+        )
+        cols = jax.lax.broadcasted_iota(jnp.int32, den.shape, den.ndim - 1)
+        extra = (rows_g // HILO_BASE, rows_g % HILO_BASE,
+                 cols // HILO_BASE, cols % HILO_BASE)
+    seg, area, class_id, cmp_converged, sums = _compact_and_tables_shard(
+        lab, lin, den, base, cfg.max_regions, max_iters, extra=extra
+    )
+    conv = ccl_converged & cmp_converged
+    if not with_merge:
+        return (den, lab, particle_ct, n_comp, filled, overlap_ct,
+                conv, seg, area, class_id)
+    g_ctx, m_conv = _merge_shard(
+        den, area, *sums, cfg=cfg, strain_vals=cell_vals, max_iters=max_iters
     )
     return (den, lab, particle_ct, n_comp, filled, overlap_ct,
-            ccl_converged & cmp_converged, seg, area, class_id)
+            conv & m_conv, seg, area, class_id, g_ctx)
 
 
 def make_sharded_segment_fn(
@@ -287,6 +392,7 @@ def make_sharded_segment_fn(
     cell_vals=(1,),
     max_iters: int = 128,
     with_tables: bool = False,
+    with_merge: bool = False,
 ):
     """Build the jitted sharded step: [B,H,W] uint8 →
     (den [B,H,W], labels [B,H,W] global-root ids, particle_px [B],
@@ -303,8 +409,10 @@ def make_sharded_segment_fn(
 
     B shards over "data", H over "space"; the full per-plane pipeline
     (denoise → CCL → compaction → tables → particle fill) runs inside one
-    shard_map.
+    shard_map.  ``with_merge`` additionally runs distributed proximity-merge
+    grouping and appends ``g_ctx`` (implies ``with_tables``).
     """
+    with_tables = with_tables or with_merge
     plane_specs = (
         P(DATA_AXIS, SPACE_AXIS, None),
         P(DATA_AXIS, SPACE_AXIS, None),
@@ -320,6 +428,8 @@ def make_sharded_segment_fn(
             P(DATA_AXIS),
             P(DATA_AXIS),
         )
+    if with_merge:
+        plane_specs = plane_specs + (P(DATA_AXIS),)  # g_ctx [b, S+1, R+1]
     fn = jax.shard_map(
         partial(
             _segment_shard,
@@ -327,7 +437,8 @@ def make_sharded_segment_fn(
             particle_val=particle_val,
             cell_vals=tuple(cell_vals),
             max_iters=max_iters,
-            with_tables=with_tables,
+            with_tables=with_tables or with_merge,
+            with_merge=with_merge,
         ),
         mesh=mesh,
         in_specs=P(DATA_AXIS, SPACE_AXIS, None),
@@ -336,9 +447,217 @@ def make_sharded_segment_fn(
     return jax.jit(fn)
 
 
+def make_sharded_analysis_fn(
+    mesh, cfg: AnalysisConfig, particle_val: int = 2, cell_vals=(1,),
+    max_iters: int = 128,
+):
+    """The FULL sharded per-plane analysis graph — denoise → distributed CCL
+    → global compaction + tables → particle fill → proximity-merge grouping
+    — in one shard_map (the multi-chip counterpart of
+    labels.analysis.analyze_plane_device).  Returns the with_tables outputs
+    plus ``g_ctx`` [B, n_strains+1, R+1] merge-group roots (-1 = centroid
+    off the dilated mask), identical to the single-chip ``_stage_merge``."""
+    return make_sharded_segment_fn(
+        mesh, cfg, particle_val=particle_val, cell_vals=cell_vals,
+        max_iters=max_iters, with_tables=True, with_merge=True,
+    )
+
+
 def sharded_segment_batch(
     batch, mesh, cfg: AnalysisConfig, particle_val: int = 2, cell_vals=(1,)
 ):
     """Convenience wrapper: run the sharded step on a host batch."""
     fn = make_sharded_segment_fn(mesh, cfg, particle_val, cell_vals)
     return fn(jnp.asarray(batch))
+
+
+# ---------------------------------------------------------------------------
+# DAPI dedup (labels/analysis.py:dapi_dedup_device, reference :252-287)
+# ---------------------------------------------------------------------------
+
+
+def _dapi_dedup_shard(dapi, other, cfg: AnalysisConfig, max_iters: int):
+    dapi_mask = dapi == 1
+    other_mask = other == 1
+    lin, base, _ = _linear_ids(dapi)
+    lab, ch = _dist_ccl(dapi_mask.astype(jnp.uint8), base, lin, max_iters)
+    seg, area, _, cmp_conv, (ov,) = _compact_and_tables_shard(
+        lab, lin, dapi_mask.astype(jnp.uint8), base, cfg.max_regions,
+        max_iters, extra=(other_mask.astype(jnp.int32),),
+    )
+    R = cfg.max_regions + 1
+    frac = ov.astype(jnp.float32) / jnp.maximum(area, 1).astype(jnp.float32)
+    remove = (frac > cfg.dapi_overlap_threshold) & (jnp.arange(R)[None] > 0)
+    # tables are space-replicated: the pixel lookup is a local [R+1] gather
+    b = seg.shape[0]
+    rm_px = jnp.take_along_axis(
+        remove.astype(jnp.int32), seg.reshape(b, -1), axis=-1
+    ).reshape(seg.shape)
+    out = jnp.where((rm_px > 0) & dapi_mask, jnp.uint8(2), dapi)
+    return out, (ch == 0) & cmp_conv
+
+
+def make_sharded_dapi_dedup_fn(mesh, cfg: AnalysisConfig, max_iters: int = 128):
+    """Sharded DAPI-vs-other-channel dedup: [B,H,W]×2 uint8 →
+    (updated dapi [B,H,W], converged [B]).  Bit-identical to the single-chip
+    ``labels.analysis.dapi_dedup_device``: distributed CCL on the DAPI cell
+    mask, per-region overlap fractions psum'd over the space axis, regions
+    above ``cfg.dapi_overlap_threshold`` rewritten to value 2."""
+    fn = jax.shard_map(
+        partial(_dapi_dedup_shard, cfg=cfg, max_iters=max_iters),
+        mesh=mesh,
+        in_specs=(
+            P(DATA_AXIS, SPACE_AXIS, None),
+            P(DATA_AXIS, SPACE_AXIS, None),
+        ),
+        out_specs=(P(DATA_AXIS, SPACE_AXIS, None), P(DATA_AXIS)),
+    )
+    return jax.jit(fn)
+
+
+# ---------------------------------------------------------------------------
+# watershed (ops/watershed.py two-phase flooding, reference
+# refine_boundaries.py:73)
+# ---------------------------------------------------------------------------
+
+
+def _ws_pad(x, fill):
+    """1-px halo on rows (ppermute exchange) and columns (local fill)."""
+    xp = pad_with_halo(x, 1, edge_mode="constant", fill=fill)
+    return jnp.pad(
+        xp, [(0, 0)] * (x.ndim - 1) + [(1, 1)], constant_values=fill
+    )
+
+
+def _watershed_shard(image, markers, mask, connectivity: int, max_iters: int):
+    """Distributed two-phase watershed: the same minimax-cost and claim
+    fixpoints as ops/watershed.py (one shared candidate/fold definition),
+    with a 1-px halo exchange per iteration and psum convergence.  The
+    unique-fixpoint argument makes the sharded schedule bit-identical to
+    the single-chip XLA/Pallas kernels."""
+    from particle_col_image_segmentation_tpu.ops.watershed import (
+        _offsets,
+        claim_candidates,
+        fold_claim,
+    )
+
+    BIG = jnp.iinfo(jnp.int32).max
+    img = image.astype(jnp.float32)
+    lab0 = markers.astype(jnp.int32)
+    m = mask.astype(bool)
+    seeded = (lab0 > 0) & m
+    cost0 = jnp.where(seeded, img, jnp.float32(_FINF))
+    offsets = _offsets(connectivity)
+    shape = img.shape
+    h_loc, W = shape[-2:]
+
+    def _sl(xp, dy, dx):
+        return xp[..., 1 + dy : 1 + dy + h_loc, 1 + dx : 1 + dx + W]
+
+    def _changed(new_old_pairs):
+        ch_pl = jnp.zeros(shape[:-2], jnp.int32)
+        for new, old in new_old_pairs:
+            ch_pl = ch_pl + jnp.any(new != old, axis=(-2, -1)).astype(jnp.int32)
+        ch_planes = jax.lax.psum(ch_pl, SPACE_AXIS)
+        changed = jax.lax.psum(
+            jax.lax.psum(jnp.any(ch_planes > 0).astype(jnp.int32), SPACE_AXIS),
+            DATA_AXIS,
+        )
+        return ch_planes, changed > 0
+
+    # ---- phase 1: minimax costs (halo-exchanged Jacobi) ---------------
+    def cost_body(state):
+        cost, _, _, i = state
+        cp = _ws_pad(cost, _FINF)
+        best = cost
+        for dy, dx in offsets:
+            best = jnp.minimum(best, jnp.maximum(_sl(cp, dy, dx), img))
+        new = jnp.where(
+            seeded, cost0, jnp.where(m, best, jnp.float32(_FINF))
+        )
+        ch_planes, changed = _changed([(new, cost)])
+        return new, ch_planes, changed, i + 1
+
+    def cond(state):
+        _, _, changed, i = state
+        return changed & (i < max_iters)
+
+    # inputs are already data-varying, so the carries are too; only the
+    # shape-derived change counter needs explicit vma marking
+    ch0 = jax.lax.pcast(
+        jnp.ones(shape[:-2], jnp.int32), (DATA_AXIS,), to="varying"
+    )
+    cost, c_ch, _, _ = jax.lax.while_loop(
+        cond, cost_body, (cost0, ch0, jnp.bool_(True), 0)
+    )
+
+    # ---- phase 2: claim relaxation (recompute, halo-exchanged) --------
+    neg = jnp.float32(-_FINF)
+    lab_i = jnp.where(seeded, lab0, BIG)
+    dist_i = jnp.where(seeded, 0, BIG)
+    eimg_i = jnp.where(seeded, neg, jnp.float32(_FINF))
+    cost_p = _ws_pad(cost, _FINF)
+    img_p = _ws_pad(img, _FINF)
+
+    def lab_body(state):
+        lab, dist, eimg, _, _, i = state
+        lp = _ws_pad(lab, BIG)
+        dp = _ws_pad(dist, BIG)
+        ep = _ws_pad(eimg, _FINF)
+        pads = {id(cost): cost_p, id(img): img_p, id(lab): lp,
+                id(dist): dp, id(eimg): ep}
+
+        def shifted(x, dy, dx, fill):
+            del fill  # pad constants already encode the per-array fills
+            return _sl(pads[id(x)], dy, dx)
+
+        best = (
+            jnp.full(shape, BIG, jnp.int32),
+            jnp.full(shape, _FINF, jnp.float32),
+            jnp.full(shape, _FINF, jnp.float32),
+            jnp.full(shape, BIG, jnp.int32),
+        )
+        for dy, dx in offsets:
+            best = fold_claim(
+                best,
+                claim_candidates(cost, img, lab, dist, eimg, dy, dx, shifted),
+            )
+        bd, be, _, bl = best
+        new_l = jnp.where(seeded, lab0, jnp.where(m, bl, BIG))
+        new_d = jnp.where(seeded, 0, jnp.where(m, bd, BIG))
+        new_e = jnp.where(seeded, neg, jnp.where(m, be, jnp.float32(_FINF)))
+        ch_planes, changed = _changed(
+            [(new_l, lab), (new_d, dist), (new_e, eimg)]
+        )
+        return new_l, new_d, new_e, ch_planes, changed, i + 1
+
+    def lab_cond(state):
+        _, _, _, _, changed, i = state
+        return changed & (i < max_iters)
+
+    lab, _, _, l_ch, _, _ = jax.lax.while_loop(
+        lab_cond, lab_body,
+        (lab_i, dist_i, eimg_i, ch0, jnp.bool_(True), 0),
+    )
+    reached = m & (cost < _FINF) & (lab != BIG)
+    out = jnp.where(reached, lab, 0)
+    return out, (c_ch == 0) & (l_ch == 0)
+
+
+def make_sharded_watershed_fn(mesh, connectivity: int = 1,
+                              max_iters: int = 4096):
+    """Sharded marker watershed: (image [B,H,W] f32, markers [B,H,W] i32,
+    mask [B,H,W] bool) → (labels [B,H,W] i32, converged [B]).  Bit-identical
+    to ops.watershed.watershed on every plane (unique two-phase fixpoint)."""
+    fn = jax.shard_map(
+        partial(_watershed_shard, connectivity=connectivity,
+                max_iters=max_iters),
+        mesh=mesh,
+        in_specs=(
+            P(DATA_AXIS, SPACE_AXIS, None),
+            P(DATA_AXIS, SPACE_AXIS, None),
+            P(DATA_AXIS, SPACE_AXIS, None),
+        ),
+        out_specs=(P(DATA_AXIS, SPACE_AXIS, None), P(DATA_AXIS)),
+    )
+    return jax.jit(fn)

@@ -114,3 +114,161 @@ def test_sharded_tables_match_fused(n_data, n_space):
         np.asarray(class_id)[valid], np.asarray(rclass)[valid]
     )
     np.testing.assert_array_equal(np.asarray(particle_px), np.asarray(rpart))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+@pytest.mark.parametrize("n_data,n_space", [(2, 4), (4, 2)])
+def test_sharded_merge_matches_single_chip(n_data, n_space):
+    """Distributed proximity-merge grouping (VERDICT r1 #1): g_ctx roots must
+    equal the single-chip _stage_merge exactly."""
+    import jax.numpy as jnp
+
+    from particle_col_image_segmentation_tpu.labels.analysis import (
+        analyze_plane_device,
+    )
+    from particle_col_image_segmentation_tpu.parallel.sharded import (
+        make_sharded_analysis_fn,
+    )
+
+    mesh = make_mesh(n_data=n_data, n_space=n_space)
+    B, H, W = n_data * 2, 64, 64
+    batch = np.stack(
+        [synthetic_label_plane(seed=200 + s, shape=(H, W)) for s in range(B)]
+    )
+    fn = make_sharded_analysis_fn(mesh, CFG, particle_val=2, cell_vals=(1,))
+    *_, conv, seg, area, class_id, g_ctx = fn(jnp.asarray(batch))
+    assert bool(np.all(np.asarray(conv)))
+
+    cell_types = ((1, "3D05"), (2, "Particle"), (3, "Background"))
+    for b in range(B):
+        ref = analyze_plane_device(
+            jnp.asarray(batch[b]), cell_types, CFG, compute_merge=True
+        )
+        assert bool(np.asarray(ref.converged))
+        np.testing.assert_array_equal(np.asarray(seg[b]), np.asarray(ref.seg))
+        np.testing.assert_array_equal(
+            np.asarray(g_ctx[b]), np.asarray(ref.g_ctx)
+        )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_dapi_dedup_matches_single_chip():
+    import jax.numpy as jnp
+
+    from particle_col_image_segmentation_tpu.labels.analysis import (
+        dapi_dedup_device,
+    )
+    from particle_col_image_segmentation_tpu.parallel.sharded import (
+        make_sharded_dapi_dedup_fn,
+    )
+
+    mesh = make_mesh(n_data=2, n_space=4)
+    B, H, W = 4, 64, 64
+    rng = np.random.default_rng(7)
+    dapi = np.stack(
+        [synthetic_label_plane(seed=300 + s, shape=(H, W)) for s in range(B)]
+    )
+    dapi = np.where(dapi == 1, 1, np.where(dapi == 2, 3, 2)).astype(np.uint8)
+    other = np.stack(
+        [synthetic_label_plane(seed=400 + s, shape=(H, W)) for s in range(B)]
+    ).astype(np.uint8)
+    del rng
+
+    fn = make_sharded_dapi_dedup_fn(mesh, CFG)
+    out, conv = fn(jnp.asarray(dapi), jnp.asarray(other))
+    assert bool(np.all(np.asarray(conv)))
+    changed_any = False
+    for b in range(B):
+        ref, rconv = dapi_dedup_device(
+            jnp.asarray(dapi[b]), jnp.asarray(other[b]), CFG
+        )
+        assert bool(np.asarray(rconv))
+        np.testing.assert_array_equal(np.asarray(out[b]), np.asarray(ref))
+        changed_any |= not np.array_equal(np.asarray(ref), dapi[b])
+    assert changed_any  # the fixture must actually exercise removals
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+@pytest.mark.parametrize("n_data,n_space", [(2, 4), (8, 1)])
+def test_sharded_watershed_matches_single_chip(n_data, n_space):
+    """Distributed two-phase watershed must be bit-identical to the
+    single-chip kernel (unique fixpoint ⇒ schedule independence covers the
+    halo-exchange schedule too)."""
+    import jax.numpy as jnp
+    from scipy import ndimage as ndi
+
+    from particle_col_image_segmentation_tpu.ops import watershed
+    from particle_col_image_segmentation_tpu.parallel.sharded import (
+        make_sharded_watershed_fn,
+    )
+
+    mesh = make_mesh(n_data=n_data, n_space=n_space)
+    B, n = n_data * 2, 64
+    yy, xx = np.mgrid[:n, :n]
+    imgs, marks, masks = [], [], []
+    for b in range(B):
+        rng = np.random.default_rng(50 + b)
+        m = np.zeros((n, n), bool)
+        for _ in range(3):
+            cy, cx = rng.integers(15, n - 15, 2)
+            r2 = int(rng.integers(40, 120))
+            m |= (yy - cy) ** 2 + (xx - cx) ** 2 <= r2
+            m |= (yy - cy) ** 2 + (xx - cx - int(1.2 * np.sqrt(r2))) ** 2 <= r2
+        dist = ndi.distance_transform_edt(m)
+        prob = (1.0 - dist / max(1.0, dist.max())).astype(np.float32)
+        binary = prob < 0.5
+        odist = ndi.distance_transform_edt(binary)
+        omark = ond.label(ond.local_maxima(odist).astype(np.uint8))
+        imgs.append(prob)
+        marks.append(omark.astype(np.int32))
+        masks.append(binary)
+    imgs, marks, masks = map(np.stack, (imgs, marks, masks))
+
+    fn = make_sharded_watershed_fn(mesh)
+    out, conv = fn(jnp.asarray(imgs), jnp.asarray(marks), jnp.asarray(masks))
+    assert bool(np.all(np.asarray(conv)))
+    for b in range(B):
+        ref = watershed(
+            jnp.asarray(imgs[b]), jnp.asarray(marks[b]), jnp.asarray(masks[b])
+        )
+        np.testing.assert_array_equal(np.asarray(out[b]), np.asarray(ref))
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_full_scale_1024():
+    """Full-scale sharded run (VERDICT r1 #8): at 1024² the halo counts,
+    rank propagation distances, and iteration budgets are qualitatively
+    different from the 64² unit fixtures; verify distributed CCL + tables
+    parity against the single-device fused pass at realistic scale."""
+    import jax.numpy as jnp
+
+    from particle_col_image_segmentation_tpu.models.batch import (
+        fused_segment_batch,
+    )
+    from particle_col_image_segmentation_tpu.parallel.sharded import (
+        make_sharded_segment_fn,
+    )
+
+    cfg = AnalysisConfig(max_regions=16384, ccl_max_iters=2048)
+    mesh = make_mesh(n_data=2, n_space=4)
+    H = W = 1024
+    batch = np.stack(
+        [synthetic_label_plane(seed=s, shape=(H, W), n_cells_per_strain=160,
+                               n_clusters_per_strain=24) for s in (11, 12)]
+    )
+    fn = make_sharded_segment_fn(
+        mesh, cfg, particle_val=2, with_tables=True, max_iters=2048
+    )
+    (den, labels, particle_px, n_comp, filled, overlap_px, conv,
+     seg, area, class_id) = fn(jnp.asarray(batch))
+    assert bool(np.all(np.asarray(conv)))
+
+    rseg, rnum, rarea, rclass, rpart, _, _, rconv = fused_segment_batch(
+        jnp.asarray(batch), cfg
+    )
+    assert bool(np.all(np.asarray(rconv)))
+    np.testing.assert_array_equal(np.asarray(seg), np.asarray(rseg))
+    np.testing.assert_array_equal(np.asarray(n_comp), np.asarray(rnum))
+    np.testing.assert_array_equal(np.asarray(area), np.asarray(rarea))
+    np.testing.assert_array_equal(np.asarray(particle_px), np.asarray(rpart))
