@@ -145,12 +145,168 @@ def watershed_boundary_iou() -> float:
     prob = (1.0 - dist / max(1.0, dist.max())).astype(np.float32)
     res = refine_boundaries(prob)
 
+    # config #3 throughput: warm end-to-end refine (EDT → markers →
+    # two-phase watershed) on the same relief
+    reps = 3
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            r = refine_boundaries(prob)
+        _ = np.asarray(r.labels)[:1, :1]
+        best = min(best, (time.perf_counter() - t0) / reps)
+    refine_mps = (n * n / 1e6) / best
+
     binary = prob < 0.5
     odist = ndi.distance_transform_edt(binary)
     omax = ond.local_maxima(odist)
     omark = ond.label(omax.astype(np.uint8))
     oref = ond.watershed(prob, omark, mask=binary)
-    return boundary_iou(res.labels, oref)
+    return boundary_iou(res.labels, oref), refine_mps
+
+
+def bench_config1():
+    """BASELINE config #1: Otsu threshold + CCL particle count on a single
+    512² 16-bit plane.  Returns (MP/s single-plane latency, vs CPU)."""
+    import jax
+    import jax.numpy as jnp
+
+    from particle_col_image_segmentation_tpu.ops.threshold import (
+        threshold_and_count,
+    )
+
+    n = 512
+    rng = np.random.default_rng(1)
+    img = (rng.random((n, n)) * 400).astype(np.uint16)
+    yy, xx = np.mgrid[:n, :n]
+    for _ in range(40):  # bright particles above the Otsu cut
+        cy, cx = rng.integers(20, n - 20, 2)
+        r2 = int(rng.integers(30, 200))
+        img[(yy - cy) ** 2 + (xx - cx) ** 2 <= r2] += 20000
+
+    fn = jax.jit(lambda x: threshold_and_count(x, max_regions=4095)[2])
+    x = jnp.asarray(img)
+    count = int(fn(x))
+    assert count > 0
+    reps = 20
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        cs = [fn(x) for _ in range(reps)]
+        _ = int(jnp.stack(cs).sum())
+        best = min(best, (time.perf_counter() - t0) / reps)
+    dev_mps = (n * n / 1e6) / best
+
+    # CPU path: numpy otsu-equivalent + oracle CCL
+    from particle_col_image_segmentation_tpu.oracle import ndimage as ond
+
+    t0 = time.perf_counter()
+    counts, edges = np.histogram(img, bins=256)
+    centers = (edges[:-1] + edges[1:]) / 2
+    w0 = np.cumsum(counts)
+    w1 = w0[-1] - w0
+    m = np.cumsum(counts * centers)
+    mu0 = m / np.maximum(w0, 1e-12)
+    mu1 = (m[-1] - m) / np.maximum(w1, 1e-12)
+    var_b = np.where((w0 > 0) & (w1 > 0), w0 * w1 * (mu0 - mu1) ** 2, -1)
+    thr = centers[np.argmax(var_b)]
+    lab = ond.label((img > thr).astype(np.uint8), background=0)
+    _ = lab.max()
+    cpu_mps = (n * n / 1e6) / (time.perf_counter() - t0)
+    return dev_mps, dev_mps / cpu_mps
+
+
+def bench_config2(tmpdir: str):
+    """BASELINE config #2: real z-stack TIFFs through the native codec →
+    plane split → per-plane denoise + Otsu + label stats.  End-to-end MP/s
+    including host decode (the loader the fake-decode scale_bench skipped).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from particle_col_image_segmentation_tpu.io import native
+    from particle_col_image_segmentation_tpu.io.tiff import read_tiff_stack
+    from particle_col_image_segmentation_tpu.ops.filters import gaussian_blur
+    from particle_col_image_segmentation_tpu.ops.threshold import (
+        threshold_and_count,
+    )
+
+    n, planes, stacks = 512, 24, 4
+    rng = np.random.default_rng(2)
+    paths = []
+    for s in range(stacks):
+        stack = (rng.random((planes, n, n)) * 60000).astype(np.uint16)
+        path = os.path.join(tmpdir, f"stack{s}_zstack.tif")
+        # multi-page write via PIL (the native writer is single-page)
+        from PIL import Image
+
+        ims = [Image.fromarray(p) for p in stack]
+        ims[0].save(path, save_all=True, append_images=ims[1:])
+        paths.append(path)
+
+    @jax.jit
+    def plane_stats(x):
+        den = gaussian_blur(x.astype(jnp.float32), sigma=1.0)
+        _, _, count, num = threshold_and_count(den, max_regions=4095)
+        return count + num
+
+    # warmup compile
+    _ = int(plane_stats(jnp.asarray(np.zeros((n, n), np.uint16))))
+
+    t0 = time.perf_counter()
+    acc = []
+    npx = 0
+    for path in paths:
+        stack = read_tiff_stack(path)  # native codec (mmap + strip decode)
+        for plane in stack:
+            acc.append(plane_stats(jnp.asarray(plane)))
+            npx += plane.size
+    _ = int(jnp.stack(acc).sum())
+    dt = time.perf_counter() - t0
+    assert native.available()
+    return (npx / 1e6) / dt
+
+
+def bench_config4():
+    """BASELINE config #4: NanoSIMS per-ROI isotope reduction — one painted
+    acquisition (512², 7 isotopes, ~120 ROIs) through the batched MXU path.
+    Returns (ms per acquisition, ROIs/s)."""
+    import jax
+    import jax.numpy as jnp
+
+    from particle_col_image_segmentation_tpu.models.nanosims import (
+        _roi_batched,
+    )
+
+    rng = np.random.default_rng(3)
+    Hp = Wp = 768
+    acq = 512
+    labels = np.zeros((Hp, Wp), np.int32)
+    k = 1
+    for gy in range(0, Hp - 48, 66):
+        for gx in range(0, Wp - 48, 66):
+            if k > 128:
+                break
+            labels[gy + 4 : gy + 40, gx + 4 : gx + 40] = k
+            k += 1
+    n_rois = k - 1
+    iso = jnp.asarray(rng.random((7, acq, acq)), jnp.float32)
+    lab = jnp.asarray(labels)
+
+    def run():
+        return _roi_batched(lab, iso, 128, acq)
+
+    r = run()
+    _ = np.asarray(r[0])[:1]
+    reps = 5
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            r = run()
+        _ = np.asarray(r[0])[:1]
+        best = min(best, (time.perf_counter() - t0) / reps)
+    return best * 1e3, n_rois / best
 
 
 def measure_copy_gbps() -> float:
@@ -170,10 +326,17 @@ def measure_copy_gbps() -> float:
 
 
 def main():
+    import tempfile
+
     batch = np.stack([make_plane(s) for s in range(BATCH)])
     device_mps = bench_device(batch)
     baseline_mps, oracle_den, oracle_lab = bench_reference_cpu(batch[0])
     parity = check_mask_parity(batch[0], oracle_den, oracle_lab)
+    iou, refine_mps = watershed_boundary_iou()
+    c1_mps, c1_vs = bench_config1()
+    with tempfile.TemporaryDirectory() as td:
+        c2_mps = bench_config2(td)
+    c4_ms, c4_rois = bench_config4()
     print(
         json.dumps(
             {
@@ -182,8 +345,19 @@ def main():
                 "unit": "MP/s/chip",
                 "vs_baseline": round(device_mps / baseline_mps, 2),
                 "mask_exact_parity": bool(parity),
-                "watershed_boundary_iou": round(watershed_boundary_iou(), 4),
+                "watershed_boundary_iou": round(iou, 4),
                 "platform_copy_gbps": round(measure_copy_gbps(), 2),
+                # one number per BASELINE.json config (VERDICT r1 #2)
+                "configs": {
+                    "1_otsu_count_512_mps": round(c1_mps, 1),
+                    "1_vs_cpu": round(c1_vs, 1),
+                    "2_zstack_e2e_mps": round(c2_mps, 1),
+                    "3_refine_mps": round(refine_mps, 1),
+                    "3_boundary_iou": round(iou, 4),
+                    "4_nanosims_ms_per_acq": round(c4_ms, 2),
+                    "4_nanosims_rois_per_s": round(c4_rois, 0),
+                    "5_fused_segmentation_mps": round(device_mps, 2),
+                },
             }
         )
     )

@@ -144,5 +144,11 @@ class NanoSIMSConfig:
     # Reproduce the reference copy-paste bug where the green-ROI O17/O18
     # activity maps are accumulated into the red images (ref .m:210-213).
     compat_green_o_bug: bool = False
+    # Reproduce MATLAB imcrop's half-pixel rect convention (ref .m:83-85):
+    # regionprops BoundingBox + imcrop keeps ONE extra row and column past
+    # the content extent (clamped at the image edge), which shifts every
+    # downstream ROI mask resize and therefore every ROI sum.  Default False
+    # crops exactly to the content bounding box.
+    compat_imcrop_rect: bool = False
     # Static ROI capacity for jit-shaped tables.
     max_rois: int = 1024

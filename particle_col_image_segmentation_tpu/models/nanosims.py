@@ -6,9 +6,11 @@ MATLAB; line references below are into that script):
   1. load per-species count images from .mat, crop a 1-px frame (:6-28);
   2. display / ratio images with Gaussian blur (:30-69);
   3. painted-PNG ROI ingestion — red/green classes (:82-102);
-  4. per-ROI isotope sums and activities (:104-234) — on TPU, one
-     ``lax.scan`` over ROIs resizes each painted mask to acquisition size and
-     reduces all isotopes at once (the MATLAB per-ROI O(ROIs·H·W) loop);
+  4. per-ROI isotope sums and activities (:104-234) — on TPU, chunks of ROI
+     masks resize in one vmapped call and all isotope sums ride a single
+     batched MXU contraction per chunk (``_roi_batched``), replacing the
+     MATLAB per-ROI O(ROIs·H·W) loop; a sequential ``lax.scan`` reference
+     path (``_roi_scan``) remains for A/B parity tests;
   5. data.csv / data_xy.csv (:237, :252-256);
   6. nearest-neighbor distances between classes (:259-268);
   7. distance to the painted aggregate boundary (:270-309).
@@ -24,6 +26,7 @@ with acquisition-space (x,y) centroids, :301-304).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from functools import partial
 from typing import Dict, Optional, Tuple
 
@@ -138,19 +141,28 @@ def display_images(iso: Dict[str, np.ndarray], cfg: NanoSIMSConfig = NanoSIMSCon
 # ---------------------------------------------------------------------------
 
 
-def crop_to_content(rgb: np.ndarray, blue_thresh: int = 200) -> np.ndarray:
+def crop_to_content(
+    rgb: np.ndarray, blue_thresh: int = 200, imcrop_rect: bool = False
+) -> np.ndarray:
     """Crop a painted PNG to the bounding box of its content mask
     (blue < thresh) (ref :83-85).
 
     Deviation: MATLAB's imcrop(rect from regionprops BoundingBox) includes
-    one extra row/col from its half-pixel rect convention; we crop exactly to
-    the content bounding box.
+    one extra row/col past the content extent from its half-pixel rect
+    convention (rect spans [c−0.5, c+w−0.5]; imcrop keeps round(w)+1
+    columns, clamped at the image edge); default crops exactly to the
+    content bounding box.  ``imcrop_rect=True``
+    (NanoSIMSConfig.compat_imcrop_rect) reproduces the MATLAB crop.
     """
     mask = rgb[..., 2] < blue_thresh
     ys, xs = np.nonzero(mask)
     if len(ys) == 0:
         return rgb
-    return rgb[ys.min() : ys.max() + 1, xs.min() : xs.max() + 1]
+    extra = 1 if imcrop_rect else 0
+    return rgb[
+        ys.min() : min(ys.max() + 1 + extra, rgb.shape[0]),
+        xs.min() : min(xs.max() + 1 + extra, rgb.shape[1]),
+    ]
 
 
 def class_masks(rgb: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
@@ -176,19 +188,71 @@ def boundary_class_mask(rgb: np.ndarray, thresh: int = 175) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("num_rois", "out_size"))
-def _roi_scan(labels: jnp.ndarray, isotopes: jnp.ndarray, num_rois: int, out_size: int):
-    """For each ROI id 1..num_rois: resize its painted mask to acquisition
-    size (MATLAB imresize bicubic+antialias ≈ jax.image.resize 'cubic',
-    antialias=True) and reduce all isotope sums + the resized-mask centroid.
+def _resize_acq(mask: jnp.ndarray, out_size: int) -> jnp.ndarray:
+    """MATLAB imresize bicubic+antialias ≈ jax.image.resize 'cubic',
+    antialias=True (ref .m:123-125)."""
+    return jax.image.resize(
+        mask, (out_size, out_size), method="cubic", antialias=True
+    )
 
-    Returns (sums [num_rois, n_iso], centroids_xy [num_rois, 2]).
-    Centroids follow MATLAB's regionprops-on-a-double-matrix semantics: only
-    pixels whose resized value floors to 1 count (ref :164-165), 1-based
-    (x, y) coordinates.
+
+@partial(jax.jit, static_argnames=("num_rois", "out_size", "chunk"))
+def _roi_batched(
+    labels: jnp.ndarray, isotopes: jnp.ndarray, num_rois: int, out_size: int,
+    chunk: int = 16,
+):
+    """Per-ROI isotope sums + centroids for ALL ROIs, ``chunk`` at a time.
+
+    Replaces the reference's one-ROI-per-iteration loop (ref .m:122-170):
+    per chunk, the ROI one-hot masks resize in one vmapped call (the same
+    ``_resize_acq`` op as the sequential path, so the resized values — and
+    therefore the solid masks — are bit-identical), isotope sums ride one
+    batched MXU contraction over the SAME resized masks, and the solid-mask
+    centroids (MATLAB regionprops-on-a-double semantics: pixels whose
+    resized value floors to 1, ref .m:164-165, 1-based (x, y)) reduce from
+    the same buffers.
+
+    A hand-rolled resize as explicit weight matrices (``A M Bᵀ`` einsum)
+    ran slightly faster but sent the remote TPU compiler into a >15-minute
+    pass on the 3-operand contraction; the vmapped resize compiles in
+    normal time and still beats the sequential scan.
 
     ``num_rois`` is static — callers round it up to a bucket (see
-    _roi_bucket) so varying ROI counts reuse one compiled scan.
+    analyze_roi_class) so varying ROI counts reuse one compiled graph;
+    padded ids have empty masks → zero sum rows / (1, 1) centroids, sliced
+    off by the caller.
+
+    Returns (sums [num_rois, n_iso], centroids_xy [num_rois, 2]).
+    """
+    Hs = Ws = out_size
+    rows = jax.lax.broadcasted_iota(jnp.float32, (Hs, Ws), 0)
+    cols = jax.lax.broadcasted_iota(jnp.float32, (Hs, Ws), 1)
+
+    def one_chunk(idvec):
+        masks = (labels[None] == idvec[:, None, None]).astype(jnp.float32)
+        resized = jax.vmap(lambda m: _resize_acq(m, out_size))(masks)
+        # broadcast multiply-reduce, not a dot: the [chunk, n_iso, HW]
+        # contraction's extreme shape (tiny M·N, huge K) sent the remote
+        # TPU compiler into a multi-minute pass, and at ~30 MFLOP the VPU
+        # reduction is free anyway
+        sums = jnp.sum(resized[:, None] * isotopes[None], axis=(-2, -1))
+        solid = jnp.floor(resized) >= 1
+        cnt = jnp.maximum(jnp.sum(solid, axis=(1, 2)), 1)
+        cx = jnp.sum(jnp.where(solid, cols[None], 0.0), axis=(1, 2)) / cnt + 1.0
+        cy = jnp.sum(jnp.where(solid, rows[None], 0.0), axis=(1, 2)) / cnt + 1.0
+        return sums, jnp.stack([cx, cy], axis=-1)
+
+    ids = jnp.arange(1, num_rois + 1).reshape(-1, chunk)
+    sums, cents = jax.lax.map(one_chunk, ids)
+    n_iso = isotopes.shape[0]
+    return sums.reshape(num_rois, n_iso), cents.reshape(num_rois, 2)
+
+
+@partial(jax.jit, static_argnames=("num_rois", "out_size"))
+def _roi_scan(labels: jnp.ndarray, isotopes: jnp.ndarray, num_rois: int, out_size: int):
+    """Sequential per-ROI reference path (the literal MATLAB loop shape,
+    ref .m:122-170).  Kept for A/B parity tests and benchmarks against the
+    batched adjoint/chunked path above — production calls use those.
     """
     n_iso = isotopes.shape[0]
     Hs, Ws = out_size, out_size
@@ -197,7 +261,7 @@ def _roi_scan(labels: jnp.ndarray, isotopes: jnp.ndarray, num_rois: int, out_siz
 
     def body(_, i):
         mask = (labels == i).astype(jnp.float32)
-        resized = jax.image.resize(mask, (Hs, Ws), method="cubic", antialias=True)
+        resized = _resize_acq(mask, out_size)
         sums = jnp.sum(isotopes * resized[None], axis=(1, 2))
         solid = jnp.floor(resized) >= 1
         cnt = jnp.maximum(jnp.sum(solid), 1)
@@ -255,10 +319,10 @@ def analyze_roi_class(
             h_sums=np.zeros((0, 2)) if with_h else None,
             d_activity=np.zeros((0,)) if with_h else None,
         )
-    # round the scan length up to a bucket so varying ROI counts reuse one
-    # compiled scan; padded ids have empty masks → zero rows, sliced off
+    # round the bucket up so varying ROI counts reuse one compiled graph;
+    # padded ids have empty masks → zero/degenerate rows, sliced off
     bucket = max(16, 1 << (n - 1).bit_length())
-    sums, cents = _roi_scan(labels, iso_stack, bucket, acq)
+    sums, cents = _roi_batched(labels, iso_stack, bucket, acq)
     sums = np.asarray(sums, np.float64)[:n]
     cents = np.asarray(cents)[:n]
     h_sums = d_activity = None
@@ -322,7 +386,7 @@ def analyze_nanosims(
     cfg: NanoSIMSConfig = NanoSIMSConfig(),
 ) -> NanoSIMSResult:
     """Full ROI workflow of ref :82-268 (excluding figure export)."""
-    rois = crop_to_content(rois_rgb)
+    rois = crop_to_content(rois_rgb, imcrop_rect=cfg.compat_imcrop_rect)
     red_mask, green_mask = class_masks(rois)
     red = analyze_roi_class(red_mask, isotopes, cfg)
     green = analyze_roi_class(green_mask, isotopes, cfg)
@@ -404,11 +468,15 @@ def run_nanosims(
             np.column_stack([result.all_data, result.nearest]),
         )
     bound_mask_img = None
+    bound_rgb_cropped = None
     if bound_png is not None:
         bound_rgb = np.asarray(Image.open(bound_png).convert("RGB"))
         acq = next(iter(isotopes.values())).shape[0]
         bd = boundary_distances(result, bound_rgb, acq, cfg)
-        bound_mask_img = boundary_class_mask(crop_to_content(bound_rgb))
+        bound_rgb_cropped = crop_to_content(
+            bound_rgb, imcrop_rect=cfg.compat_imcrop_rect
+        )
+        bound_mask_img = boundary_class_mask(bound_rgb_cropped)
         base = (
             np.column_stack([result.all_data, result.nearest])
             if result.nearest is not None
@@ -423,10 +491,11 @@ def run_nanosims(
 
         save_all(
             result,
-            crop_to_content(rois_rgb),
+            crop_to_content(rois_rgb, imcrop_rect=cfg.compat_imcrop_rect),
             to_uint8_display(isotopes["N14C12"]),
             out_dir,
             bound_mask=bound_mask_img,
+            bound_rgb=bound_rgb_cropped,
         )
     return result
 
@@ -449,7 +518,7 @@ def boundary_distances(
     Args:
       acquisition_size: side of the cropped isotope planes (n−2).
     """
-    bound = crop_to_content(bound_rgb)
+    bound = crop_to_content(bound_rgb, imcrop_rect=cfg.compat_imcrop_rect)
     red = boundary_class_mask(bound)
     bd = np.asarray(boundary_mask(jnp.asarray(red)))
     ys, xs = np.nonzero(bd)

@@ -103,6 +103,7 @@ def _quad_figure(
     plt.savefig(f"{output_name}_plots.png", dpi=300)
     plt.close(fig)
     plt.close("all")
+    return fig
 
 
 def create_channel_plots(
@@ -110,7 +111,7 @@ def create_channel_plots(
     overlap_arr=None, cell_positions=None, cell_clusters=None,
 ):
     """Per-channel 2×2 (or 3-panel) figure (reference :346-462)."""
-    _quad_figure(
+    return _quad_figure(
         raw_arr, cmap, norm, base_name, output_name, denoised_arr, overlap_arr,
         cell_positions, cell_clusters, three_panel_when_no_overlap=True,
     )
@@ -121,7 +122,7 @@ def create_single_plots(
     cell_positions=None, cell_clusters=None,
 ):
     """Single-file 2×2 figure, always with the particle panel (reference :525-616)."""
-    _quad_figure(
+    return _quad_figure(
         raw_arr, cmap, norm, base_name, output_name, denoised_arr, overlap_arr,
         cell_positions, cell_clusters, three_panel_when_no_overlap=False,
     )
@@ -142,6 +143,7 @@ def create_plot(
     )
     fig.savefig(file_name, bbox_inches="tight", dpi=300)
     plt.close(fig)
+    return fig
 
 
 def visualize_dapi_overlap_results(
@@ -175,6 +177,7 @@ def visualize_dapi_overlap_results(
     plt.subplots_adjust(top=0.95, bottom=0.05)
     plt.savefig(f"{output_name}_dapi_{other_channel_name}_overlap.png", dpi=300)
     plt.close(fig)
+    return fig
 
 
 def plot_original_vs_merged(
@@ -228,3 +231,4 @@ def plot_original_vs_merged(
     plt.subplots_adjust(top=0.95, bottom=0.05)
     plt.savefig(f"{base_name}_cell_cluster_pos.png", dpi=300)
     plt.close(fig)
+    return fig

@@ -1,9 +1,10 @@
 """NanoSIMS figures (reference .m export_fig outputs).
 
-Counterparts: rois_clear.png (:87-88), annotations.png (:236 — ROI indices
-drawn at centroids), "cell position.png" (:246-250 — red/green centroid
-scatter over the N14C12 display image), agg_boundary.png (:294-297 —
-aggregate boundary overlay).
+Counterparts: rois_clear.png + rois_clear.svg (:87-89), annotations.png
+(:236 — ROI indices drawn at centroids), "cell position.png" (:246-250 —
+red/green centroid scatter over the N14C12 display image),
+bound_paint_clear.png (:277 — the cropped painted boundary image),
+agg_boundary.png (:294-297 — aggregate boundary overlay).
 """
 
 from __future__ import annotations
@@ -20,12 +21,26 @@ import matplotlib.pyplot as plt  # noqa: E402
 
 
 def save_rois_figure(rois_rgb: np.ndarray, out_path: str) -> None:
-    """The cropped painted-ROI image (reference :87-88)."""
+    """The cropped painted-ROI image, exported as PNG and (when out_path
+    ends in .png) the reference's sibling SVG too (reference :87-89)."""
     fig, ax = plt.subplots(figsize=(8, 8))
     ax.imshow(rois_rgb)
     ax.axis("off")
     fig.savefig(out_path, bbox_inches="tight", dpi=300)
+    if out_path.endswith(".png"):
+        fig.savefig(out_path[:-4] + ".svg", bbox_inches="tight")
     plt.close(fig)
+    return fig
+
+
+def save_bound_paint_figure(bound_rgb: np.ndarray, out_path: str) -> None:
+    """The cropped painted boundary image (reference :271-277)."""
+    fig, ax = plt.subplots(figsize=(8, 8))
+    ax.imshow(bound_rgb)
+    ax.axis("off")
+    fig.savefig(out_path, bbox_inches="tight", dpi=300)
+    plt.close(fig)
+    return fig
 
 
 def save_annotations_figure(result, rois_rgb: np.ndarray, out_path: str) -> None:
@@ -42,6 +57,7 @@ def save_annotations_figure(result, rois_rgb: np.ndarray, out_path: str) -> None
     ax.axis("off")
     fig.savefig(out_path, bbox_inches="tight", dpi=300)
     plt.close(fig)
+    return fig
 
 
 def save_cell_position_figure(
@@ -64,6 +80,7 @@ def save_cell_position_figure(
     ax.axis("off")
     fig.savefig(out_path, bbox_inches="tight", dpi=300)
     plt.close(fig)
+    return fig
 
 
 def save_boundary_figure(
@@ -84,6 +101,7 @@ def save_boundary_figure(
     ax.axis("off")
     fig.savefig(out_path, bbox_inches="tight", dpi=300)
     plt.close(fig)
+    return fig
 
 
 def save_all(
@@ -92,12 +110,17 @@ def save_all(
     n14c12_img: np.ndarray,
     out_dir: str,
     bound_mask: Optional[np.ndarray] = None,
+    bound_rgb: Optional[np.ndarray] = None,
 ) -> None:
     save_rois_figure(rois_rgb, os.path.join(out_dir, "rois_clear.png"))
     save_annotations_figure(result, rois_rgb, os.path.join(out_dir, "annotations.png"))
     save_cell_position_figure(
         result, n14c12_img, os.path.join(out_dir, "cell position.png")
     )
+    if bound_rgb is not None:
+        save_bound_paint_figure(
+            bound_rgb, os.path.join(out_dir, "bound_paint_clear.png")
+        )
     if bound_mask is not None:
         save_boundary_figure(
             bound_mask, n14c12_img, os.path.join(out_dir, "agg_boundary.png")

@@ -120,6 +120,87 @@ class TestNanoSIMS:
         # positions: 1-based centroid of the solid mask
         np.testing.assert_allclose(res.positions[0], [14.5 + 1, 14.5 + 1], atol=0.6)
 
+    def test_batched_roi_path_matches_sequential(self):
+        """A/B (VERDICT r1 #5): the adjoint-resize isotope sums and the
+        chunked batched centroids must match the sequential per-ROI scan
+        (the literal MATLAB loop shape) — including a painted size different
+        from the acquisition size, so the resize is NOT identity."""
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(5)
+        acq = 64
+        Hp = Wp = 96  # painted space larger than acquisition space
+        mask = np.zeros((Hp, Wp), bool)
+        mask[8:24, 10:30] = True
+        mask[40:60, 50:70] = True
+        mask[70:90, 12:28] = True
+        iso = {
+            k: rng.random((acq, acq)).astype(np.float32)
+            for k in ("C12", "C13", "N14C12", "N15C12", "O16", "O17", "O18")
+        }
+        res = nanosims.analyze_roi_class(mask, iso)
+        assert res.num_rois == 3
+
+        from particle_col_image_segmentation_tpu.models.nanosims import (
+            _SUM_ORDER,
+            _roi_scan,
+        )
+        from particle_col_image_segmentation_tpu.ops import (
+            connected_components,
+        )
+        from particle_col_image_segmentation_tpu.ops.ccl import compact_labels
+
+        rawT = connected_components(
+            jnp.asarray(mask.T, jnp.uint8), background=0, num_classes=2
+        )
+        labelsT, _ = compact_labels(rawT, 64)
+        labels = jnp.swapaxes(labelsT, 0, 1)
+        iso_stack = jnp.asarray(
+            np.stack([iso[k] for k in _SUM_ORDER]), jnp.float32
+        )
+        ref_sums, ref_cents = _roi_scan(labels, iso_stack, 16, acq)
+        np.testing.assert_allclose(
+            res.sums, np.asarray(ref_sums)[:3], rtol=2e-5, atol=1e-3
+        )
+        # borderline solid-threshold pixels may flip between the matmul
+        # resize and jax.image.resize's internal op order; centroids move
+        # by ≪ a pixel
+        np.testing.assert_allclose(
+            res.positions, np.asarray(ref_cents)[:3], atol=0.05
+        )
+
+    def test_compat_imcrop_rect(self):
+        """VERDICT r1 #9: compat_imcrop_rect reproduces MATLAB imcrop's
+        half-pixel rect (one extra row+col past the content extent, clamped
+        at the image edge); default stays the tight content bbox."""
+        rgb = np.full((40, 50, 3), 255, np.uint8)
+        rgb[10:20, 15:30] = (255, 0, 0)  # blue=0 < 200 → content
+        tight = nanosims.crop_to_content(rgb)
+        assert tight.shape == (10, 15, 3)
+        matlab = nanosims.crop_to_content(rgb, imcrop_rect=True)
+        assert matlab.shape == (11, 16, 3)
+        np.testing.assert_array_equal(matlab[:10, :15], tight)
+        # clamped at the image edge: content touching the bottom-right
+        rgb2 = np.full((40, 50, 3), 255, np.uint8)
+        rgb2[30:40, 35:50] = (255, 0, 0)
+        assert nanosims.crop_to_content(rgb2, imcrop_rect=True).shape == (10, 15, 3)
+        # end-to-end: the flag changes the painted-space shape analyzed
+        from particle_col_image_segmentation_tpu.config import NanoSIMSConfig
+
+        rng = np.random.default_rng(6)
+        iso = {
+            k: rng.random((32, 32)).astype(np.float32)
+            for k in ("C12", "C13", "N14C12", "N15C12", "O16", "O17", "O18")
+        }
+        res_t = nanosims.analyze_nanosims(iso, rgb)
+        res_m = nanosims.analyze_nanosims(
+            iso, rgb, NanoSIMSConfig(compat_imcrop_rect=True)
+        )
+        assert res_t.red.labels.shape == (10, 15)
+        assert res_m.red.labels.shape == (11, 16)
+        # the crop shift changes the resize geometry and thus the ROI sums
+        assert not np.allclose(res_t.red.sums, res_m.red.sums)
+
     def test_roi_order_is_matlab_column_major(self):
         """Regression: ROI ids were raster (row-major) ordered; MATLAB
         regionprops numbers by COLUMN-major first pixel, which defines the
