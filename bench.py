@@ -228,14 +228,23 @@ def bench_config2(tmpdir: str):
     from particle_col_image_segmentation_tpu.io.tiff import read_tiff_stack
     from particle_col_image_segmentation_tpu.ops.filters import gaussian_blur
     from particle_col_image_segmentation_tpu.ops.threshold import (
-        threshold_and_count,
+        threshold_and_count_batch,
     )
 
     n, planes, stacks = 512, 24, 4
     rng = np.random.default_rng(2)
+    yy, xx = np.mgrid[:n, :n]
     paths = []
     for s in range(stacks):
-        stack = (rng.random((planes, n, n)) * 60000).astype(np.uint16)
+        # realistic microscope-like planes: bright particles over a dim
+        # noise floor (pure random noise makes Otsu split ~50/50 and hands
+        # the CCL a pathological salt-and-pepper mask)
+        stack = (rng.random((planes, n, n)) * 400).astype(np.uint16)
+        for p in range(planes):
+            for _ in range(30):
+                cy, cx = rng.integers(20, n - 20, 2)
+                r2 = int(rng.integers(30, 200))
+                stack[p][(yy - cy) ** 2 + (xx - cx) ** 2 <= r2] += 20000
         path = os.path.join(tmpdir, f"stack{s}_zstack.tif")
         # multi-page write via PIL (the native writer is single-page)
         from PIL import Image
@@ -244,23 +253,22 @@ def bench_config2(tmpdir: str):
         ims[0].save(path, save_all=True, append_images=ims[1:])
         paths.append(path)
 
+    # one dispatch per STACK through the batched band-sweep pipeline:
+    # per-call relay latency would otherwise dominate on this platform
     @jax.jit
-    def plane_stats(x):
+    def stack_stats(x):
         den = gaussian_blur(x.astype(jnp.float32), sigma=1.0)
-        _, _, count, num = threshold_and_count(den, max_regions=4095)
+        _, _, count, num, _ = threshold_and_count_batch(den, max_regions=4095)
         return count + num
-
-    # warmup compile
-    _ = int(plane_stats(jnp.asarray(np.zeros((n, n), np.uint16))))
+    _ = int(jnp.sum(stack_stats(jnp.asarray(np.zeros((planes, n, n), np.uint16)))))
 
     t0 = time.perf_counter()
     acc = []
     npx = 0
     for path in paths:
         stack = read_tiff_stack(path)  # native codec (mmap + strip decode)
-        for plane in stack:
-            acc.append(plane_stats(jnp.asarray(plane)))
-            npx += plane.size
+        acc.append(jnp.sum(stack_stats(jnp.asarray(stack))))
+        npx += stack.size
     _ = int(jnp.stack(acc).sum())
     dt = time.perf_counter() - t0
     assert native.available()

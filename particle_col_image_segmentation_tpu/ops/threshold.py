@@ -75,3 +75,42 @@ def threshold_and_count(
     area, _ = region_counts(seg, mask.astype(jnp.int32), max_regions)
     count = jnp.sum((area[1:] >= min_area).astype(jnp.int32))
     return mask, seg, count, num
+
+
+@partial(jax.jit, static_argnames=("max_regions", "min_area"))
+def threshold_and_count_batch(
+    imgs: jnp.ndarray, max_regions: int = 4096, min_area: int = 1
+):
+    """Batched config #1 on the fast kernel family: per-plane Otsu → CCL →
+    per-plane particle counts, one launch for a whole [B, H, W] stack (the
+    band-sweep CCL and MXU tables batch over the leading axis).
+
+    Background pixels are labeled too (``background=None`` keeps the CCL on
+    the cheap uint8 value path); the count filters to foreground (class 1)
+    regions with area ≥ ``min_area``.  Returns (mask [B,H,W], seg [B,H,W],
+    count [B], num_fg [B], converged [B]); callers must treat counts of
+    planes with num_fg > max_regions as undercounts (overflow contract).
+    """
+    from particle_col_image_segmentation_tpu.ops import (
+        connected_components_auto,
+    )
+    from particle_col_image_segmentation_tpu.ops.ccl import compact_labels_auto
+    from particle_col_image_segmentation_tpu.ops.regionprops_tiles import (
+        region_counts_auto,
+    )
+
+    x = imgs.astype(jnp.float32)
+    t = jax.vmap(otsu_threshold)(x)  # [B]
+    mask = x > t[:, None, None]
+    m8 = mask.astype(jnp.uint8)
+    raw, conv_ccl = connected_components_auto(
+        m8, background=None, num_classes=2, with_flag=True
+    )
+    seg, _, conv_cmp = compact_labels_auto(
+        raw, max_regions, val=m8, with_flag=True
+    )
+    areas, classes = region_counts_auto(seg, m8, max_regions)
+    fg = (classes == 1) & (areas > 0)
+    count = jnp.sum((fg & (areas >= min_area)).astype(jnp.int32), axis=-1)
+    num_fg = jnp.sum(fg.astype(jnp.int32), axis=-1)
+    return mask, seg, count, num_fg, conv_ccl & conv_cmp

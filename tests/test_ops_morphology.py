@@ -356,6 +356,34 @@ class TestOpenCloseThreshold:
         assert int(count) == 4
         assert np.array_equal(np.asarray(mask), img > 500)
 
+    def test_threshold_and_count_batch_matches_single(self):
+        """The batched band-sweep pipeline (one launch per stack) must give
+        the same per-plane masks and counts as the single-plane graph."""
+        from particle_col_image_segmentation_tpu.ops.threshold import (
+            threshold_and_count,
+            threshold_and_count_batch,
+        )
+
+        rng = np.random.default_rng(4)
+        yy, xx = np.mgrid[:64, :64]
+        planes = []
+        for b in range(3):
+            img = (rng.random((64, 64)) * 300).astype(np.float32)
+            for _ in range(3 + b):
+                cy, cx = rng.integers(8, 56, 2)
+                img[(yy - cy) ** 2 + (xx - cx) ** 2 <= 30] = 5000.0
+            planes.append(img)
+        batch = jnp.asarray(np.stack(planes))
+        bmask, bseg, bcount, bnum, conv = threshold_and_count_batch(
+            batch, max_regions=255
+        )
+        assert bool(np.asarray(conv).all())
+        for b in range(3):
+            m, s, c, n = threshold_and_count(batch[b], max_regions=255)
+            np.testing.assert_array_equal(np.asarray(bmask[b]), np.asarray(m))
+            assert int(bcount[b]) == int(c)
+            assert int(bnum[b]) == int(n)
+
 
 class TestPallasFill:
     def test_matches_edt_path(self):
