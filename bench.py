@@ -15,6 +15,7 @@ Prints ONE JSON line.
 import json
 import os
 import time
+from typing import Tuple
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_pcis")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
@@ -122,9 +123,10 @@ def check_mask_parity(plane: np.ndarray, oracle_den, oracle_lab) -> bool:
     return masks_equal(dev_seg, oracle_lab)
 
 
-def watershed_boundary_iou() -> float:
-    """Watershed parity vs the oracle priority flood (BASELINE config #3
-    contract): boundary IoU on a 512² touching-particle relief."""
+def watershed_boundary_iou() -> Tuple[float, float]:
+    """Watershed parity + refine throughput (BASELINE config #3): returns
+    (boundary IoU vs the oracle priority flood on a 512² touching-particle
+    relief, refine-pipeline MP/s)."""
     import jax.numpy as jnp
     from scipy import ndimage as ndi
 
@@ -258,7 +260,7 @@ def bench_config2(tmpdir: str):
     @jax.jit
     def stack_stats(x):
         den = gaussian_blur(x.astype(jnp.float32), sigma=1.0)
-        _, _, count, num, _ = threshold_and_count_batch(den, max_regions=4095)
+        _, _, count, num, _, _ = threshold_and_count_batch(den, max_regions=4095)
         return count + num
     _ = int(jnp.sum(stack_stats(jnp.asarray(np.zeros((planes, n, n), np.uint16)))))
 

@@ -280,9 +280,13 @@ def main(argv=None) -> int:
                         # manifest, so a resume appends a second (valid) row
                         # for the same plane — consumers keep rows with
                         # status == "ok"
+                        # unconverged wins over overflow: unconverged stats
+                        # are invalid wholesale (a garbage num_regions can
+                        # also trip the overflow flag), while overflow rows
+                        # are valid undercounts
                         status = (
-                            "overflow" if stats.overflow
-                            else ("unconverged" if not stats.converged else "ok")
+                            "unconverged" if not stats.converged
+                            else ("overflow" if stats.overflow else "ok")
                         )
                         writer.writerow(
                             [path, stats.num_regions, stats.particle_px,

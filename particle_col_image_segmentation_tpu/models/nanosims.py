@@ -7,8 +7,9 @@ MATLAB; line references below are into that script):
   2. display / ratio images with Gaussian blur (:30-69);
   3. painted-PNG ROI ingestion — red/green classes (:82-102);
   4. per-ROI isotope sums and activities (:104-234) — on TPU, chunks of ROI
-     masks resize in one vmapped call and all isotope sums ride a single
-     batched MXU contraction per chunk (``_roi_batched``), replacing the
+     masks resize in one vmapped call and all isotope sums reduce in one
+     batched broadcast multiply-reduce per chunk (``_roi_batched``; a dot
+     was tried and rejected — see the inline note there), replacing the
      MATLAB per-ROI O(ROIs·H·W) loop; a sequential ``lax.scan`` reference
      path (``_roi_scan``) remains for A/B parity tests;
   5. data.csv / data_xy.csv (:237, :252-256);
@@ -26,7 +27,6 @@ with acquisition-space (x,y) centroids, :301-304).
 from __future__ import annotations
 
 import dataclasses
-import functools
 from functools import partial
 from typing import Dict, Optional, Tuple
 
@@ -206,11 +206,12 @@ def _roi_batched(
     Replaces the reference's one-ROI-per-iteration loop (ref .m:122-170):
     per chunk, the ROI one-hot masks resize in one vmapped call (the same
     ``_resize_acq`` op as the sequential path, so the resized values — and
-    therefore the solid masks — are bit-identical), isotope sums ride one
-    batched MXU contraction over the SAME resized masks, and the solid-mask
-    centroids (MATLAB regionprops-on-a-double semantics: pixels whose
-    resized value floors to 1, ref .m:164-165, 1-based (x, y)) reduce from
-    the same buffers.
+    therefore the solid masks — are bit-identical), isotope sums reduce in
+    one batched broadcast multiply-reduce over the SAME resized masks (a
+    dot contraction was deliberately rejected — see the inline note at the
+    sum site), and the solid-mask centroids (MATLAB
+    regionprops-on-a-double semantics: pixels whose resized value floors
+    to 1, ref .m:164-165, 1-based (x, y)) reduce from the same buffers.
 
     A hand-rolled resize as explicit weight matrices (``A M Bᵀ`` einsum)
     ran slightly faster but sent the remote TPU compiler into a >15-minute
@@ -367,6 +368,10 @@ class NanoSIMSResult:
     data_xy: np.ndarray  # all_data + (x, y)
     nearest: Optional[np.ndarray]  # µm-converted nearest-other-class distance
     activity_images: Dict[str, np.ndarray]  # combined red+green act maps
+    # the content-cropped painted ROI image the analysis actually ran on
+    # (ref .m:83-85 imcrop) — reused by figure export so the crop happens
+    # (and threads cfg.compat_imcrop_rect) exactly once
+    rois_cropped: Optional[np.ndarray] = None
 
 
 def _data_rows(cls_id: int, res: RoiClassResult) -> np.ndarray:
@@ -421,7 +426,7 @@ def analyze_nanosims(
     }
     return NanoSIMSResult(
         red=red, green=green, all_data=all_data, data_xy=data_xy,
-        nearest=nearest, activity_images=act_imgs,
+        nearest=nearest, activity_images=act_imgs, rois_cropped=rois,
     )
 
 
@@ -472,10 +477,10 @@ def run_nanosims(
     if bound_png is not None:
         bound_rgb = np.asarray(Image.open(bound_png).convert("RGB"))
         acq = next(iter(isotopes.values())).shape[0]
-        bd = boundary_distances(result, bound_rgb, acq, cfg)
         bound_rgb_cropped = crop_to_content(
             bound_rgb, imcrop_rect=cfg.compat_imcrop_rect
         )
+        bd = boundary_distances(result, bound_rgb_cropped, acq, cfg)
         bound_mask_img = boundary_class_mask(bound_rgb_cropped)
         base = (
             np.column_stack([result.all_data, result.nearest])
@@ -491,7 +496,7 @@ def run_nanosims(
 
         save_all(
             result,
-            crop_to_content(rois_rgb, imcrop_rect=cfg.compat_imcrop_rect),
+            result.rois_cropped,
             to_uint8_display(isotopes["N14C12"]),
             out_dir,
             bound_mask=bound_mask_img,
@@ -502,7 +507,7 @@ def run_nanosims(
 
 def boundary_distances(
     result: NanoSIMSResult,
-    bound_rgb: np.ndarray,
+    bound_rgb_cropped: np.ndarray,
     acquisition_size: int,
     cfg: NanoSIMSConfig = NanoSIMSConfig(),
 ) -> np.ndarray:
@@ -516,10 +521,13 @@ def boundary_distances(
     and compare consistent (x, y) pairs.
 
     Args:
+      bound_rgb_cropped: the painted boundary image ALREADY content-cropped
+        via ``crop_to_content(..., imcrop_rect=cfg.compat_imcrop_rect)`` —
+        the caller crops once and reuses the array for figure export, so
+        analysis and rendering cannot diverge on the compat flag.
       acquisition_size: side of the cropped isotope planes (n−2).
     """
-    bound = crop_to_content(bound_rgb, imcrop_rect=cfg.compat_imcrop_rect)
-    red = boundary_class_mask(bound)
+    red = boundary_class_mask(bound_rgb_cropped)
     bd = np.asarray(boundary_mask(jnp.asarray(red)))
     ys, xs = np.nonzero(bd)
     if len(ys) == 0:

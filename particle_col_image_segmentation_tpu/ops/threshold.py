@@ -16,7 +16,12 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["histogram", "otsu_threshold", "threshold_and_count"]
+__all__ = [
+    "histogram",
+    "otsu_threshold",
+    "threshold_and_count",
+    "threshold_and_count_batch",
+]
 
 
 @partial(jax.jit, static_argnames=("bins",))
@@ -88,8 +93,15 @@ def threshold_and_count_batch(
     Background pixels are labeled too (``background=None`` keeps the CCL on
     the cheap uint8 value path); the count filters to foreground (class 1)
     regions with area ≥ ``min_area``.  Returns (mask [B,H,W], seg [B,H,W],
-    count [B], num_fg [B], converged [B]); callers must treat counts of
-    planes with num_fg > max_regions as undercounts (overflow contract).
+    count [B], num_fg [B], num_total [B], converged [B]).
+
+    Overflow contract: ``num_total`` is the TRUE per-plane component count
+    (foreground + background, from compaction — NOT capacity-clamped);
+    callers must treat ``count``/``num_fg`` of planes with
+    num_total > max_regions as undercounts, because components past
+    capacity are dropped from the region table (``num_fg`` alone cannot
+    detect this — it is summed over the table and never exceeds
+    max_regions).
     """
     from particle_col_image_segmentation_tpu.ops import (
         connected_components_auto,
@@ -106,11 +118,11 @@ def threshold_and_count_batch(
     raw, conv_ccl = connected_components_auto(
         m8, background=None, num_classes=2, with_flag=True
     )
-    seg, _, conv_cmp = compact_labels_auto(
+    seg, num_total, conv_cmp = compact_labels_auto(
         raw, max_regions, val=m8, with_flag=True
     )
     areas, classes = region_counts_auto(seg, m8, max_regions)
     fg = (classes == 1) & (areas > 0)
     count = jnp.sum((fg & (areas >= min_area)).astype(jnp.int32), axis=-1)
     num_fg = jnp.sum(fg.astype(jnp.int32), axis=-1)
-    return mask, seg, count, num_fg, conv_ccl & conv_cmp
+    return mask, seg, count, num_fg, num_total, conv_ccl & conv_cmp

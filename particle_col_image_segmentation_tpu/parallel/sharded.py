@@ -437,7 +437,7 @@ def make_sharded_segment_fn(
             particle_val=particle_val,
             cell_vals=tuple(cell_vals),
             max_iters=max_iters,
-            with_tables=with_tables or with_merge,
+            with_tables=with_tables,
             with_merge=with_merge,
         ),
         mesh=mesh,

@@ -374,15 +374,41 @@ class TestOpenCloseThreshold:
                 img[(yy - cy) ** 2 + (xx - cx) ** 2 <= 30] = 5000.0
             planes.append(img)
         batch = jnp.asarray(np.stack(planes))
-        bmask, bseg, bcount, bnum, conv = threshold_and_count_batch(
+        bmask, bseg, bcount, bnum, btotal, conv = threshold_and_count_batch(
             batch, max_regions=255
         )
         assert bool(np.asarray(conv).all())
+        # no overflow on these planes: true total component count (fg + bg
+        # — background is labeled too under background=None) within capacity
+        assert (np.asarray(btotal) <= 255).all()
         for b in range(3):
             m, s, c, n = threshold_and_count(batch[b], max_regions=255)
             np.testing.assert_array_equal(np.asarray(bmask[b]), np.asarray(m))
             assert int(bcount[b]) == int(c)
             assert int(bnum[b]) == int(n)
+            # num_total counts fg and bg components, so it strictly exceeds
+            # the fg-only count on these planes (bg is connected: ≥ 1 extra)
+            assert int(btotal[b]) > int(bnum[b])
+
+    def test_threshold_and_count_batch_overflow_detectable(self):
+        """When a plane has more components than max_regions, num_total must
+        report the TRUE count (> max_regions) so callers can detect the
+        undercount — num_fg alone is capacity-clamped and cannot."""
+        from particle_col_image_segmentation_tpu.ops.threshold import (
+            threshold_and_count_batch,
+        )
+
+        # 8x8 grid of isolated bright dots = 64 fg components + 1 bg
+        img = np.zeros((64, 64), np.float32)
+        img[2::8, 2::8] = 5000.0
+        img += np.random.default_rng(0).random((64, 64)).astype(np.float32)
+        _, _, count, num_fg, num_total, conv = threshold_and_count_batch(
+            jnp.asarray(img[None]), max_regions=16
+        )
+        assert bool(np.asarray(conv).all())
+        assert int(num_total[0]) == 65  # true count, past capacity
+        assert int(num_fg[0]) <= 16  # table-derived, capacity-clamped
+        assert int(count[0]) <= 16
 
 
 class TestPallasFill:
