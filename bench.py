@@ -274,13 +274,37 @@ def bench_config2(tmpdir: str):
     _ = int(jnp.stack(acc).sum())
     dt = time.perf_counter() - t0
     assert native.available()
-    return (npx / 1e6) / dt
+    dev_mps = (npx / 1e6) / dt
+
+    # CPU comparison: the same per-plane pipeline (gaussian -> otsu -> CCL
+    # stats) via scipy + the oracle on ONE plane, extrapolated linearly —
+    # the reference loop is embarrassingly per-plane, so one plane's time
+    # is representative and keeps the bench bounded.
+    from scipy import ndimage as sndi
+
+    from particle_col_image_segmentation_tpu.oracle import ndimage as ond
+
+    plane = np.asarray(read_tiff_stack(paths[0])[0])
+    t0 = time.perf_counter()
+    den = sndi.gaussian_filter(plane.astype(np.float32), sigma=1.0)
+    counts, edges = np.histogram(den, bins=256)
+    centers = (edges[:-1] + edges[1:]) / 2
+    w0 = np.cumsum(counts)
+    w1 = w0[-1] - w0
+    m = np.cumsum(counts * centers)
+    mu0 = m / np.maximum(w0, 1e-12)
+    mu1 = (m[-1] - m) / np.maximum(w1, 1e-12)
+    var_b = np.where((w0 > 0) & (w1 > 0), w0 * w1 * (mu0 - mu1) ** 2, -1)
+    lab = ond.label((den > centers[np.argmax(var_b)]).astype(np.uint8), background=0)
+    _ = np.bincount(lab.ravel())
+    cpu_mps = (plane.size / 1e6) / (time.perf_counter() - t0)
+    return dev_mps, dev_mps / cpu_mps
 
 
 def bench_config4():
     """BASELINE config #4: NanoSIMS per-ROI isotope reduction — one painted
-    acquisition (512², 7 isotopes, ~120 ROIs) through the batched MXU path.
-    Returns (ms per acquisition, ROIs/s)."""
+    acquisition (512², 7 isotopes, ~120 ROIs) through the chunked batched
+    path.  Returns (ms per acquisition, ROIs/s, vs CPU)."""
     import jax
     import jax.numpy as jnp
 
@@ -316,7 +340,24 @@ def bench_config4():
             r = run()
         _ = np.asarray(r[0])[:1]
         best = min(best, (time.perf_counter() - t0) / reps)
-    return best * 1e3, n_rois / best
+
+    # CPU comparison: the MATLAB-shaped per-ROI loop (cubic mask resize +
+    # masked isotope sums, ref .m:122-170) on 8 sample ROIs via scipy,
+    # extrapolated linearly — the loop is strictly per-ROI.
+    from scipy.ndimage import zoom
+
+    iso_np = np.asarray(iso)
+    sample = 8
+    t0 = time.perf_counter()
+    for rid in range(1, sample + 1):
+        m = (labels == rid).astype(np.float32)
+        resized = zoom(m, acq / Hp, order=3, grid_mode=True, mode="grid-constant")
+        _ = (resized[None] * iso_np).sum(axis=(1, 2))
+        solid = np.floor(resized) >= 1
+        _ = np.nonzero(solid)
+    cpu_per_roi = (time.perf_counter() - t0) / sample
+    cpu_rois_per_s = 1.0 / cpu_per_roi
+    return best * 1e3, n_rois / best, (n_rois / best) / cpu_rois_per_s
 
 
 def measure_copy_gbps() -> float:
@@ -345,8 +386,8 @@ def main():
     iou, refine_mps = watershed_boundary_iou()
     c1_mps, c1_vs = bench_config1()
     with tempfile.TemporaryDirectory() as td:
-        c2_mps = bench_config2(td)
-    c4_ms, c4_rois = bench_config4()
+        c2_mps, c2_vs = bench_config2(td)
+    c4_ms, c4_rois, c4_vs = bench_config4()
     print(
         json.dumps(
             {
@@ -362,10 +403,12 @@ def main():
                     "1_otsu_count_512_mps": round(c1_mps, 1),
                     "1_vs_cpu": round(c1_vs, 1),
                     "2_zstack_e2e_mps": round(c2_mps, 1),
+                    "2_vs_cpu": round(c2_vs, 1),
                     "3_refine_mps": round(refine_mps, 1),
                     "3_boundary_iou": round(iou, 4),
                     "4_nanosims_ms_per_acq": round(c4_ms, 2),
                     "4_nanosims_rois_per_s": round(c4_rois, 0),
+                    "4_vs_cpu": round(c4_vs, 1),
                     "5_fused_segmentation_mps": round(device_mps, 2),
                 },
             }

@@ -79,7 +79,9 @@ def _stage_segment(img, cfg: AnalysisConfig, denoise: bool, particle_val: int):
         raw, cfg.max_regions, val=den, with_flag=True,
         max_sweeps=cfg.ccl_max_sweeps,
     )
-    table = region_props_auto(seg, den, cfg.max_regions)
+    table = region_props_auto(
+        seg, den, cfg.max_regions, val_bound=cfg.num_classes - 1
+    )
     particle_area = jnp.sum((den == particle_val).astype(jnp.int32))
     return den, seg, num, table, particle_area, conv_ccl & conv_cmp
 
@@ -232,7 +234,7 @@ def dapi_dedup_device(
     on_tpu = jax.default_backend() not in ("cpu", "gpu")
     if on_tpu and dapi.shape[-2] % 8 == 0:
         area, ov = region_sums_mxu(
-            seg, other_mask.astype(jnp.int32), cfg.max_regions
+            seg, other_mask.astype(jnp.int32), cfg.max_regions, val_bound=1
         )
     else:
         ids = seg.ravel()

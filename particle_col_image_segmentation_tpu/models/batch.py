@@ -123,7 +123,9 @@ def fused_segment_batch(
         raw, cfg.max_regions, val=den, with_flag=True,
         max_sweeps=cfg.ccl_max_sweeps,
     )
-    areas, classes = region_counts_auto(seg, den, cfg.max_regions)
+    areas, classes = region_counts_auto(
+        seg, den, cfg.max_regions, val_bound=cfg.num_classes - 1
+    )
     # Every pixel belongs to exactly one class-homogeneous region (background
     # is labeled too), so all pixel histograms reduce over the [R+1] tables
     # instead of the plane — O(R) work.  Requires num ≤ cfg.max_regions
@@ -214,6 +216,10 @@ def run_batch(
     bytes; valid since label values < 16) and unpacks inside the jit —
     useful when the interconnect, not the host, is the bottleneck (the
     numpy packing itself costs ~100 ms per 64 MB batch).
+
+    A plane whose decode raises is logged and skipped — one corrupt file
+    must not kill a 100k-plane run.  Skipped planes are never marked done,
+    so a resume (after fixing the file) retries exactly those.
     """
     assert not pack_transfer or cfg.num_classes <= 16
     todo = [p for p in paths if manifest is None or not manifest.is_done(p)]
@@ -233,11 +239,10 @@ def run_batch(
         sharding = NamedSharding(mesh, P(DATA_AXIS))
     it = batched_device_iterator(
         load_fn, todo, batch_size=batch_size, sharding=sharding,
-        pack=pack_transfer,
+        pack=pack_transfer, on_error="skip", with_paths=True,
     )
-    idx = 0
     px_per_row = 2 if pack_transfer else 1  # packed batches are W/2 wide
-    for dev_batch, count in it:
+    for dev_batch, count, batch_paths in it:
         with stage("fused_segment", megapixels=count * px_per_row * dev_batch.shape[-1] * dev_batch.shape[-2] / 1e6):
             if segment_fn is not None:
                 out = segment_fn(dev_batch)
@@ -262,7 +267,7 @@ def run_batch(
         conv_host = stats_host[:, 3]
         class_px = stats_host[:, 4:]
         for b in range(count):
-            path = todo[idx]
+            path = batch_paths[b]
             converged = bool(conv_host[b])
             if not converged:
                 _log.error(
@@ -275,7 +280,8 @@ def run_batch(
             if overflow:
                 _log.warning(
                     "%s: %d components > max_regions=%d — stats undercount; "
-                    "re-run with a larger AnalysisConfig.max_regions",
+                    "not marking done, so a re-run with a larger "
+                    "AnalysisConfig.max_regions retries this plane",
                     path, int(num[b]), cfg.max_regions,
                 )
             stats = PlaneStats(
@@ -289,14 +295,14 @@ def run_batch(
             # yield FIRST, mark done after: if the consumer crashes while
             # recording this plane (CSV write, etc.) the plane stays
             # unmarked and a resume retries it — at-least-once, never a
-            # done-but-unrecorded gap
+            # done-but-unrecorded gap.  Overflowed planes are also left
+            # unmarked: their stats undercount, and the documented remedy
+            # (resume with a larger max_regions) only works if the resume
+            # does not skip them as done.
             yield path, stats
-            if manifest is not None and converged:
+            if manifest is not None and converged and not overflow:
                 meta = {
                     "regions": stats.num_regions,
                     "particle_px": stats.particle_px,
                 }
-                if overflow:
-                    meta["overflow"] = True
                 manifest.mark_done(path, meta=meta)
-            idx += 1

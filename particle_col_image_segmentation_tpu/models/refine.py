@@ -65,7 +65,9 @@ def refine_plane_device(
     labels, conv_ws = watershed_auto(
         boundary_map.astype(jnp.float32), markers, binary_mask, with_flag=True
     )
-    table = region_props_auto(labels, jnp.ones_like(labels, jnp.uint8), max_regions)
+    table = region_props_auto(
+        labels, jnp.ones_like(labels, jnp.uint8), max_regions, val_bound=1
+    )
     converged = conv_max & conv_ccl & conv_cmp & conv_ws
     return labels, markers, num, table, distance, converged
 

@@ -43,7 +43,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 _INF = jnp.iinfo(jnp.int32).max
 _BG_VAL = -(2**30)  # image sentinel outside the plane / on background
-_U8_SENTINEL = 255  # halo sentinel when the value image rides as uint8
+# uint8 pad fill for the global end pads; value is arbitrary (pad rows are
+# masked by row index in the kernels, never recognized by value)
+_U8_PAD = 255
 _HALO = 8
 # Mosaic's default 16 MB scoped-vmem cap is conservative on v5e (128 MB
 # physical VMEM); raising it unlocks taller bands (tile=128 → win=144,
@@ -260,10 +262,11 @@ def _band_kernel(
         in_plane = (row_in_plane >= 0) & (row_in_plane < H)
 
         # value image may ride HBM as uint8 (¼ the sweep read traffic);
-        # compute always in int32 (8-bit vector ops are restricted in Mosaic)
+        # compute always in int32 (8-bit vector ops are restricted in Mosaic).
+        # All out-of-plane rows — the global pad rows AND neighbor-plane
+        # halo rows — are masked by ROW INDEX below, so no value (incl. 255,
+        # the uint8 pad fill) is reserved: any in-plane uint8 value is legal.
         V = img_s[:, :].astype(jnp.int32)
-        if img_s.dtype == jnp.uint8:
-            V = jnp.where(V == _U8_SENTINEL, _BG_VAL, V)
         V = jnp.where(in_plane, V, _BG_VAL)  # plane boundary = sentinel
 
         if init_linear:
@@ -445,9 +448,9 @@ def _rank_init_kernel(
     cnt_ref[0, :, :] = jnp.broadcast_to(center_roots, cnt_ref.shape[-2:])
     base_ref[0] = base_ref[0] + center_roots
 
+    # out-of-plane rows are masked by row index (see _band_kernel): no
+    # uint8 value is reserved as a sentinel
     V = img_s[:, :].astype(jnp.int32)
-    if img_s.dtype == jnp.uint8:
-        V = jnp.where(V == _U8_SENTINEL, _BG_VAL, V)
     V = jnp.where(in_plane, V, _BG_VAL)
 
     L = _local_solve(L0, V, connectivity, inner_iters)
@@ -582,9 +585,10 @@ def min_propagate(
     ``min_propagate(linear_index, class_image)``; compact-id propagation
     (ops/ccl.py compact_labels_sweeps) seeds ``lab`` with the root rank at
     root pixels and +INF elsewhere.  [..., H, W] int32 in/out; ``val`` may
-    hold any int32 values above _BG_VAL (the halo sentinel) — or uint8
-    values < 255, which ride HBM at ¼ the sweep read traffic (the kernel
-    casts in VMEM; 255 is the uint8 halo sentinel).
+    hold any int32 values above _BG_VAL (the halo sentinel) — or any uint8
+    values, which ride HBM at ¼ the sweep read traffic (the kernel casts in
+    VMEM; out-of-plane rows are masked by row index, so no uint8 value is
+    reserved).
 
     Planes pack contiguously (only a global 8-row pad at the two ends); the
     kernel masks rows outside each plane to the sentinel, so no per-plane
@@ -611,7 +615,7 @@ def min_propagate(
     T = tile
     assert H % T == 0, (H, T)
 
-    sent = _U8_SENTINEL if as_u8 else _BG_VAL
+    sent = _U8_PAD if as_u8 else _BG_VAL
     pad_v = jnp.full((_HALO, W), sent, val2.dtype)
     img_p = jnp.concatenate([pad_v, val2.reshape(B * H, W), pad_v], axis=0)
     Hp = B * H + 2 * _HALO

@@ -1,10 +1,19 @@
 """Blocked pairwise-distance reductions (MATLAB pdist2 + min parity).
 
 Reference call sites: .m:259-268 (nearest neighbor between ROI classes) and
-:301-304 (ROI → aggregate-boundary distance).  TPU-first: ‖a−b‖² =
-‖a‖² + ‖b‖² − 2·a·bᵀ puts the O(N·M) work on the MXU as a matmul, blocked
-over the second set with a running min so the full distance matrix is never
-materialized.
+:301-304 (ROI → aggregate-boundary distance).  Distances are computed as
+direct coordinate differences (Σ(aᵢ−bᵢ)²), blocked over the second set with
+a running min so the full distance matrix is never materialized.
+
+Deliberately NOT the ‖a‖²+‖b‖²−2abᵀ matmul expansion: on TPU the default
+matmul precision truncates f32 operands to bf16 (centroids like 2001.0 are
+not bf16-representable), and even at full f32 the expansion cancels
+catastrophically for nearby points with large coordinates (terms ~|a||b|
+round at ~0.5 px² for 2k-px planes, swamping a 1 px distance).  The
+difference form subtracts first, so small distances stay exact — matching
+MATLAB's double-precision pdist2 to f32 on the coordinates themselves.
+The O(N·M·2) VPU work is negligible at centroid-set sizes (≤ tens of
+thousands of points).
 """
 
 from __future__ import annotations
@@ -35,12 +44,11 @@ def min_dist_to_set(
     nb = b.shape[0] // block
     b_blocks = b.reshape(nb, block, 2)
     v_blocks = bv.reshape(nb, block)
-    a2 = jnp.sum(a * a, axis=1, keepdims=True)  # [N,1]
 
     def step(carry, xs):
         bb, vb = xs
-        b2 = jnp.sum(bb * bb, axis=1)  # [block]
-        d2 = a2 + b2[None, :] - 2.0 * jnp.dot(a, bb.T, preferred_element_type=jnp.float32)
+        diff = a[:, None, :] - bb[None, :, :]  # [N, block, 2]
+        d2 = jnp.sum(diff * diff, axis=-1)
         d2 = jnp.where(vb[None, :], d2, jnp.inf)
         return jnp.minimum(carry, jnp.min(d2, axis=1)), None
 
@@ -63,13 +71,12 @@ def nearest_neighbor_dists(
     b_blocks = b.reshape(nb, block, 2)
     v_blocks = bv.reshape(nb, block)
     idx_blocks = jnp.arange(nb * block).reshape(nb, block)
-    a2 = jnp.sum(pts * pts, axis=1, keepdims=True)
     own = jnp.arange(N)
 
     def step(carry, xs):
         bb, vb, ib = xs
-        b2 = jnp.sum(bb * bb, axis=1)
-        d2 = a2 + b2[None, :] - 2.0 * jnp.dot(pts, bb.T, preferred_element_type=jnp.float32)
+        diff = pts[:, None, :] - bb[None, :, :]  # [N, block, 2]
+        d2 = jnp.sum(diff * diff, axis=-1)
         d2 = jnp.where(vb[None, :] & (ib[None, :] != own[:, None]), d2, jnp.inf)
         return jnp.minimum(carry, jnp.min(d2, axis=1)), None
 

@@ -9,14 +9,15 @@ CCL itself).  This kernel reformulates the per-region tables as matmuls:
   class_sum[q, m] = Σ_p 1[q_p = q] · 1[m_p = m] · img_p
 
 i.e. one ``A @ Bᵀ`` per pixel row, where A = one-hot(q) [Q, W] and
-B stacks one-hot(m) and img·one-hot(m) [2·128, W].  One-hots are generated
-in VMEM and consumed immediately by the MXU — the only HBM traffic is
-reading ``seg``/``img`` once.  Operands ride the MXU's native **int8 path
-with int32 accumulation** (2× the bf16 rate on v5e, and ~8× end-to-end for
-these kernels once the f32→int32 conversion traffic goes away): every
-operand is 0/1 or a value ≤ 127 (classes, and (hi, lo) coordinate digits
-split at base 128), so products are int8-exact and the int32 accumulator
-is exact for any plane size — no float rounding argument needed at all.
+B stacks one-hot(m) and digit·one-hot(m) rows [k·128, W].  One-hots are
+generated in VMEM and consumed immediately by the MXU — the only HBM
+traffic is reading ``seg``/``img`` once.  Operands ride the MXU's native
+**int8 path with int32 accumulation** (2× the bf16 rate on v5e, and ~8×
+end-to-end for these kernels once the f32→int32 conversion traffic goes
+away): every operand is 0/1 or a base-128 (hi, lo) digit — the class/value
+channel and the coordinates are both digit-split, so any value in
+[-16384, 16383] is int8-exact and the int32 accumulator is exact for any
+plane size — no float rounding argument needed at all.
 
 Because every component is value-homogeneous (CCL labels within equal
 classes, SURVEY.md §2.6), ``class_id = class_sum / area`` exactly —
@@ -48,13 +49,20 @@ def _round_up(x: int, to: int) -> int:
     return (x + to - 1) // to * to
 
 
-def _counts_kernel(seg_ref, img_ref, out_ref, *, T: int, Qp: int):
-    """One [T, W] pixel chunk: accumulate [Qp, 2*_M] int32 (counts ‖ class_sum).
+def _counts_kernel(seg_ref, img_ref, out_ref, *, T: int, Qp: int, split: bool):
+    """One [T, W] pixel chunk: accumulate [Qp, k*_M] int32.
+
+    ``split=True`` (general-exact): counts ‖ val_hi ‖ val_lo — the value
+    channel rides as base-128 (hi, lo) digits so any value in
+    [-16384, 16383] stays int8-exact.  ``split=False`` (narrow fast path,
+    only chosen when the caller statically bounds |values| ≤ 127):
+    counts ‖ val_sum — one fewer matmul channel.
 
     The output block is the same for every chunk of a plane (revisited), so
     it persists in VMEM across the chunk grid and acts as the accumulator.
     """
     chunk = pl.program_id(1)
+    nch = 3 if split else 2
 
     @pl.when(chunk == 0)
     def _init():
@@ -62,7 +70,8 @@ def _counts_kernel(seg_ref, img_ref, out_ref, *, T: int, Qp: int):
 
     W = seg_ref.shape[-1]
     q_iota = jax.lax.broadcasted_iota(jnp.int32, (Qp, W), 0)
-    c_iota = jax.lax.broadcasted_iota(jnp.int32, (2 * _M, W), 0)
+    c_iota = jax.lax.broadcasted_iota(jnp.int32, (nch * _M, W), 0)
+    blk = c_iota // _M
 
     acc = out_ref[:, :]
     for r in range(T):
@@ -72,8 +81,15 @@ def _counts_kernel(seg_ref, img_ref, out_ref, *, T: int, Qp: int):
         m = ids % _M
         a = (q_iota == q).astype(jnp.int8)  # [Qp, W] one-hot of q
         hit = (c_iota % _M) == m
-        scale = jnp.where(c_iota < _M, 1, img)  # counts rows ‖ img rows
-        b = jnp.where(hit, scale, 0).astype(jnp.int8)  # [2M, W]
+        if split:
+            # counts rows ‖ value hi digit ‖ value lo digit (floor-div/mod,
+            # so _HL·hi + lo == img exactly, negatives included)
+            scale = jnp.where(
+                blk == 0, 1, jnp.where(blk == 1, img // _HL, img % _HL)
+            )
+        else:
+            scale = jnp.where(blk == 0, 1, img)
+        b = jnp.where(hit, scale, 0).astype(jnp.int8)  # [nch*M, W]
         partial = jax.lax.dot_general(
             a,
             b,
@@ -84,14 +100,20 @@ def _counts_kernel(seg_ref, img_ref, out_ref, *, T: int, Qp: int):
     out_ref[:, :] = acc
 
 
-def _run_counts(seg3, img3, R, rows_per_chunk, interpret):
-    """[B,H,W] ids + values → (area [B,R], val_sum [B,R]) int32, exact."""
+def _run_counts(seg3, img3, R, rows_per_chunk, interpret, val_bound=None):
+    """[B,H,W] ids + values → (area [B,R], val_sum [B,R]) int32 — exact for
+    values in [-16384, 16383] (base-128 digit split keeps operands int8).
+    ``val_bound``: static promise that |values| ≤ val_bound; ≤ 127 selects
+    the narrower single-channel matmul (the hot fused path passes its
+    num_classes here)."""
     B, H, W = seg3.shape
     T = rows_per_chunk
     assert H % T == 0, (H, T)
     Qp = _round_up(-(-R // _M), 16)  # bf16 sublane tile = 16
+    split = val_bound is None or val_bound > 127
+    nch = 3 if split else 2
 
-    kernel = partial(_counts_kernel, T=T, Qp=Qp)
+    kernel = partial(_counts_kernel, T=T, Qp=Qp, split=split)
     out = pl.pallas_call(
         kernel,
         grid=(B, H // T),
@@ -99,35 +121,44 @@ def _run_counts(seg3, img3, R, rows_per_chunk, interpret):
             pl.BlockSpec((1, T, W), lambda b, c: (b, c, 0)),
             pl.BlockSpec((1, T, W), lambda b, c: (b, c, 0)),
         ],
-        out_specs=pl.BlockSpec((1, Qp, 2 * _M), lambda b, c: (b, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, Qp, 2 * _M), jnp.int32),
+        out_specs=pl.BlockSpec((1, Qp, nch * _M), lambda b, c: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, Qp, nch * _M), jnp.int32),
         interpret=interpret,
     )(seg3.astype(jnp.int32), img3.astype(jnp.int32))
 
     area = out[:, :, :_M].reshape(B, Qp * _M)[:, :R]
-    val_sum = out[:, :, _M:].reshape(B, Qp * _M)[:, :R]
-    return area, val_sum
+    if not split:
+        return area, out[:, :, _M:].reshape(B, Qp * _M)[:, :R]
+    hi = out[:, :, _M : 2 * _M].reshape(B, Qp * _M)[:, :R]
+    lo = out[:, :, 2 * _M :].reshape(B, Qp * _M)[:, :R]
+    return area, _HL * hi + lo
 
 
-@partial(jax.jit, static_argnames=("max_regions", "rows_per_chunk", "interpret"))
+@partial(jax.jit, static_argnames=(
+    "max_regions", "rows_per_chunk", "interpret", "val_bound",
+))
 def region_counts_mxu(
     seg: jnp.ndarray,
     img: jnp.ndarray,
     max_regions: int,
     rows_per_chunk: int = 32,
     interpret: bool = False,
+    val_bound: int | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(area [..., R+1], class_id [..., R+1]) from compact ids — MXU path.
 
     Drop-in for ops.regionprops.region_counts; accepts [H, W] or [B, H, W].
-    Empty rows hold class 0 (the scatter path's segment_max identity is
-    INT32_MIN there) — callers mask by area > 0.
+    Exact for class values in [-16384, 16383] (base-128 digit split);
+    ``val_bound`` ≤ 127 is a static caller promise that selects a narrower
+    matmul.  Empty rows hold class 0 (the scatter path's segment_max
+    identity is INT32_MIN there) — callers mask by area > 0.
     """
     batched = seg.ndim == 3
     seg3 = seg if batched else seg[None]
     img3 = img if batched else img[None]
     area, class_sum = _run_counts(
-        seg3, img3, max_regions + 1, rows_per_chunk, interpret
+        seg3, img3, max_regions + 1, rows_per_chunk, interpret,
+        val_bound=val_bound,
     )
     class_id = class_sum // jnp.maximum(area, 1)
     if not batched:
@@ -135,20 +166,27 @@ def region_counts_mxu(
     return area, class_id
 
 
-@partial(jax.jit, static_argnames=("max_regions", "rows_per_chunk", "interpret"))
+@partial(jax.jit, static_argnames=(
+    "max_regions", "rows_per_chunk", "interpret", "val_bound",
+))
 def region_sums_mxu(
     seg: jnp.ndarray,
     vals: jnp.ndarray,
     max_regions: int,
     rows_per_chunk: int = 32,
     interpret: bool = False,
+    val_bound: int | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """(area [..., R+1], Σvals [..., R+1]) per region — exact for small
-    non-negative int ``vals`` (≤ 127; int8 operand range)."""
+    """(area [..., R+1], Σvals [..., R+1]) per region — exact for int
+    ``vals`` in [-16384, 16383] (base-128 digit split; int8 operands).
+    ``val_bound`` ≤ 127 statically selects the narrower matmul."""
     batched = seg.ndim == 3
     seg3 = seg if batched else seg[None]
     val3 = vals if batched else vals[None]
-    area, vsum = _run_counts(seg3, val3, max_regions + 1, rows_per_chunk, interpret)
+    area, vsum = _run_counts(
+        seg3, val3, max_regions + 1, rows_per_chunk, interpret,
+        val_bound=val_bound,
+    )
     if not batched:
         area, vsum = area[0], vsum[0]
     return area, vsum
@@ -157,11 +195,18 @@ def region_sums_mxu(
 _BIG = jnp.iinfo(jnp.int32).max
 
 
-def _table_kernel(seg_ref, img_ref, out_ref, *, T: int, Qp: int, track_cols: bool):
+def _table_kernel(
+    seg_ref, img_ref, out_ref, *, T: int, Qp: int, track_cols: bool,
+    split_val: bool,
+):
     """One [T, W] chunk of the full-table pass.
 
-    Output columns (blocks of 128): area | class_sum | sc_hi | sc_lo |
-    sr_hi | sr_lo | -min_r | max_r.  Row sums ride the tiny [Qp, 128]
+    Output columns (blocks of 128): area | cls_hi | cls_lo | sc_hi | sc_lo |
+    sr_hi | sr_lo | -min_r | max_r.  The class/value channel rides as
+    base-128 (hi, lo) digits — int8-exact for values in [-16384, 16383],
+    same split as the column coordinates (``split_val=False``, chosen only
+    under a static ≤ 127 caller bound, keeps it as one channel: area |
+    class_sum | sc_hi | sc_lo | …).  Row sums ride the tiny [Qp, 128]
     count table (row index is constant within a row); column sums ride two
     extra one-hot channels in the matmul.  ``track_cols=False`` (the
     transposed bbox pass) keeps only area | -min_r | max_r.
@@ -175,7 +220,7 @@ def _table_kernel(seg_ref, img_ref, out_ref, *, T: int, Qp: int, track_cols: boo
         out_ref[0, :, n_sum:] = jnp.full((Qp, 2 * _M), -_BIG, jnp.int32)
 
     W = seg_ref.shape[-1]
-    nch = 4 if track_cols else 1
+    nch = (5 if split_val else 4) if track_cols else 1
     q_iota = jax.lax.broadcasted_iota(jnp.int32, (Qp, W), 0)
     c_iota = jax.lax.broadcasted_iota(jnp.int32, (nch * _M, W), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
@@ -193,12 +238,32 @@ def _table_kernel(seg_ref, img_ref, out_ref, *, T: int, Qp: int, track_cols: boo
         if track_cols:
             img = img_ref[0, r : r + 1, :].astype(jnp.int32)
             blk = c_iota // _M
-            # (hi, lo) column digits split at base 128 so both fit int8
-            scale = jnp.where(
-                blk == 0,
-                1,
-                jnp.where(blk == 1, img, jnp.where(blk == 2, col // _HL, col % _HL)),
-            )
+            # (hi, lo) digits split at base 128 so both fit int8 — for the
+            # class/value channel AND the column coordinates
+            if split_val:
+                scale = jnp.where(
+                    blk == 0,
+                    1,
+                    jnp.where(
+                        blk == 1,
+                        img // _HL,
+                        jnp.where(
+                            blk == 2,
+                            img % _HL,
+                            jnp.where(blk == 3, col // _HL, col % _HL),
+                        ),
+                    ),
+                )
+            else:
+                scale = jnp.where(
+                    blk == 0,
+                    1,
+                    jnp.where(
+                        blk == 1,
+                        img,
+                        jnp.where(blk == 2, col // _HL, col % _HL),
+                    ),
+                )
         else:
             scale = 1
         b = jnp.where(hit, scale, 0).astype(jnp.int8)
@@ -223,12 +288,15 @@ def _table_kernel(seg_ref, img_ref, out_ref, *, T: int, Qp: int, track_cols: boo
     out_ref[0, :, n_sum + _M :] = maxr
 
 
-def _run_table(seg3, img3, R, rows_per_chunk, interpret, track_cols):
+def _run_table(seg3, img3, R, rows_per_chunk, interpret, track_cols,
+               val_bound=None):
     B, H, W = seg3.shape
     T = rows_per_chunk
     assert H % T == 0, (H, T)
     Qp = _round_up(-(-R // _M), 16)
-    n_out = (6 if track_cols else 1) + 2  # sum channels + (-min, max)
+    split_val = val_bound is None or val_bound > 127
+    n_sum = ((7 if split_val else 6) if track_cols else 1)
+    n_out = n_sum + 2  # sum channels + (-min, max)
 
     operands = [seg3.astype(jnp.int32)]
     in_specs = [pl.BlockSpec((1, T, W), lambda b, c: (b, c, 0))]
@@ -239,7 +307,9 @@ def _run_table(seg3, img3, R, rows_per_chunk, interpret, track_cols):
         operands.append(seg3[:, :1, :1].astype(jnp.int32))  # unused stub
         in_specs.append(pl.BlockSpec((1, 1, 1), lambda b, c: (b, 0, 0)))
 
-    kernel = partial(_table_kernel, T=T, Qp=Qp, track_cols=track_cols)
+    kernel = partial(
+        _table_kernel, T=T, Qp=Qp, track_cols=track_cols, split_val=split_val
+    )
     out = pl.pallas_call(
         kernel,
         grid=(B, H // T),
@@ -255,21 +325,25 @@ def _run_table(seg3, img3, R, rows_per_chunk, interpret, track_cols):
     return [tab(k) for k in range(n_out)]
 
 
-@partial(jax.jit, static_argnames=("max_regions", "rows_per_chunk", "interpret"))
+@partial(jax.jit, static_argnames=(
+    "max_regions", "rows_per_chunk", "interpret", "val_bound",
+))
 def region_table_mxu(
     seg: jnp.ndarray,
     img: jnp.ndarray,
     max_regions: int,
     rows_per_chunk: int = 32,
     interpret: bool = False,
+    val_bound: int | None = None,
 ):
     """Full RegionTable via the MXU — drop-in for ops.regionprops.region_props.
 
     Two passes: the natural orientation accumulates area, class, exact
     (hi, lo) centroid sums, and row extremes; a pass over the transposed
-    plane reuses the same kernel for column extremes.  Identical tables to
-    region_props on valid rows (empty rows: zeros here vs scatter
-    identities there; ``valid`` masks both).
+    plane reuses the same kernel for column extremes.  Exact for class
+    values in [-16384, 16383]; a static ``val_bound`` ≤ 127 drops one
+    matmul channel.  Identical tables to region_props on valid rows (empty
+    rows: zeros here vs scatter identities there; ``valid`` masks both).
     """
     from particle_col_image_segmentation_tpu.ops.regionprops import RegionTable
 
@@ -278,9 +352,16 @@ def region_table_mxu(
     seg3 = seg if batched else seg[None]
     img3 = img if batched else img[None]
 
-    area, class_sum, sc_hi, sc_lo, sr_hi, sr_lo, neg_minr, maxr = _run_table(
-        seg3, img3, R, rows_per_chunk, interpret, track_cols=True
+    cols = _run_table(
+        seg3, img3, R, rows_per_chunk, interpret, track_cols=True,
+        val_bound=val_bound,
     )
+    if len(cols) == 9:  # value digit-split
+        (area, cls_hi, cls_lo, sc_hi, sc_lo, sr_hi, sr_lo, neg_minr,
+         maxr) = cols
+        class_sum = _HL * cls_hi + cls_lo
+    else:  # narrow path under a static ≤ 127 bound
+        area, class_sum, sc_hi, sc_lo, sr_hi, sr_lo, neg_minr, maxr = cols
     segT = jnp.swapaxes(seg3, -1, -2)
     _, neg_minc, maxc = _run_table(
         segT, img3, R, rows_per_chunk, interpret, track_cols=False
@@ -304,15 +385,20 @@ def region_table_mxu(
     return table
 
 
-def region_props_auto(seg: jnp.ndarray, img: jnp.ndarray, max_regions: int):
-    """Backend dispatch for the full table: MXU on TPU, scatters elsewhere."""
+def region_props_auto(seg: jnp.ndarray, img: jnp.ndarray, max_regions: int,
+                      val_bound: int | None = None):
+    """Backend dispatch for the full table: MXU on TPU, scatters elsewhere.
+
+    Both paths are exact for class values in [-16384, 16383]; a static
+    ``val_bound`` ≤ 127 lets the MXU path drop one matmul channel."""
     from particle_col_image_segmentation_tpu.ops.regionprops import region_props
 
     on_tpu = jax.default_backend() not in ("cpu", "gpu")
     H, W = seg.shape[-2:]
     if on_tpu and H % 8 == 0 and W % 8 == 0:
         rpc = 32 if (H % 32 == 0 and W % 32 == 0) else 8
-        return region_table_mxu(seg, img, max_regions, rows_per_chunk=rpc)
+        return region_table_mxu(seg, img, max_regions, rows_per_chunk=rpc,
+                                val_bound=val_bound)
     if seg.ndim == 3:
         return jax.vmap(lambda s, d: region_props(s, d, max_regions))(seg, img)
     return region_props(seg, img, max_regions)
@@ -343,10 +429,12 @@ def _lookup_kernel(seg_ref, tab_ref, out_ref, *, T: int, Qp: int):
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )  # [2*Qp, W]: hi digit in row q, lo digit in row Qp+q
-        # ids past capacity (q >= Qp) must read 0: without the q < Qp gate,
+        # ids outside capacity must read 0: without the q < Qp gate,
         # q_iota == q would match a LO-digit row (row q is the lo plane of
-        # q - Qp), returning 128·table[id - Qp·128] instead of 0
-        in_cap = q < Qp
+        # q - Qp), returning 128·table[id - Qp·128] instead of 0; without
+        # the q >= 0 gate, a negative id (raw CCL background = -1 gives
+        # q = -1) would match hit_lo at row Qp-1 — the last HI-digit row
+        in_cap = (q >= 0) & (q < Qp)
         hit_hi = (q_iota == q) & in_cap
         hit_lo = (q_iota == (q + Qp)) & in_cap
         picked = jnp.sum(
@@ -366,7 +454,7 @@ def table_lookup_mxu(
 ) -> jnp.ndarray:
     """Scatter/gather-free ``table[seg]`` broadcast of a per-region table
     back to pixels.  Exact for int table values in [0, 255] (two base-128
-    int8 digit planes); ids past the table length read 0.
+    int8 digit planes); ids outside [0, len(table)) read 0.
 
     ``seg``: [H, W] or [B, H, W] int ids; ``table``: [R] or [B, R] int.
     """
@@ -401,31 +489,39 @@ def table_lookup_mxu(
 def table_lookup_auto(seg: jnp.ndarray, table: jnp.ndarray) -> jnp.ndarray:
     """Backend dispatch for table[seg]: MXU broadcast on TPU, gather elsewhere.
 
-    Ids past the table length read 0 on both paths (XLA's gather would
-    CLAMP to the last row — masked here to match the MXU kernel)."""
+    Ids outside [0, len(table)) read 0 on both paths (a raw gather would
+    CLAMP past-capacity ids to the last row and WRAP negative ids — both
+    clipped + masked here to match the MXU kernel)."""
     on_tpu = jax.default_backend() not in ("cpu", "gpu")
     if on_tpu and seg.shape[-2] % 8 == 0:
         rpc = 32 if seg.shape[-2] % 32 == 0 else 8
         return table_lookup_mxu(seg, table, rows_per_chunk=rpc)
     R = table.shape[-1]
+    idx = jnp.clip(seg, 0, R - 1)
     if seg.ndim == 3 and table.ndim == 2:
-        out = jax.vmap(lambda s, t: t[s])(seg, table)
+        out = jax.vmap(lambda s, t: t[s])(idx, table.astype(jnp.int32))
     else:
-        out = table.astype(jnp.int32)[seg]
-    return jnp.where(seg < R, out, 0)
+        out = table.astype(jnp.int32)[idx]
+    return jnp.where((seg >= 0) & (seg < R), out, 0)
 
 
 def region_counts_auto(
-    seg: jnp.ndarray, img: jnp.ndarray, max_regions: int
+    seg: jnp.ndarray, img: jnp.ndarray, max_regions: int,
+    val_bound: int | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Backend dispatch: MXU histogram kernel on TPU, scatter path elsewhere."""
+    """Backend dispatch: MXU histogram kernel on TPU, scatter path elsewhere.
+
+    Both paths are exact for values in [-16384, 16383]; a static
+    ``val_bound`` ≤ 127 lets the MXU path drop one matmul channel."""
     from particle_col_image_segmentation_tpu.ops.regionprops import region_counts
 
     on_tpu = jax.default_backend() not in ("cpu", "gpu")
     H = seg.shape[-2]
     if on_tpu and H % 8 == 0:
         rpc = 32 if H % 32 == 0 else 8
-        return region_counts_mxu(seg, img, max_regions, rows_per_chunk=rpc)
+        return region_counts_mxu(
+            seg, img, max_regions, rows_per_chunk=rpc, val_bound=val_bound
+        )
     if seg.ndim == 3:
         return jax.vmap(lambda s, d: region_counts(s, d, max_regions))(seg, img)
     return region_counts(seg, img, max_regions)

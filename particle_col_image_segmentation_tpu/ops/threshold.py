@@ -121,7 +121,7 @@ def threshold_and_count_batch(
     seg, num_total, conv_cmp = compact_labels_auto(
         raw, max_regions, val=m8, with_flag=True
     )
-    areas, classes = region_counts_auto(seg, m8, max_regions)
+    areas, classes = region_counts_auto(seg, m8, max_regions, val_bound=1)
     fg = (classes == 1) & (areas > 0)
     count = jnp.sum((fg & (areas >= min_area)).astype(jnp.int32), axis=-1)
     num_fg = jnp.sum(fg.astype(jnp.int32), axis=-1)

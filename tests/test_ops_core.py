@@ -147,6 +147,39 @@ class TestPallasBandCCL:
         )
         np.testing.assert_array_equal(got, ref)
 
+    def test_u8_value_255_not_background(self):
+        """Regression: in-plane uint8 value 255 collided with the halo pad
+        fill and was remapped to the background sentinel in VMEM — a plain
+        0/255 thresholded mask got garbage labels (incl. cross-plane
+        leakage through the batch halo).  255 must label like any value."""
+        from particle_col_image_segmentation_tpu.ops.ccl_tiles import ccl_sweeps
+
+        rng = np.random.default_rng(7)
+        batch = (rng.random((3, 64, 64)) < 0.4).astype(np.uint8) * 255
+        batch[0, 0, :] = 255  # 255-component touching the global top pad
+        batch[-1, -1, :] = 255  # ...and the global bottom pad
+        ref = np.stack([
+            np.asarray(connected_components(jnp.asarray(p), background=None,
+                                            num_classes=256))
+            for p in batch
+        ])
+        got = np.asarray(
+            ccl_sweeps(jnp.asarray(batch), background=None, tile=32,
+                       interpret=True)
+        )
+        np.testing.assert_array_equal(got, ref)
+        # background=0 route: int32 internally, 255 foreground
+        ref0 = np.stack([
+            np.asarray(connected_components(jnp.asarray(p), background=0,
+                                            num_classes=256))
+            for p in batch
+        ])
+        got0 = np.asarray(
+            ccl_sweeps(jnp.asarray(batch), background=0, tile=32,
+                       interpret=True)
+        )
+        np.testing.assert_array_equal(got0, ref0)
+
 
 class TestRegionProps:
     def test_matches_oracle(self):
@@ -248,14 +281,17 @@ class TestScatterFreeTables:
         cls_of = rng.integers(0, 8, R + 16).astype(np.int32)
         img = cls_of[seg]  # component-homogeneous classes
         a0, c0 = region_counts(jnp.asarray(seg), jnp.asarray(img), R - 1)
-        a1, c1 = region_counts_mxu(
-            jnp.asarray(seg), jnp.asarray(img), R - 1,
-            rows_per_chunk=8, interpret=True,
-        )
-        np.testing.assert_array_equal(np.asarray(a0), np.asarray(a1))
-        # empty rows differ by design (scatter-max identity vs 0); compare valid
-        valid = np.asarray(a0) > 0
-        np.testing.assert_array_equal(np.asarray(c0)[valid], np.asarray(c1)[valid])
+        for vb in (None, 7):  # general digit-split AND the narrow fast path
+            a1, c1 = region_counts_mxu(
+                jnp.asarray(seg), jnp.asarray(img), R - 1,
+                rows_per_chunk=8, interpret=True, val_bound=vb,
+            )
+            np.testing.assert_array_equal(np.asarray(a0), np.asarray(a1))
+            # empty rows differ by design (scatter-max identity vs 0)
+            valid = np.asarray(a0) > 0
+            np.testing.assert_array_equal(
+                np.asarray(c0)[valid], np.asarray(c1)[valid]
+            )
 
     def test_lookup_over_capacity_reads_zero(self):
         """Regression: ids with q >= Qp once matched a LO-digit table row in
@@ -280,6 +316,71 @@ class TestScatterFreeTables:
         # XLA fallback path (CPU backend in this suite)
         got_auto = np.asarray(table_lookup_auto(jnp.asarray(seg), jnp.asarray(tab)))
         np.testing.assert_array_equal(got_auto, expect)
+
+    def test_lookup_negative_ids_read_zero(self):
+        """Regression: a negative id (raw CCL background = -1) matched the
+        last HI-digit row in the MXU lookup (q = -1 hit hit_lo at Qp-1),
+        and the eager fallback WRAPPED it numpy-style to table[-1].  Both
+        paths must read 0 for any id outside [0, len(table))."""
+        from particle_col_image_segmentation_tpu.ops.regionprops_tiles import (
+            table_lookup_auto,
+            table_lookup_mxu,
+        )
+
+        tab = np.arange(1, 2049, dtype=np.int32) % 200  # full padded capacity
+        seg = np.array([[-1, -5, -2048, 0, 1, 2047, 2048]] * 8, np.int32)
+        expect = np.where(
+            (seg >= 0) & (seg < tab.size), tab[np.clip(seg, 0, tab.size - 1)], 0
+        )
+        got = np.asarray(
+            table_lookup_mxu(jnp.asarray(seg), jnp.asarray(tab),
+                             rows_per_chunk=8, interpret=True)
+        )
+        np.testing.assert_array_equal(got, expect)
+        got_auto = np.asarray(
+            table_lookup_auto(jnp.asarray(seg), jnp.asarray(tab))
+        )
+        np.testing.assert_array_equal(got_auto, expect)
+
+    def test_region_counts_mxu_wide_values(self):
+        """Regression: the MXU histogram cast values straight to int8, so an
+        8-bit class plane (e.g. value 200) wrapped to -56 while the scatter
+        path returned 200.  The digit split must be exact on the documented
+        [-16384, 16383] operand range."""
+        from particle_col_image_segmentation_tpu.ops.regionprops import (
+            region_counts,
+        )
+        from particle_col_image_segmentation_tpu.ops.regionprops_tiles import (
+            region_counts_mxu,
+            region_sums_mxu,
+        )
+
+        rng = np.random.default_rng(11)
+        R = 300
+        seg = rng.integers(0, R, (32, 128)).astype(np.int32)
+        cls_of = rng.integers(0, 16384, R).astype(np.int32)
+        cls_of[:4] = (200, 255, 1000, 16383)  # pin the wrap-prone cases
+        img = cls_of[seg]
+        a0, c0 = region_counts(jnp.asarray(seg), jnp.asarray(img), R - 1)
+        a1, c1 = region_counts_mxu(
+            jnp.asarray(seg), jnp.asarray(img), R - 1,
+            rows_per_chunk=8, interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(a0), np.asarray(a1))
+        valid = np.asarray(a0) > 0
+        np.testing.assert_array_equal(np.asarray(c0)[valid], np.asarray(c1)[valid])
+        # signed sums: region_sums_mxu on values spanning the full range
+        vals = rng.integers(-16384, 16384, (32, 128)).astype(np.int32)
+        area, vsum = region_sums_mxu(
+            jnp.asarray(seg), jnp.asarray(vals), R - 1, rows_per_chunk=8,
+            interpret=True,
+        )
+        import jax as _jax
+
+        ref = _jax.ops.segment_sum(
+            jnp.asarray(vals.ravel()), jnp.asarray(seg.ravel()), num_segments=R
+        )
+        np.testing.assert_array_equal(np.asarray(vsum), np.asarray(ref))
 
     def test_fused_batch_auto_paths(self):
         """fused_segment_batch on CPU exercises the fallback dispatch."""
@@ -311,16 +412,19 @@ class TestScatterFreeTables:
         img = synthetic_label_plane(seed=19, shape=(64, 128))
         seg, _ = label_image(jnp.asarray(img), background=-1, max_regions=2048)
         t0 = region_props(seg, jnp.asarray(img), max_regions=2048)
-        t1 = region_table_mxu(
-            seg, jnp.asarray(img), max_regions=2048, rows_per_chunk=8,
-            interpret=True,
-        )
-        v = np.asarray(t0.valid)
-        assert np.array_equal(np.asarray(t1.valid), v)
-        for f in ("area", "sr_hi", "sr_lo", "sc_hi", "sc_lo", "class_id", "bbox"):
-            np.testing.assert_array_equal(
-                np.asarray(getattr(t0, f))[v], np.asarray(getattr(t1, f))[v], err_msg=f
+        for vb in (None, 7):  # general digit-split AND the narrow fast path
+            t1 = region_table_mxu(
+                seg, jnp.asarray(img), max_regions=2048, rows_per_chunk=8,
+                interpret=True, val_bound=vb,
             )
+            v = np.asarray(t0.valid)
+            assert np.array_equal(np.asarray(t1.valid), v)
+            for f in ("area", "sr_hi", "sr_lo", "sc_hi", "sc_lo", "class_id",
+                      "bbox"):
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(t0, f))[v],
+                    np.asarray(getattr(t1, f))[v], err_msg=f,
+                )
 
     def test_region_sums_mxu(self):
         from particle_col_image_segmentation_tpu.ops.regionprops_tiles import (

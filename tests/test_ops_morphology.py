@@ -458,9 +458,36 @@ class TestPairwise:
                             block=64)
         )
         want = cdist(a, b[valid]).min(axis=1)
-        # the matmul form cancels ~|coord|² magnitudes in f32: expect
-        # ~eps·‖a‖² ≈ 0.03 absolute on d², i.e. ~1e-3 on d at these scales
-        np.testing.assert_allclose(got, want, rtol=1e-3, atol=5e-3)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+    def test_large_coordinates_stay_exact(self):
+        """Regression: the ‖a‖²+‖b‖²−2abᵀ matmul form truncated operands to
+        bf16 on TPU AND cancelled catastrophically in f32 for large-plane
+        centroids (terms ~|a||b| > 2²⁴ round at ≥ 1 px²) — a 1 px NN
+        distance at coordinate ~3000 came back off by whole pixels.  The
+        difference form must be exact at every coordinate magnitude."""
+        import jax.numpy as jnp
+
+        from particle_col_image_segmentation_tpu.ops.pairwise import (
+            min_dist_to_set,
+            nearest_neighbor_dists,
+        )
+
+        # clustered pairs 1 px apart at large offsets (2048² plane corners)
+        base = np.array(
+            [[2001.0, 1500.0], [3000.0, 2999.0], [4095.0, 4095.0]]
+        )
+        pts = np.concatenate([base, base + [1.0, 0.0]])  # NN dist exactly 1
+        got = np.asarray(
+            nearest_neighbor_dists(jnp.asarray(pts), jnp.ones(6, bool),
+                                   block=8)
+        )
+        np.testing.assert_array_equal(got, np.ones(6))
+        got2 = np.asarray(
+            min_dist_to_set(jnp.asarray(base), jnp.asarray(base + [1.0, 0.0]),
+                            jnp.ones(3, bool), block=8)
+        )
+        np.testing.assert_array_equal(got2, np.ones(3))
 
     def test_min_dist_all_invalid_is_inf(self):
         import jax.numpy as jnp

@@ -138,6 +138,74 @@ class TestBatchPipeline:
         assert stats.num_regions > 8
         assert stats.overflow
 
+    def test_overflow_not_marked_done(self, tmp_path):
+        """Regression: overflowed planes were marked done, so the documented
+        remedy — resume with a larger max_regions — silently skipped exactly
+        those planes.  They must stay un-done and be retried."""
+        from particle_col_image_segmentation_tpu.config import AnalysisConfig
+
+        rng = np.random.default_rng(0)
+        plane = rng.integers(1, 4, (64, 64)).astype(np.uint8)
+        manifest = RunManifest(str(tmp_path / "m.jsonl"))
+        tiny = AnalysisConfig(max_regions=8)
+        (_, s1), = run_batch(["p"], lambda k: plane, tiny, batch_size=1,
+                             manifest=manifest)
+        assert s1.overflow and not manifest.is_done("p")
+        # resume with enough capacity: the plane is retried and completes
+        (_, s2), = run_batch(["p"], lambda k: plane, CFG, batch_size=1,
+                             manifest=manifest)
+        assert not s2.overflow and manifest.is_done("p")
+
+    def test_corrupt_file_skipped_not_fatal(self, tmp_path, caplog):
+        """One failing decode must not kill the stream: the bad plane is
+        logged + skipped (and never marked done), every other plane's stats
+        stay path-aligned, and a later resume retries only the bad one."""
+        planes = {
+            f"plane{i}": synthetic_label_plane(seed=i, shape=(96, 96))
+            for i in range(3)
+        }
+
+        def load(key):
+            if key == "plane1":
+                raise OSError("truncated file")
+            return planes[key]
+
+        manifest = RunManifest(str(tmp_path / "m.jsonl"))
+        got = dict(run_batch(list(planes), load, CFG, batch_size=2,
+                             manifest=manifest))
+        assert set(got) == {"plane0", "plane2"}
+        from scipy import ndimage as ndi
+
+        for key, s in got.items():  # alignment: stats match THEIR plane
+            den = ndi.median_filter(planes[key], size=5)
+            assert s.particle_px == int(np.sum(den == 2)), key
+        assert manifest.is_done("plane0") and not manifest.is_done("plane1")
+        # resume after the file is fixed: only plane1 is retried
+        again = dict(run_batch(list(planes), lambda k: planes[k], CFG,
+                               batch_size=2, manifest=manifest))
+        assert set(again) == {"plane1"}
+
+    def test_prefetch_map_raises_by_default(self):
+        with pytest.raises(OSError):
+            list(prefetch_map(
+                lambda s: (_ for _ in ()).throw(OSError(s)), ["x"]
+            ))
+
+    def test_pack_nibbles_rejects_wide_values(self):
+        """Regression: a stray 0/255 mask silently corrupted BOTH pixels of
+        each packed pair; out-of-range values must fail loudly."""
+        from particle_col_image_segmentation_tpu.io.loader import (
+            pack_nibbles, unpack_nibbles,
+        )
+
+        ok = np.arange(16, dtype=np.uint8).reshape(2, 8)
+        rt = np.asarray(unpack_nibbles(jax.numpy.asarray(pack_nibbles(ok))))
+        np.testing.assert_array_equal(rt, ok)
+        with pytest.raises(ValueError, match="outside"):
+            pack_nibbles(np.full((2, 8), 255, np.uint8))
+        with pytest.raises(ValueError, match="even width"):
+            pack_nibbles(np.zeros((2, 7), np.uint8))
+
     def test_derive_class_values(self):
         from particle_col_image_segmentation_tpu.models.batch import (
             derive_class_values,
