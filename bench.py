@@ -203,6 +203,15 @@ def bench_config1():
     from particle_col_image_segmentation_tpu.oracle import ndimage as ond
 
     t0 = time.perf_counter()
+    lab = ond.label((img > _cpu_otsu(img)).astype(np.uint8), background=0)
+    _ = lab.max()
+    cpu_mps = (n * n / 1e6) / (time.perf_counter() - t0)
+    return dev_mps, dev_mps / cpu_mps
+
+
+def _cpu_otsu(img: "np.ndarray") -> float:
+    """numpy Otsu threshold (shared by the config #1/#2 CPU baselines so
+    their binning semantics cannot silently diverge)."""
     counts, edges = np.histogram(img, bins=256)
     centers = (edges[:-1] + edges[1:]) / 2
     w0 = np.cumsum(counts)
@@ -211,11 +220,7 @@ def bench_config1():
     mu0 = m / np.maximum(w0, 1e-12)
     mu1 = (m[-1] - m) / np.maximum(w1, 1e-12)
     var_b = np.where((w0 > 0) & (w1 > 0), w0 * w1 * (mu0 - mu1) ** 2, -1)
-    thr = centers[np.argmax(var_b)]
-    lab = ond.label((img > thr).astype(np.uint8), background=0)
-    _ = lab.max()
-    cpu_mps = (n * n / 1e6) / (time.perf_counter() - t0)
-    return dev_mps, dev_mps / cpu_mps
+    return float(centers[np.argmax(var_b)])
 
 
 def bench_config2(tmpdir: str):
@@ -276,28 +281,23 @@ def bench_config2(tmpdir: str):
     assert native.available()
     dev_mps = (npx / 1e6) / dt
 
-    # CPU comparison: the same per-plane pipeline (gaussian -> otsu -> CCL
-    # stats) via scipy + the oracle on ONE plane, extrapolated linearly —
-    # the reference loop is embarrassingly per-plane, so one plane's time
-    # is representative and keeps the bench bounded.
+    # CPU comparison: the same per-stack pipeline (TIFF decode -> gaussian
+    # -> otsu -> CCL stats) via scipy + the oracle on ONE whole stack,
+    # extrapolated linearly — the reference loop is embarrassingly
+    # per-plane, so one stack's time is representative and keeps the bench
+    # bounded.  The decode is INSIDE the timer (the device numerator pays
+    # decode + transfer too; excluding it here would overstate cpu_mps).
     from scipy import ndimage as sndi
 
     from particle_col_image_segmentation_tpu.oracle import ndimage as ond
 
-    plane = np.asarray(read_tiff_stack(paths[0])[0])
     t0 = time.perf_counter()
-    den = sndi.gaussian_filter(plane.astype(np.float32), sigma=1.0)
-    counts, edges = np.histogram(den, bins=256)
-    centers = (edges[:-1] + edges[1:]) / 2
-    w0 = np.cumsum(counts)
-    w1 = w0[-1] - w0
-    m = np.cumsum(counts * centers)
-    mu0 = m / np.maximum(w0, 1e-12)
-    mu1 = (m[-1] - m) / np.maximum(w1, 1e-12)
-    var_b = np.where((w0 > 0) & (w1 > 0), w0 * w1 * (mu0 - mu1) ** 2, -1)
-    lab = ond.label((den > centers[np.argmax(var_b)]).astype(np.uint8), background=0)
-    _ = np.bincount(lab.ravel())
-    cpu_mps = (plane.size / 1e6) / (time.perf_counter() - t0)
+    stack_np = np.asarray(read_tiff_stack(paths[0]))
+    for plane in stack_np:
+        den = sndi.gaussian_filter(plane.astype(np.float32), sigma=1.0)
+        lab = ond.label((den > _cpu_otsu(den)).astype(np.uint8), background=0)
+        _ = np.bincount(lab.ravel())
+    cpu_mps = (stack_np.size / 1e6) / (time.perf_counter() - t0)
     return dev_mps, dev_mps / cpu_mps
 
 

@@ -205,6 +205,7 @@ def run_batch(
     sharding=None,
     mesh=None,
     pack_transfer: bool = False,
+    on_error: str = "skip",
 ) -> Iterator[Tuple[str, PlaneStats]]:
     """Stream per-plane stats for every path; skips manifest-completed units.
 
@@ -217,9 +218,11 @@ def run_batch(
     useful when the interconnect, not the host, is the bottleneck (the
     numpy packing itself costs ~100 ms per 64 MB batch).
 
-    A plane whose decode raises is logged and skipped — one corrupt file
-    must not kill a 100k-plane run.  Skipped planes are never marked done,
-    so a resume (after fixing the file) retries exactly those.
+    By default a plane whose decode raises is logged and skipped — one
+    corrupt file must not kill a 100k-plane run.  Skipped planes are never
+    marked done, so a resume (after fixing the file) retries exactly
+    those; callers without a manifest should diff the yielded paths
+    against their input (or pass ``on_error="raise"`` to fail fast).
     """
     assert not pack_transfer or cfg.num_classes <= 16
     todo = [p for p in paths if manifest is None or not manifest.is_done(p)]
@@ -239,7 +242,7 @@ def run_batch(
         sharding = NamedSharding(mesh, P(DATA_AXIS))
     it = batched_device_iterator(
         load_fn, todo, batch_size=batch_size, sharding=sharding,
-        pack=pack_transfer, on_error="skip", with_paths=True,
+        pack=pack_transfer, on_error=on_error, with_paths=True,
     )
     px_per_row = 2 if pack_transfer else 1  # packed batches are W/2 wide
     for dev_batch, count, batch_paths in it:

@@ -16,8 +16,12 @@ traffic is reading ``seg``/``img`` once.  Operands ride the MXU's native
 end-to-end for these kernels once the f32→int32 conversion traffic goes
 away): every operand is 0/1 or a base-128 (hi, lo) digit — the class/value
 channel and the coordinates are both digit-split, so any value in
-[-16384, 16383] is int8-exact and the int32 accumulator is exact for any
-plane size — no float rounding argument needed at all.
+[-16384, 16383] is int8-exact and each digit's int32 accumulator is exact
+for any plane size — no float rounding argument needed at all.  The final
+``128·Σhi + Σlo`` recombination is int32 too: a region whose value-sum
+exceeds int32 (|Σvals| ≥ 2³¹ — needs large values over multi-megapixel
+regions) **saturates to ±INT32_MAX detectably** instead of wrapping
+(`_recombine_saturating`).
 
 Because every component is value-homogeneous (CCL labels within equal
 classes, SURVEY.md §2.6), ``class_id = class_sum / area`` exactly —
@@ -47,6 +51,25 @@ _M = 128  # lane width of the m = id % 128 axis
 
 def _round_up(x: int, to: int) -> int:
     return (x + to - 1) // to * to
+
+
+def _recombine_saturating(hi: jnp.ndarray, lo: jnp.ndarray) -> jnp.ndarray:
+    """``128·hi + lo`` with detectable int32 saturation.
+
+    The per-digit sums are int32-exact, but the recombined value-sum can
+    exceed int32 for huge regions × large values; wrapping would be a
+    silently-wrong table entry.  Fold ``lo``'s carry into ``hi`` (both
+    |·| ≤ 128·plane_px, no overflow) so the residual digit is < 128, then
+    the exact overflow test is a pure hi-digit bound.  ``lo ≥ 0`` by
+    construction (it accumulates ``img % 128``).
+    """
+    h2 = hi + lo // _HL  # carry-folded hi digit
+    ll = lo % _HL
+    imax = jnp.int32(2**31 - 1)
+    imin = jnp.int32(-(2**31))
+    s = _HL * h2 + ll  # wraps on the lanes the wheres replace
+    s = jnp.where(h2 > (2**31 - 1) // _HL, imax, s)
+    return jnp.where(h2 < -(2**31) // _HL, imin, s)
 
 
 def _counts_kernel(seg_ref, img_ref, out_ref, *, T: int, Qp: int, split: bool):
@@ -131,7 +154,7 @@ def _run_counts(seg3, img3, R, rows_per_chunk, interpret, val_bound=None):
         return area, out[:, :, _M:].reshape(B, Qp * _M)[:, :R]
     hi = out[:, :, _M : 2 * _M].reshape(B, Qp * _M)[:, :R]
     lo = out[:, :, 2 * _M :].reshape(B, Qp * _M)[:, :R]
-    return area, _HL * hi + lo
+    return area, _recombine_saturating(hi, lo)
 
 
 @partial(jax.jit, static_argnames=(
@@ -359,7 +382,7 @@ def region_table_mxu(
     if len(cols) == 9:  # value digit-split
         (area, cls_hi, cls_lo, sc_hi, sc_lo, sr_hi, sr_lo, neg_minr,
          maxr) = cols
-        class_sum = _HL * cls_hi + cls_lo
+        class_sum = _recombine_saturating(cls_hi, cls_lo)
     else:  # narrow path under a static ≤ 127 bound
         area, class_sum, sc_hi, sc_lo, sr_hi, sr_lo, neg_minr, maxr = cols
     segT = jnp.swapaxes(seg3, -1, -2)

@@ -382,6 +382,58 @@ class TestScatterFreeTables:
         )
         np.testing.assert_array_equal(np.asarray(vsum), np.asarray(ref))
 
+    def test_digit_recombination_saturates_not_wraps(self):
+        """Regression: the base-128 (hi, lo) digits are int32-exact per
+        digit, but 128·Σhi + Σlo can exceed int32 for huge regions × large
+        values — the recombination must saturate to ±INT32_MAX detectably,
+        never wrap to an arbitrary small number."""
+        from particle_col_image_segmentation_tpu.ops.regionprops import (
+            HILO_BASE,
+        )
+        from particle_col_image_segmentation_tpu.ops.regionprops_tiles import (
+            _recombine_saturating,
+            region_sums_mxu,
+        )
+
+        imax, imin = 2**31 - 1, -(2**31)
+        # (true_sum, expect) pairs spanning exact, boundary, and overflow
+        cases = [
+            (0, 0), (12345, 12345), (-99999, -99999),
+            (imax, imax), (imin, imin),            # exact boundary values
+            (imax + 1, imax), (imin - 1, imin),    # 1 past → saturate
+            (7 * 10**9, imax), (-7 * 10**9, imin),  # far past → saturate
+        ]
+        # decompose each true sum as plausible digit sums (lo ≥ 0, as the
+        # kernel produces: lo accumulates img % 128)
+        hi = np.array([s // HILO_BASE for s, _ in cases], np.int64)
+        lo = np.array([s % HILO_BASE for s, _ in cases], np.int64)
+        assert (lo >= 0).all() and (np.abs(hi) < 2**31).all()
+        got = np.asarray(_recombine_saturating(
+            jnp.asarray(hi, jnp.int32), jnp.asarray(lo, jnp.int32)
+        ))
+        np.testing.assert_array_equal(got, [e for _, e in cases])
+        # and some lo with large carries (lo up to 127·area, not < 128)
+        rng = np.random.default_rng(3)
+        # |hi| stays within the kernel's digit domain (≤ 128·plane_px)
+        true = rng.integers(-(2**36), 2**36, 64)
+        true[:2] = (imax, imin)
+        lo2 = rng.integers(0, 5 * 10**8, 64)
+        hi2, lo2 = (true - lo2) // HILO_BASE, lo2 + (true - lo2) % HILO_BASE
+        assert (128 * hi2 + lo2 == true).all() and (np.abs(hi2) < 2**31).all()
+        got2 = np.asarray(_recombine_saturating(
+            jnp.asarray(hi2, jnp.int32), jnp.asarray(lo2, jnp.int32)
+        ))
+        np.testing.assert_array_equal(got2, np.clip(true, imin, imax))
+        # end-to-end: one 320×512 region of value 16383 sums to 5.24e9
+        seg = np.zeros((320, 512), np.int32)
+        vals = np.full((320, 512), 16383, np.int32)
+        area, vsum = region_sums_mxu(
+            jnp.asarray(seg), jnp.asarray(vals), 4, rows_per_chunk=64,
+            interpret=True,
+        )
+        assert int(area[0]) == 320 * 512
+        assert int(vsum[0]) == imax  # saturated, not wrapped
+
     def test_fused_batch_auto_paths(self):
         """fused_segment_batch on CPU exercises the fallback dispatch."""
         from particle_col_image_segmentation_tpu.config import AnalysisConfig

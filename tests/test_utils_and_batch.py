@@ -185,6 +185,24 @@ class TestBatchPipeline:
                                batch_size=2, manifest=manifest))
         assert set(again) == {"plane1"}
 
+    def test_run_batch_on_error_raise_fails_fast(self):
+        """Manifest-less callers can opt out of skip-and-continue: with
+        on_error="raise" a decode failure propagates instead of silently
+        thinning the output stream."""
+        planes = {
+            f"plane{i}": synthetic_label_plane(seed=i, shape=(96, 96))
+            for i in range(3)
+        }
+
+        def load(key):
+            if key == "plane1":
+                raise OSError("truncated file")
+            return planes[key]
+
+        with pytest.raises(OSError, match="truncated"):
+            dict(run_batch(list(planes), load, CFG, batch_size=2,
+                           on_error="raise"))
+
     def test_prefetch_map_raises_by_default(self):
         with pytest.raises(OSError):
             list(prefetch_map(
