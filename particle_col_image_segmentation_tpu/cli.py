@@ -89,6 +89,12 @@ def main(argv=None) -> int:
     p.add_argument("--threshold", type=float, default=RefineConfig().boundary_threshold)
     p.add_argument("--out", default=None, help="write refined labels to this .h5")
     p.add_argument("--csv", default=None, help="write per-cell stats to this CSV")
+    p.add_argument(
+        "--stack", action="store_true",
+        help="treat the export as a z-stack ([Z,H,W] / [Z,C,H,W] / "
+        "[Z,H,W,C]) and refine all planes in one device graph "
+        "(4-D inputs take this path automatically)",
+    )
 
     p = sub.add_parser("nanosims", help="NanoSIMS 5-isotope ROI analysis")
     p.add_argument("mat_folder")
@@ -128,6 +134,12 @@ def main(argv=None) -> int:
         help="ship planes 4-bit packed (half the host->device bytes)",
     )
     p.add_argument("--csv", default=None, help="write per-plane stats CSV here")
+    p.add_argument(
+        "--fail-fast", action="store_true",
+        help="abort on the first decode failure instead of logging and "
+        "skipping the plane (skipped planes are never marked done, so a "
+        "manifest resume retries them)",
+    )
 
     sub.add_parser("bench", help="run the throughput benchmark")
 
@@ -160,21 +172,38 @@ def main(argv=None) -> int:
         )
         from particle_col_image_segmentation_tpu.models.refine import (
             refine_boundaries,
+            refine_boundaries_stack,
             write_refine_csv,
+            write_refine_stack_csv,
         )
 
         cfg = RefineConfig(
             boundary_threshold=args.threshold, boundary_channel=args.channel
         )
         probs = load_h5_plane(args.h5_file, key="exported_data")
-        result = refine_boundaries(probs, cfg)
-        print(f"cells: {result.num_cells}")
-        if args.out:
-            save_h5_plane(args.out, result.labels)
-            print("labels written to", args.out)
-        if args.csv:
-            write_refine_csv(result, args.csv)
-            print("cell stats written to", args.csv)
+        if args.stack or probs.ndim == 4:
+            import numpy as np
+
+            results = refine_boundaries_stack(probs, cfg)
+            print(f"planes: {len(results)}, cells: "
+                  f"{sum(r.num_cells for r in results)}")
+            if args.out:
+                save_h5_plane(
+                    args.out, np.stack([r.labels for r in results])
+                )
+                print("labels written to", args.out)
+            if args.csv:
+                write_refine_stack_csv(results, args.csv)
+                print("cell stats written to", args.csv)
+        else:
+            result = refine_boundaries(probs, cfg)
+            print(f"cells: {result.num_cells}")
+            if args.out:
+                save_h5_plane(args.out, result.labels)
+                print("labels written to", args.out)
+            if args.csv:
+                write_refine_csv(result, args.csv)
+                print("cell stats written to", args.csv)
     elif args.command == "nanosims":
         from particle_col_image_segmentation_tpu.config import NanoSIMSConfig
         from particle_col_image_segmentation_tpu.models.nanosims import run_nanosims
@@ -265,6 +294,7 @@ def main(argv=None) -> int:
                     particle_val=particle_val, cell_vals=cell_vals,
                     mesh=mesh, manifest=manifest,
                     pack_transfer=args.pack_transfer,
+                    on_error="raise" if args.fail_fast else "skip",
                 ):
                     flag = " OVERFLOW(raise --max-regions)" if stats.overflow else ""
                     if not stats.converged:

@@ -62,16 +62,18 @@ def _offsets(connectivity: int):
 
 
 def _shifted(x, dy, dx, fill):
-    H, W = x.shape
+    H, W = x.shape[-2:]
     sl_src = (
+        Ellipsis,
         slice(max(0, -dy), H - max(0, dy)),
         slice(max(0, -dx), W - max(0, dx)),
     )
     sl_dst = (
+        Ellipsis,
         slice(max(0, dy), H - max(0, -dy)),
         slice(max(0, dx), W - max(0, -dx)),
     )
-    return jnp.full((H, W), fill, x.dtype).at[sl_dst].set(x[sl_src])
+    return jnp.full(x.shape, fill, x.dtype).at[sl_dst].set(x[sl_src])
 
 
 def claim_candidates(cost, img, lab, dist, eimg, dy, dx, shifted):
@@ -132,20 +134,23 @@ def watershed(
     """Flood ``markers`` over the relief ``image`` within ``mask``.
 
     Args:
-      image: [H, W] relief (e.g. boundary probability).
-      markers: [H, W] int marker labels (>0 seeds, 0 elsewhere).
-      mask: optional [H, W] bool; pixels outside stay 0.
+      image: [..., H, W] relief (e.g. boundary probability); a leading
+        batch axis floods every plane in one fixpoint loop (extra Jacobi
+        steps after a plane converges are no-ops, so each plane's labels
+        are bit-identical to its single-plane run).
+      markers: [..., H, W] int marker labels (>0 seeds, 0 elsewhere).
+      mask: optional [..., H, W] bool; pixels outside stay 0.
       connectivity: 1 (4-neighbors, skimage default) or 2 (8).
-      with_flag: also return a bool ``converged`` — False means a phase hit
-        ``max_iters`` with work left (huge/winding basins); unreached in-mask
-        pixels would then silently read 0, so callers must surface it.
+      with_flag: also return a bool ``converged`` (scalar — all planes) —
+        False means a phase hit ``max_iters`` with work left (huge/winding
+        basins); unreached in-mask pixels would then silently read 0, so
+        callers must surface it.
 
-    Returns [H, W] int32 labels.
+    Returns [..., H, W] int32 labels.
     """
-    H, W = image.shape
     img = image.astype(jnp.float32)
     lab0 = markers.astype(jnp.int32)
-    m = jnp.ones((H, W), bool) if mask is None else mask.astype(bool)
+    m = jnp.ones(image.shape, bool) if mask is None else mask.astype(bool)
     seeded = (lab0 > 0) & m
     cost0 = jnp.where(seeded, img, jnp.float32(_INF))
     offsets = _offsets(connectivity)
@@ -177,10 +182,10 @@ def watershed(
     def lab_body(state):
         lab, dist, eimg, _, i = state
         best = (
-            jnp.full((H, W), _BIG_LAB, jnp.int32),
-            jnp.full((H, W), _INF, jnp.float32),
-            jnp.full((H, W), _INF, jnp.float32),
-            jnp.full((H, W), _BIG_LAB, jnp.int32),
+            jnp.full(image.shape, _BIG_LAB, jnp.int32),
+            jnp.full(image.shape, _INF, jnp.float32),
+            jnp.full(image.shape, _INF, jnp.float32),
+            jnp.full(image.shape, _BIG_LAB, jnp.int32),
         )
         for dy, dx in offsets:
             best = fold_claim(
@@ -219,15 +224,19 @@ def watershed_auto(
     with_flag: bool = False,
 ) -> jnp.ndarray:
     """watershed with automatic kernel selection: the Pallas band sweeps on
-    TPU backends (band-divisible heights), the XLA fixpoint elsewhere.
-    Both produce identical labels (two-phase confluence).  ``with_flag=True``
-    appends a bool ``converged``."""
+    TPU backends (band-divisible heights) for single planes, the XLA
+    fixpoint elsewhere.  Batched [B, H, W] inputs always take the XLA
+    fixpoint — one batched Jacobi loop beats B sequential Pallas launches
+    (measured 8.25 vs 0.75 MP/s at [8, 512²] on v5e) and every schedule is
+    bit-identical (two-phase confluence).  ``with_flag=True`` appends a
+    bool ``converged``."""
     backend = jax.default_backend()
     H, W = image.shape[-2:]
     tile = next((t for t in (64, 32, 16, 8) if H % t == 0), None)
     # band DMAs need lane-aligned widths (Mosaic memref slicing), same
     # gating as connected_components_auto
-    if tile is None or W % 128 != 0 or backend in ("cpu", "gpu"):
+    if (image.ndim != 2 or tile is None or W % 128 != 0
+            or backend in ("cpu", "gpu")):
         return watershed(
             image, markers, mask, connectivity=connectivity, with_flag=with_flag
         )

@@ -49,6 +49,47 @@ class TestRefine:
         res = refine_boundaries(stack, RefineConfig(boundary_channel=3))
         assert res.num_cells == 2
 
+    def test_stack_matches_per_plane(self, tmp_path):
+        """refine_boundaries_stack: one device graph over [Z,H,W], per-plane
+        results bit-identical to refine_boundaries on each plane; channel
+        layouts [Z,C,H,W] and [Z,H,W,C] both accepted; stack CSV carries a
+        plane column."""
+        from particle_col_image_segmentation_tpu.models.refine import (
+            refine_boundaries_stack,
+            write_refine_stack_csv,
+        )
+
+        mask, prob = _touching_cells_probability()
+        stack = np.stack([prob, np.roll(prob, 11, axis=1)])
+        results = refine_boundaries_stack(stack)
+        assert len(results) == 2
+        for z in range(2):
+            single = refine_boundaries(stack[z])
+            np.testing.assert_array_equal(results[z].labels, single.labels)
+            assert results[z].num_cells == single.num_cells
+            np.testing.assert_array_equal(results[z].areas, single.areas)
+            np.testing.assert_allclose(
+                results[z].centroids, single.centroids
+            )
+        # 4-D channel layouts (channel axis just before / after H,W)
+        four = np.stack([np.ones_like(prob)] * 3 + [prob])  # [C,H,W]
+        r_cf = refine_boundaries_stack(
+            np.stack([four, four]), RefineConfig(boundary_channel=3)
+        )
+        r_cl = refine_boundaries_stack(
+            np.stack([np.moveaxis(four, 0, -1)] * 2),
+            RefineConfig(boundary_channel=3),
+        )
+        base = refine_boundaries(prob)
+        for r in (*r_cf, *r_cl):
+            np.testing.assert_array_equal(r.labels, base.labels)
+        p = str(tmp_path / "stack.csv")
+        write_refine_stack_csv(results, p)
+        lines = open(p).read().strip().splitlines()
+        assert lines[0] == "plane,cell,x_pos,y_pos,area_px,nn_distance_px"
+        assert sum(ln.startswith("0,") for ln in lines[1:]) == results[0].num_cells
+        assert sum(ln.startswith("1,") for ln in lines[1:]) == results[1].num_cells
+
     def test_refine_csv(self, tmp_path):
         from particle_col_image_segmentation_tpu.models.refine import write_refine_csv
 
