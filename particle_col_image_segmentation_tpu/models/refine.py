@@ -162,7 +162,17 @@ def refine_boundaries_stack(
     (BASELINE config #3's "touching-particle stack").  Per-plane results
     are bit-identical to ``refine_boundaries`` on each plane.
     """
-    arr = _extract_boundary_channel(np.asarray(probabilities), cfg, ndim=3)
+    probs = np.asarray(probabilities)
+    if probs.ndim == 3 and probs.shape[-1] <= 8:
+        # [H, W, C] is a SINGLE-plane channel-last export (Ilastik's usual
+        # axis order, handled by refine_boundaries); flooding it as H
+        # planes of [W, C] would silently produce garbage
+        raise ValueError(
+            f"shape {probs.shape} looks like a single [H, W, C] plane "
+            "(trailing axis <= 8 can only be channels) — use "
+            "refine_boundaries, or pass a [Z, H, W(, C)] stack"
+        )
+    arr = _extract_boundary_channel(probs, cfg, ndim=3)
     labels, _, num, table, _, converged = refine_plane_device(
         jnp.asarray(arr, jnp.float32), cfg, max_regions
     )
@@ -177,23 +187,47 @@ def refine_boundaries_stack(
     nums = np.asarray(num)
     cy, cx = centroids_f64(table)  # [Z, R+1] each
     areas_all = np.asarray(table.area)
-    results = []
-    for z in range(arr.shape[0]):
+    Z = arr.shape[0]
+    max_n = int(nums.max()) if Z else 0
+    if max_n > max_regions:
+        bad = int(np.argmax(nums))
+        raise ValueError(
+            f"plane {bad}: {int(nums[bad])} cells > max_regions={max_regions}"
+        )
+    # ONE vmapped NN call over valid-masked fixed-size points: per-plane
+    # calls would retrace the jitted kernel for every distinct cell count
+    # (cap rounded to a power of two so recompiles stay rare across stacks)
+    cap = 1 << max(1, int(max(max_n, 1) - 1).bit_length())
+    pts_all = np.zeros((Z, cap, 2), np.float32)
+    valid_all = np.zeros((Z, cap), bool)
+    for z in range(Z):
         n = int(nums[z])
-        if n > max_regions:
-            raise ValueError(f"plane {z}: {n} cells > max_regions={max_regions}")
+        pts_all[z, :n] = np.stack([cy[z], cx[z]], axis=1)[1 : n + 1]
+        valid_all[z, :n] = True
+    nn_all = np.asarray(jax.vmap(nearest_neighbor_dists)(
+        jnp.asarray(pts_all), jnp.asarray(valid_all)
+    ))
+    results = []
+    for z in range(Z):
+        n = int(nums[z])
         pts = np.stack([cy[z], cx[z]], axis=1)[1 : n + 1]
-        if n > 1:
-            nn = np.asarray(nearest_neighbor_dists(
-                jnp.asarray(pts, jnp.float32), jnp.ones((n,), bool)
-            ))
-        else:
-            nn = np.full((n,), np.inf, np.float32)
         results.append(RefineResult(
             labels=labels_np[z], num_cells=n,
-            areas=areas_all[z][1 : n + 1], centroids=pts, nn_distances=nn,
+            areas=areas_all[z][1 : n + 1], centroids=pts,
+            nn_distances=nn_all[z, :n],
         ))
     return results
+
+
+def _refine_rows(result: RefineResult, prefix: tuple = ()):
+    """One row per cell (shared by the plane and stack CSV writers so the
+    rounding / inf-sentinel format cannot diverge)."""
+    for i in range(result.num_cells):
+        cy, cx = result.centroids[i]
+        nn = result.nn_distances[i]
+        yield [*prefix, i + 1, round(float(cx), 2), round(float(cy), 2),
+               int(result.areas[i]),
+               "" if not np.isfinite(nn) else round(float(nn), 3)]
 
 
 def write_refine_stack_csv(results: "list[RefineResult]", path: str) -> None:
@@ -206,14 +240,7 @@ def write_refine_stack_csv(results: "list[RefineResult]", path: str) -> None:
         w.writerow(["plane", "cell", "x_pos", "y_pos", "area_px",
                     "nn_distance_px"])
         for z, result in enumerate(results):
-            for i in range(result.num_cells):
-                cy, cx = result.centroids[i]
-                nn = result.nn_distances[i]
-                w.writerow(
-                    [z, i + 1, round(float(cx), 2), round(float(cy), 2),
-                     int(result.areas[i]),
-                     "" if not np.isfinite(nn) else round(float(nn), 3)]
-                )
+            w.writerows(_refine_rows(result, prefix=(z,)))
 
 
 def write_refine_csv(result: RefineResult, path: str) -> None:
@@ -224,14 +251,7 @@ def write_refine_csv(result: RefineResult, path: str) -> None:
     with open(path, "w") as f:
         w = csv.writer(f)
         w.writerow(["cell", "x_pos", "y_pos", "area_px", "nn_distance_px"])
-        for i in range(result.num_cells):
-            cy, cx = result.centroids[i]
-            nn = result.nn_distances[i]
-            w.writerow(
-                [i + 1, round(float(cx), 2), round(float(cy), 2),
-                 int(result.areas[i]),
-                 "" if not np.isfinite(nn) else round(float(nn), 3)]
-            )
+        w.writerows(_refine_rows(result))
 
 
 def cross_strain_distances(

@@ -212,14 +212,16 @@ def local_maxima(
             new = new | (shifted_bad & eq)
         new = new | seg_or_scan_bidi(new, same_row, axis=-1)
         new = new | seg_or_scan_bidi(new, same_col, axis=-2)
-        return new, jnp.any(new != bad), i + 1
+        # per-plane change tracking so batched callers can name the plane
+        # whose plateau-flood budget ran out
+        return new, jnp.any(new != bad, axis=(-2, -1)), i + 1
 
     def cond(state):
         _, changed, i = state
-        return changed & (i < max_iters)
+        return jnp.any(changed) & (i < max_iters)
 
     bad, changed, _ = jax.lax.while_loop(
-        cond, body, (has_higher, jnp.bool_(True), 0)
+        cond, body, (has_higher, jnp.ones(img.shape[:-2], bool), 0)
     )
     return (~bad, ~changed) if with_flag else ~bad
 

@@ -141,10 +141,11 @@ def watershed(
       markers: [..., H, W] int marker labels (>0 seeds, 0 elsewhere).
       mask: optional [..., H, W] bool; pixels outside stay 0.
       connectivity: 1 (4-neighbors, skimage default) or 2 (8).
-      with_flag: also return a bool ``converged`` (scalar — all planes) —
-        False means a phase hit ``max_iters`` with work left (huge/winding
-        basins); unreached in-mask pixels would then silently read 0, so
-        callers must surface it.
+      with_flag: also return a bool ``converged`` with the batch shape
+        (scalar for a single plane, [B] for a batch — each plane's own
+        verdict) — False means a phase hit ``max_iters`` with work left on
+        THAT plane (huge/winding basins); unreached in-mask pixels would
+        then silently read 0, so callers must surface it.
 
     Returns [..., H, W] int32 labels.
     """
@@ -156,6 +157,8 @@ def watershed(
     offsets = _offsets(connectivity)
 
     # ---- phase 1: minimax costs --------------------------------------
+    batch_shape = image.shape[:-2]
+
     def cost_body(state):
         cost, _, i = state
         best = cost
@@ -163,14 +166,17 @@ def watershed(
             nc = _shifted(cost, dy, dx, jnp.float32(_INF))
             best = jnp.minimum(best, jnp.maximum(nc, img))
         new = jnp.where(seeded, cost0, jnp.where(m, best, jnp.float32(_INF)))
-        return new, jnp.any(new != cost), i + 1
+        # per-plane change tracking: at loop exit this marks exactly the
+        # planes still changing when the budget ran out (all-False on a
+        # converged exit), so batched callers can name the failing plane
+        return new, jnp.any(new != cost, axis=(-2, -1)), i + 1
 
     def cond(state):
         _, changed, i = state
-        return changed & (i < max_iters)
+        return jnp.any(changed) & (i < max_iters)
 
     cost, c_changed, _ = jax.lax.while_loop(
-        cond, cost_body, (cost0, jnp.bool_(True), 0)
+        cond, cost_body, (cost0, jnp.ones(batch_shape, bool), 0)
     )
 
     # ---- phase 2: claim relaxation (see module docstring) ------------
@@ -197,18 +203,19 @@ def watershed(
         new_d = jnp.where(seeded, 0, jnp.where(m, bd, _BIG_LAB))
         new_e = jnp.where(seeded, neg_inf, jnp.where(m, be, jnp.float32(_INF)))
         ch = (
-            jnp.any(new_l != lab)
-            | jnp.any(new_d != dist)
-            | jnp.any(new_e != eimg)
+            jnp.any(new_l != lab, axis=(-2, -1))
+            | jnp.any(new_d != dist, axis=(-2, -1))
+            | jnp.any(new_e != eimg, axis=(-2, -1))
         )
         return new_l, new_d, new_e, ch, i + 1
 
     def lab_cond(state):
         _, _, _, changed, i = state
-        return changed & (i < max_iters)
+        return jnp.any(changed) & (i < max_iters)
 
     lab, _, _, l_changed, _ = jax.lax.while_loop(
-        lab_cond, lab_body, (lab_init, dist_init, eimg_init, jnp.bool_(True), 0)
+        lab_cond, lab_body,
+        (lab_init, dist_init, eimg_init, jnp.ones(batch_shape, bool), 0),
     )
     reached = m & (cost < _INF) & (lab != _BIG_LAB)
     out = jnp.where(reached, lab, 0)

@@ -271,7 +271,7 @@ class TestWatershed:
         out_b, conv = watershed(
             jnp.asarray(bi), jnp.asarray(bm), jnp.asarray(bk), with_flag=True
         )
-        assert bool(conv)
+        assert np.asarray(conv).shape == (B,) and np.asarray(conv).all()
         for b in range(B):
             ref = watershed(
                 jnp.asarray(imgs[b]), jnp.asarray(marks[b]),
@@ -280,6 +280,32 @@ class TestWatershed:
             np.testing.assert_array_equal(
                 np.asarray(out_b)[b], np.asarray(ref)
             )
+
+    def test_batched_flag_is_per_plane(self):
+        """A starved iteration budget must blame only the plane that ran
+        out, not the whole batch (the flags drive refine's error message)."""
+        H, W = 8, 64
+        # plane 0: open rectangle (Jacobi flood needs ~H+W steps); plane 1:
+        # a serpentine corridor needing ~4·W steps — a budget between the
+        # two converges plane 0 only
+        easy = np.zeros((H, W), np.float32)
+        snake = np.zeros((H, W), bool)
+        snake[0, :] = True
+        for r in range(1, H):
+            snake[r, (W - 1) if r % 4 in (1, 2) else 0] = True
+            if r % 4 == 3:
+                snake[r, :] = True
+        img = np.stack([easy, easy])
+        marks = np.zeros((2, H, W), np.int32)
+        marks[:, 0, 0] = 1
+        masks = np.stack([np.ones((H, W), bool), snake])
+        _, conv = watershed(
+            jnp.asarray(img), jnp.asarray(marks), jnp.asarray(masks),
+            max_iters=128, with_flag=True,
+        )
+        conv = np.asarray(conv)
+        assert conv.shape == (2,)
+        assert bool(conv[0]) and not bool(conv[1])
 
     @pytest.mark.parametrize("seed,n,thr", [(1, 256, 0.985), (2, 128, 0.99)])
     def test_priority_flood_iou_regression(self, seed, n, thr):

@@ -83,6 +83,11 @@ class TestRefine:
         base = refine_boundaries(prob)
         for r in (*r_cf, *r_cl):
             np.testing.assert_array_equal(r.labels, base.labels)
+        # a single [H,W,C] plane passed to the stack API must error loudly,
+        # not flood H nonsense "planes" of [W,C]
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="single \\[H, W, C\\] plane"):
+            refine_boundaries_stack(np.moveaxis(four, 0, -1))
         p = str(tmp_path / "stack.csv")
         write_refine_stack_csv(results, p)
         lines = open(p).read().strip().splitlines()
