@@ -122,6 +122,44 @@ def check_experiment_seed(seed: int, tmp_root: str) -> None:
     shutil.rmtree(exp_dir)
 
 
+def check_refine_seed(seed: int) -> None:
+    """Randomized touching-cell reliefs → the batched stack refine must be
+    bit-identical per plane to the single-plane path, and every plane must
+    converge (fixed shape across seeds so the soak reuses one compile)."""
+    from scipy import ndimage as ndi
+
+    from particle_col_image_segmentation_tpu.models.refine import (
+        refine_boundaries,
+        refine_boundaries_stack,
+    )
+
+    rng = np.random.default_rng(20_000 + seed)
+    H, W = 96, 128
+    yy, xx = np.mgrid[:H, :W]
+    planes = []
+    for _ in range(3):
+        m = np.zeros((H, W), bool)
+        for _ in range(int(rng.integers(2, 7))):
+            cy, cx = rng.integers(12, H - 12), rng.integers(12, W - 12)
+            r2 = int(rng.integers(40, 160))
+            m |= (yy - cy) ** 2 + (xx - cx) ** 2 <= r2
+            m |= (yy - cy) ** 2 + (xx - cx - int(1.4 * np.sqrt(r2))) ** 2 <= r2
+        dist = ndi.distance_transform_edt(m)
+        relief = 1.0 - dist / max(1.0, dist.max())
+        relief += rng.normal(0, 0.01, (H, W)) * (dist > 0)
+        planes.append(relief.astype(np.float32))
+    stack = np.stack(planes)
+    results = refine_boundaries_stack(stack)
+    for z in range(3):
+        single = refine_boundaries(stack[z])
+        np.testing.assert_array_equal(results[z].labels, single.labels)
+        assert results[z].num_cells == single.num_cells
+        np.testing.assert_array_equal(results[z].areas, single.areas)
+        np.testing.assert_allclose(
+            results[z].nn_distances, single.nn_distances, rtol=1e-6
+        )
+
+
 def main():
     import tempfile
 
@@ -132,6 +170,8 @@ def main():
         try:
             if mode == "experiment":
                 check_experiment_seed(seed, tmp_root)
+            elif mode == "refine":
+                check_refine_seed(seed)
             else:
                 check_seed(seed)
         except Exception:
