@@ -28,7 +28,15 @@ def make_mesh(
     if n_data is None:
         n_data = len(devices) // n_space
     use = n_data * n_space
-    arr = np.array(devices[:use]).reshape(n_data, n_space)
+    if use == 0 or use != len(devices):
+        # silently dropping devices (use < len) or building an empty mesh
+        # (n_space > devices) runs the job degraded / fails opaquely later
+        raise ValueError(
+            f"mesh {n_data}×{n_space} needs exactly {use or n_space} "
+            f"devices, have {len(devices)} — pick axis sizes whose product "
+            "matches the device count (or pass an explicit devices= subset)"
+        )
+    arr = np.array(devices).reshape(n_data, n_space)
     return Mesh(arr, (DATA_AXIS, SPACE_AXIS))
 
 
@@ -55,8 +63,22 @@ def initialize_multihost(
     elif num_processes is None:
         try:  # pod auto-detection (no-op off-pod / already initialized)
             jax.distributed.initialize()
-        except Exception:  # noqa: BLE001 — single-host fallback is the point
-            pass
-    total = len(jax.devices())
+        except Exception as e:  # noqa: BLE001 — off-pod fallback is the point
+            # ... but a REAL pod bring-up failure (coordinator timeout,
+            # runtime mismatch) must not silently become a single-host run
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "jax.distributed.initialize() auto-detect failed (%s: %s) — "
+                "continuing single-host; on a multi-host pod this is a "
+                "bring-up failure, not the intended fallback",
+                type(e).__name__, e,
+            )
+    # group devices by host so each mesh row is one process: the spatial
+    # axis (per-iteration ppermute halos in the CCL/watershed fixpoints)
+    # must ride ICI within a host, never DCN — raw jax.devices() id order
+    # is not guaranteed host-contiguous on every topology
+    devs = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
+    total = len(devs)
     n_space = min(jax.local_device_count(), total)
-    return make_mesh(n_data=total // n_space, n_space=n_space)
+    return make_mesh(n_data=total // n_space, n_space=n_space, devices=devs)

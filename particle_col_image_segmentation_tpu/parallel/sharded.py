@@ -28,8 +28,14 @@ from particle_col_image_segmentation_tpu.ops.scans import seg_min_scan_bidi
 from particle_col_image_segmentation_tpu.parallel.halo import pad_with_halo
 from particle_col_image_segmentation_tpu.parallel.mesh import DATA_AXIS, SPACE_AXIS
 
+from particle_col_image_segmentation_tpu.ops.watershed import _INF as _WS_INF
+
 _INF = jnp.iinfo(jnp.int32).max
-_FINF = 3.4e38
+# the watershed pad fills MUST be the sentinels claim_candidates tests
+# against — duplicating the literals here would silently break the
+# bit-identical-schedule claim at shard boundaries if ops/watershed.py
+# ever changed them
+_FINF = _WS_INF
 
 __all__ = [
     "sharded_segment_batch",
@@ -494,15 +500,24 @@ def _dapi_dedup_shard(dapi, other, cfg: AnalysisConfig, max_iters: int):
         remove.astype(jnp.int32), seg.reshape(b, -1), axis=-1
     ).reshape(seg.shape)
     out = jnp.where((rm_px > 0) & dapi_mask, jnp.uint8(2), dapi)
-    return out, (ch == 0) & cmp_conv
+    # global region count so callers can detect table overflow: ranks past
+    # max_regions never get a frac row and their seg ids would clamp into
+    # region R-1's verdict — silently-wrong without this check
+    num = jax.lax.psum(
+        jnp.sum((lab == lin).astype(jnp.int32), axis=(-2, -1)), SPACE_AXIS
+    )
+    return out, num, (ch == 0) & cmp_conv
 
 
 def make_sharded_dapi_dedup_fn(mesh, cfg: AnalysisConfig, max_iters: int = 128):
     """Sharded DAPI-vs-other-channel dedup: [B,H,W]×2 uint8 →
-    (updated dapi [B,H,W], converged [B]).  Bit-identical to the single-chip
-    ``labels.analysis.dapi_dedup_device``: distributed CCL on the DAPI cell
-    mask, per-region overlap fractions psum'd over the space axis, regions
-    above ``cfg.dapi_overlap_threshold`` rewritten to value 2."""
+    (updated dapi [B,H,W], num_regions [B], converged [B]).  Bit-identical
+    to the single-chip ``labels.analysis.dapi_dedup_device``: distributed
+    CCL on the DAPI cell mask, per-region overlap fractions psum'd over the
+    space axis, regions above ``cfg.dapi_overlap_threshold`` rewritten to
+    value 2.  Callers must check ``num_regions <= cfg.max_regions`` — an
+    overflowing plane's extra regions get no overlap row and their verdicts
+    are invalid (same contract as the fused segmentation's overflow flag)."""
     fn = jax.shard_map(
         partial(_dapi_dedup_shard, cfg=cfg, max_iters=max_iters),
         mesh=mesh,
@@ -510,7 +525,9 @@ def make_sharded_dapi_dedup_fn(mesh, cfg: AnalysisConfig, max_iters: int = 128):
             P(DATA_AXIS, SPACE_AXIS, None),
             P(DATA_AXIS, SPACE_AXIS, None),
         ),
-        out_specs=(P(DATA_AXIS, SPACE_AXIS, None), P(DATA_AXIS)),
+        out_specs=(
+            P(DATA_AXIS, SPACE_AXIS, None), P(DATA_AXIS), P(DATA_AXIS),
+        ),
     )
     return jax.jit(fn)
 
@@ -536,12 +553,12 @@ def _watershed_shard(image, markers, mask, connectivity: int, max_iters: int):
     unique-fixpoint argument makes the sharded schedule bit-identical to
     the single-chip XLA/Pallas kernels."""
     from particle_col_image_segmentation_tpu.ops.watershed import (
+        _BIG_LAB as BIG,
         _offsets,
         claim_candidates,
         fold_claim,
     )
 
-    BIG = jnp.iinfo(jnp.int32).max
     img = image.astype(jnp.float32)
     lab0 = markers.astype(jnp.int32)
     m = mask.astype(bool)

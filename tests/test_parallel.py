@@ -175,8 +175,11 @@ def test_sharded_dapi_dedup_matches_single_chip():
     del rng
 
     fn = make_sharded_dapi_dedup_fn(mesh, CFG)
-    out, conv = fn(jnp.asarray(dapi), jnp.asarray(other))
+    out, num, conv = fn(jnp.asarray(dapi), jnp.asarray(other))
     assert bool(np.all(np.asarray(conv)))
+    num = np.asarray(num)
+    assert num.shape == (B,) and (num > 0).all()
+    assert (num <= CFG.max_regions).all()  # verdict-validity contract
     changed_any = False
     for b in range(B):
         ref, rconv = dapi_dedup_device(
