@@ -146,6 +146,11 @@ class NativePrefetcher:
         # geometry is recorded by the decode workers themselves (one mmap
         # parse per file, inside the pool) — no up-front serial inspect pass
         # over the whole path list, and get() never re-reads the file
+        if self._handle is None:
+            # a NULL handle would segfault inside the C wait, not raise
+            raise RuntimeError("NativePrefetcher used after close()")
+        if not 0 <= idx < len(self._paths):
+            raise IndexError(idx)
         size = self._lib.pcis_prefetch_wait(self._handle, idx)
         info = TiffPageInfo()
         pages = self._lib.pcis_prefetch_geom(self._handle, idx, ctypes.byref(info))

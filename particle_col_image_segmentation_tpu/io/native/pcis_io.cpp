@@ -75,16 +75,21 @@ struct Mapped {
 struct Reader {
   const uint8_t* p;
   size_t n;
+  // bounds tests are "off <= n - k" with n >= k, NEVER "off + k <= n":
+  // offsets come straight from untrusted TIFF fields (64-bit in BigTIFF)
+  // and "off + k" wraps for off near 2^64, passing the check and reading
+  // ~2^64 past the mapping
+  bool has(uint64_t off, uint64_t k) const { return n >= k && off <= n - k; }
   uint16_t u16(uint64_t off) const {
-    return off + 2 <= n ? (uint16_t)(p[off] | p[off + 1] << 8) : 0;
+    return has(off, 2) ? (uint16_t)(p[off] | p[off + 1] << 8) : 0;
   }
   uint32_t u32(uint64_t off) const {
-    return off + 4 <= n
+    return has(off, 4)
       ? (uint32_t)(p[off] | p[off + 1] << 8 | p[off + 2] << 16 | (uint32_t)p[off + 3] << 24)
       : 0;
   }
   uint64_t u64(uint64_t off) const {
-    return off + 8 <= n ? (uint64_t)u32(off) | ((uint64_t)u32(off + 4) << 32) : 0;
+    return has(off, 8) ? (uint64_t)u32(off) | ((uint64_t)u32(off + 4) << 32) : 0;
   }
 };
 
@@ -116,11 +121,11 @@ inline uint64_t type_size(uint16_t type) {
 bool parse_ifd(const Reader& r, uint64_t off, bool big, Ifd* ifd) {
   uint64_t count, base, entry_sz = big ? 20 : 12;
   if (big) {
-    if (off + 8 > r.n) return false;
+    if (!r.has(off, 8)) return false;  // wrap-safe (off is untrusted u64)
     count = r.u64(off);
     base = off + 8;
   } else {
-    if (off + 2 > r.n) return false;
+    if (!r.has(off, 2)) return false;
     count = r.u16(off);
     base = off + 2;
   }
@@ -158,10 +163,15 @@ bool parse_ifd(const Reader& r, uint64_t off, bool big, Ifd* ifd) {
       case 322: ifd->tile_w = (uint32_t)value_at(0); break;
       case 323: ifd->tile_h = (uint32_t)value_at(0); break;
       case 273: case 324:
+        // a legitimate external value array occupies <= file size bytes;
+        // an untrusted cnt like 0xffffffff would otherwise drive a 32 GiB
+        // resize (bad_alloc -> std::terminate through the C ABI)
+        if (cnt > r.n) return false;
         ifd->seg_offsets.resize(cnt);
         for (uint64_t k = 0; k < cnt; k++) ifd->seg_offsets[k] = value_at(k);
         break;
       case 279: case 325:
+        if (cnt > r.n) return false;
         ifd->seg_counts.resize(cnt);
         for (uint64_t k = 0; k < cnt; k++) ifd->seg_counts[k] = value_at(k);
         break;
@@ -200,6 +210,13 @@ bool parse_tiff(const Reader& r, std::vector<Ifd>& pages) {
 bool page_supported(const Ifd& p) {
   if (p.spp != 1 || (p.bps != 8 && p.bps != 16)) return false;
   if (p.width == 0 || p.height == 0) return false;
+  // dimension sanity caps: (uint64)w*h*pix and tile_w*pix*tile_h feed
+  // buffer sizes and memcpy destination offsets — untrusted dimensions
+  // chosen so the products wrap uint64 would pass the size checks with a
+  // tiny wrapped value and then write far out of bounds.  4 Gpx/page and
+  // 256 Mpx/tile are far beyond any real microscope export.
+  if ((uint64_t)p.width * p.height > (1ull << 32)) return false;
+  if ((uint64_t)p.tile_w * p.tile_h > (1ull << 28)) return false;
   if (p.compression != 1 && p.compression != 5 && p.compression != 8 &&
       p.compression != 32946)
     return false;
@@ -366,7 +383,7 @@ bool decode_page(const Reader& r, const Ifd& p, uint8_t* dst) {
     uint64_t written = 0;
     for (size_t s = 0; s < p.seg_offsets.size() && written < page_bytes; s++) {
       uint64_t off = p.seg_offsets[s], cnt = p.seg_counts[s];
-      if (off + cnt > r.n) return false;
+      if (off > r.n || cnt > r.n - off) return false;  // wrap-safe
       uint64_t strip_rows = rps;
       uint64_t rows_left = (page_bytes - written) / row_bytes;
       if (strip_rows > rows_left) strip_rows = rows_left;
@@ -388,7 +405,7 @@ bool decode_page(const Reader& r, const Ifd& p, uint8_t* dst) {
     for (uint64_t tx = 0; tx < tiles_x; tx++) {
       uint64_t s = ty * tiles_x + tx;
       uint64_t off = p.seg_offsets[s], cnt = p.seg_counts[s];
-      if (off + cnt > r.n) return false;
+      if (off > r.n || cnt > r.n - off) return false;  // wrap-safe
       size_t got = decode_segment(p, r.p + off, cnt, tb.data(), tile_bytes, p.tile_w);
       if (got == SIZE_MAX || got < tile_bytes) return false;
       uint64_t copy_rows = p.tile_h, copy_cols_b = tile_row_bytes;
@@ -414,7 +431,7 @@ bool decode_page(const Reader& r, const Ifd& p, uint8_t* dst) {
 // Inspect: returns number of pages (≤0 on error / unsupported) and fills
 // info with page-0 geometry.  mmap-backed — touches only IFD bytes, no bulk
 // read.  Unsupported files return 0 so Python falls back to PIL.
-int pcis_tiff_inspect(const char* path, TiffPageInfo* info) {
+int pcis_tiff_inspect(const char* path, TiffPageInfo* info) try {
   Mapped m;
   if (!m.open(path)) return -1;
   Reader r{m.p, m.n};
@@ -434,11 +451,13 @@ int pcis_tiff_inspect(const char* path, TiffPageInfo* info) {
   info->bits_per_sample = pages[0].bps;
   info->samples_per_pixel = pages[0].spp;
   return (int)pages.size();
+} catch (...) {  // bad_alloc etc. must not cross the C ABI (std::terminate)
+  return -9;
 }
 
 // Read all pages into out (caller-allocated: pages*height*width*(bps/8)
 // bytes, row-major, page-major).  Returns 0 on success.
-int pcis_tiff_read(const char* path, uint8_t* out, uint64_t out_size) {
+int pcis_tiff_read(const char* path, uint8_t* out, uint64_t out_size) try {
   Mapped m;
   if (!m.open(path)) return -1;
   Reader r{m.p, m.n};
@@ -456,6 +475,8 @@ int pcis_tiff_read(const char* path, uint8_t* out, uint64_t out_size) {
     cursor += page_bytes;
   }
   return cursor == out_size ? 0 : -3;
+} catch (...) {
+  return -9;
 }
 
 // Write a single-page uncompressed grayscale TIFF (8 or 16 bit).
@@ -463,25 +484,33 @@ int pcis_tiff_write(const char* path, const uint8_t* data, uint32_t height,
                     uint32_t width, uint32_t bits_per_sample) {
   if (bits_per_sample != 8 && bits_per_sample != 16) return -1;
   uint64_t nbytes = (uint64_t)height * width * (bits_per_sample / 8);
+  // classic TIFF carries 32-bit offsets/counts: a > 4 GiB plane would wrap
+  // ifd_off/StripByteCounts into a silently unreadable file.  Writers that
+  // big need BigTIFF — reject rather than corrupt.
+  if (8 + nbytes + 1 + 110 > 0xffffffffull) return -3;
   // layout: header(8) + data + IFD
   uint32_t data_off = 8;
   uint32_t ifd_off = (uint32_t)(8 + nbytes + (nbytes & 1));  // word-align
   FILE* f = fopen(path, "wb");
   if (!f) return -2;
+  bool ok = true;
+  auto put = [&](const void* buf, size_t sz) {
+    ok = ok && fwrite(buf, 1, sz, f) == sz;
+  };
   uint8_t header[8] = {'I', 'I', 42, 0, 0, 0, 0, 0};
   memcpy(header + 4, &ifd_off, 4);
-  fwrite(header, 1, 8, f);
-  fwrite(data, 1, nbytes, f);
-  if (nbytes & 1) fputc(0, f);
+  put(header, 8);
+  put(data, nbytes);
+  if (nbytes & 1) ok = ok && fputc(0, f) != EOF;
 
   auto entry = [&](uint16_t tag, uint16_t type, uint32_t cnt, uint32_t val) {
-    fwrite(&tag, 2, 1, f);
-    fwrite(&type, 2, 1, f);
-    fwrite(&cnt, 4, 1, f);
-    fwrite(&val, 4, 1, f);
+    put(&tag, 2);
+    put(&type, 2);
+    put(&cnt, 4);
+    put(&val, 4);
   };
   uint16_t n = 8;
-  fwrite(&n, 2, 1, f);
+  put(&n, 2);
   entry(256, 4, 1, width);             // ImageWidth
   entry(257, 4, 1, height);            // ImageLength
   entry(258, 3, 1, bits_per_sample);   // BitsPerSample
@@ -491,9 +520,10 @@ int pcis_tiff_write(const char* path, const uint8_t* data, uint32_t height,
   entry(278, 4, 1, height);            // RowsPerStrip
   entry(279, 4, 1, (uint32_t)nbytes);  // StripByteCounts
   uint32_t zero = 0;
-  fwrite(&zero, 4, 1, f);  // next IFD
-  fclose(f);
-  return 0;
+  put(&zero, 4);  // next IFD
+  // short writes (full disk) and close failures must not report success
+  if (fclose(f) != 0) ok = false;
+  return ok ? 0 : -4;
 }
 
 // ---------------------------------------------------------------------------
@@ -524,14 +554,22 @@ struct Prefetcher {
       TiffPageInfo info{};
       int pages = pcis_tiff_inspect(paths[idx].c_str(), &info);
       int st = 1;
-      if (pages > 0) {
-        uint64_t sz = (uint64_t)pages * info.height * info.width * (info.bits_per_sample / 8);
-        std::vector<uint8_t> buf(sz);
-        if (pcis_tiff_read(paths[idx].c_str(), buf.data(), sz) == 0) {
-          st = 0;
-          std::lock_guard<std::mutex> g(mu);
-          results[idx] = std::move(buf);
+      try {
+        if (pages > 0) {
+          // page dims are capped by page_supported, so this cannot wrap;
+          // the try still guards the (pages × page) allocation itself —
+          // a bad_alloc escaping a pool thread would std::terminate
+          uint64_t sz = (uint64_t)pages * info.height * info.width *
+                        (info.bits_per_sample / 8);
+          std::vector<uint8_t> buf(sz);
+          if (pcis_tiff_read(paths[idx].c_str(), buf.data(), sz) == 0) {
+            st = 0;
+            std::lock_guard<std::mutex> g(mu);
+            results[idx] = std::move(buf);
+          }
         }
+      } catch (...) {
+        st = 2;
       }
       {
         std::lock_guard<std::mutex> g(mu);

@@ -25,18 +25,27 @@ def make_mesh(
     """Mesh over ``n_data × n_space`` devices (defaults to all devices on the
     data axis)."""
     devices = list(devices if devices is not None else jax.devices())
+    derived = n_data is None
     if n_data is None:
         n_data = len(devices) // n_space
     use = n_data * n_space
-    if use == 0 or use != len(devices):
-        # silently dropping devices (use < len) or building an empty mesh
-        # (n_space > devices) runs the job degraded / fails opaquely later
+    if use == 0 or use > len(devices) or (derived and use != len(devices)):
+        # an empty/oversubscribed mesh fails opaquely later inside
+        # shard_map, and a DERIVED n_data silently dropping the remainder
+        # devices runs the job degraded with no signal
         raise ValueError(
-            f"mesh {n_data}×{n_space} needs exactly {use or n_space} "
-            f"devices, have {len(devices)} — pick axis sizes whose product "
-            "matches the device count (or pass an explicit devices= subset)"
+            f"mesh {n_data}×{n_space} needs {use or n_space} devices, have "
+            f"{len(devices)} — pick axis sizes that divide the device count "
+            "(or pass explicit n_data for an intentional subset)"
         )
-    arr = np.array(devices).reshape(n_data, n_space)
+    if use < len(devices):  # explicit subset: allowed, but never silent
+        import logging
+
+        logging.getLogger(__name__).info(
+            "mesh %d×%d uses %d of %d devices", n_data, n_space, use,
+            len(devices),
+        )
+    arr = np.array(devices[:use]).reshape(n_data, n_space)
     return Mesh(arr, (DATA_AXIS, SPACE_AXIS))
 
 

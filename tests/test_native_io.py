@@ -178,3 +178,89 @@ class TestCompressedAndExoticLayouts:
         for idx in (4, 1, 0, 3, 2):
             np.testing.assert_array_equal(pf.get(idx), arrays[idx])
         pf.close()
+
+
+class TestMaliciousTiffs:
+    """Crafted hostile inputs must fail cleanly (None / error code), never
+    read or write out of bounds, allocate unboundedly, or kill the process
+    (review r2: wrap-prone 'off + k <= n' bounds tests, untrusted resize)."""
+
+    @staticmethod
+    def _classic(entries, extra=b""):
+        import struct
+
+        ifd_off = 8
+        out = struct.pack("<2sHI", b"II", 42, ifd_off)
+        out += struct.pack("<H", len(entries))
+        for tag, typ, cnt, val in entries:
+            out += struct.pack("<HHII", tag, typ, cnt, val)
+        out += struct.pack("<I", 0)
+        return out + extra
+
+    @staticmethod
+    def _bigtiff(entries, ifd_off=16, extra=b""):
+        import struct
+
+        out = struct.pack("<2sHHHQ", b"II", 43, 8, 0, ifd_off)
+        if ifd_off == 16:
+            out += struct.pack("<Q", len(entries))
+            for tag, typ, cnt, val in entries:
+                out += struct.pack("<HHQQ", tag, typ, cnt, val)
+            out += struct.pack("<Q", 0)
+        return out + extra
+
+    def _inspect(self, tmp_path, blob):
+        p = str(tmp_path / "evil.tif")
+        with open(p, "wb") as f:
+            f.write(blob)
+        return p, native.read_tiff(p)
+
+    def test_wrapping_ifd_offset(self, tmp_path):
+        # first-IFD offset near 2^64: 'off + 8 <= n' would wrap and pass
+        _, out = self._inspect(
+            tmp_path, self._bigtiff([], ifd_off=0xFFFFFFFFFFFFFFFE)
+        )
+        assert out is None
+
+    def test_wrapping_strip_offset(self, tmp_path):
+        # valid geometry, strip offset near 2^64 with small count: the
+        # segment bound 'off + cnt > n' would wrap to a tiny value and pass,
+        # then decode reads ~2^64 past the mapping
+        entries = [
+            (256, 4, 1, 4), (257, 4, 1, 4), (258, 3, 1, 8), (259, 3, 1, 1),
+            (277, 3, 1, 1), (278, 4, 1, 4),
+            (273, 16, 1, 0xFFFFFFFFFFFFFFF0), (279, 16, 1, 0x20),
+        ]
+        _, out = self._inspect(tmp_path, self._bigtiff(entries))
+        assert out is None
+
+    def test_huge_strip_count_no_alloc(self, tmp_path):
+        # tag 273 claiming 2^32-1 strips would resize a 32 GiB vector
+        entries = [
+            (256, 4, 1, 4), (257, 4, 1, 4), (258, 3, 1, 8), (259, 3, 1, 1),
+            (273, 4, 0xFFFFFFFF, 8), (279, 4, 1, 16),
+        ]
+        _, out = self._inspect(tmp_path, self._classic(entries))
+        assert out is None
+
+    def test_overflowing_dimensions(self, tmp_path):
+        # width*height*pix wrapping uint64 would pass the output-size check
+        # with a tiny wrapped value and then memcpy far out of bounds
+        entries = [
+            (256, 4, 1, 0x80000001), (257, 4, 1, 0xFFFFFFFF),
+            (258, 3, 1, 16), (259, 3, 1, 1), (277, 3, 1, 1),
+            (273, 4, 1, 8), (279, 4, 1, 16),
+        ]
+        _, out = self._inspect(tmp_path, self._classic(entries))
+        assert out is None
+
+    def test_prefetcher_use_after_close_raises(self, tmp_path):
+        from PIL import Image
+
+        a = np.zeros((8, 8), np.uint8)
+        p = str(tmp_path / "a.tif")
+        Image.fromarray(a).save(p)
+        pf = native.NativePrefetcher([p], num_threads=1)
+        pf.close()
+        with pytest.raises(RuntimeError, match="after close"):
+            pf.get(0)

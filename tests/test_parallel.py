@@ -152,6 +152,18 @@ def test_sharded_merge_matches_single_chip(n_data, n_space):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_make_mesh_rejects_degenerate_shapes():
+    """Empty / oversubscribed meshes and silent remainder drops raise;
+    an explicit subset stays legal (used by the DP-only tests)."""
+    with pytest.raises(ValueError):
+        make_mesh(n_space=16)  # 8 devices: derived n_data = 0
+    with pytest.raises(ValueError):
+        make_mesh(n_space=3)  # derived 2x3 would silently drop 2 devices
+    with pytest.raises(ValueError):
+        make_mesh(n_data=4, n_space=4)  # oversubscribed
+    assert make_mesh(n_data=4, n_space=1).devices.size == 4  # explicit subset
+
+
 def test_sharded_dapi_dedup_matches_single_chip():
     import jax.numpy as jnp
 
