@@ -32,6 +32,7 @@ from particle_col_image_segmentation_tpu.ops.ccl import compact_labels_auto
 from particle_col_image_segmentation_tpu.ops.regionprops_tiles import (
     region_props_auto,
     region_sums_mxu,
+    table_lookup_auto,
 )
 
 __all__ = ["PlaneDeviceOut", "analyze_plane_device", "dapi_dedup_device", "strain_values_of"]
@@ -207,7 +208,7 @@ def analyze_plane_device(
 @partial(jax.jit, static_argnames=("cfg",))
 def dapi_dedup_device(
     dapi: jnp.ndarray, other: jnp.ndarray, cfg: AnalysisConfig
-) -> jnp.ndarray:
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Remove DAPI cells overlapping the other channel's cells
     (reference :252-287, vectorized: per-region overlap via segment sums).
 
@@ -232,9 +233,15 @@ def dapi_dedup_device(
     )
     R = cfg.max_regions + 1
     on_tpu = jax.default_backend() not in ("cpu", "gpu")
-    if on_tpu and dapi.shape[-2] % 8 == 0:
+    H, W = dapi.shape[-2:]
+    # same gating as region_props_auto: the kernel chunks rows by
+    # rows_per_chunk (default 32), so H must divide by the chunk we pick
+    # and W by the lane granularity — H % 8 alone crashed on e.g. 1040²
+    if on_tpu and H % 8 == 0 and W % 8 == 0:
+        rpc = 32 if (H % 32 == 0 and W % 32 == 0) else 8
         area, ov = region_sums_mxu(
-            seg, other_mask.astype(jnp.int32), cfg.max_regions, val_bound=1
+            seg, other_mask.astype(jnp.int32), cfg.max_regions,
+            rows_per_chunk=rpc, val_bound=1,
         )
     else:
         ids = seg.ravel()
@@ -244,9 +251,5 @@ def dapi_dedup_device(
         )
     frac = ov.astype(jnp.float32) / jnp.maximum(area, 1).astype(jnp.float32)
     remove = (frac > cfg.dapi_overlap_threshold) & (jnp.arange(R) > 0)
-    from particle_col_image_segmentation_tpu.ops.regionprops_tiles import (
-        table_lookup_auto,
-    )
-
     remove_px = (table_lookup_auto(seg, remove.astype(jnp.int32)) > 0) & dapi_mask
     return jnp.where(remove_px, jnp.uint8(2), dapi), conv_ccl & conv_cmp

@@ -133,13 +133,11 @@ def analyze_plane(
     for name, clusters in cell_clusters.items():
         singles = cell_pos[name]
         mean_area = float(np.average([c.area for c in singles])) if singles else float("nan")
+        # NaN mean (clusters but zero singles): int(a // nan) raises like
+        # the reference under strict mode, else the fixed behavior is 0
+        use_mean = mean_area == mean_area or cfg.strict_reference_errors
         for c in clusters:
-            if mean_area == mean_area:
-                c.cells = int(c.area // mean_area)
-            elif cfg.strict_reference_errors:
-                c.cells = int(c.area // mean_area)  # raises like the reference
-            else:
-                c.cells = 0
+            c.cells = int(c.area // mean_area) if use_mean else 0
 
     merged_clusters: Dict[str, List[dict]] = {}
     if merged:
@@ -152,6 +150,16 @@ def analyze_plane(
         combined_regions: List[Region] = []
         for key in all_keys:
             combined_regions.extend(contexts[key])
+        if combined_regions and (g_ctx < 0).all():
+            # with compute_merge=True, every existing region's slot holds
+            # its merge-group root (>= 0); an all -1 table is the
+            # compute_merge=False placeholder — silently returning empty
+            # merge groups would corrupt downstream merge statistics
+            raise ValueError(
+                "device_out was computed with compute_merge=False but "
+                "merged=True analysis was requested — recompute with "
+                "compute_merge=True"
+            )
         for key in all_keys:
             ctx_idx = strain_order.index(key)
             merged_clusters[key] = _group_regions(contexts[key], g_ctx[ctx_idx])

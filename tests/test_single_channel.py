@@ -27,6 +27,25 @@ def test_positions_clusters_parity(cell_types, seed):
     assert_plane_parity(img, cell_types, CFG)
 
 
+def test_merged_rejects_mergeless_device_out():
+    """Passing a compute_merge=False device result into a merged=True
+    analysis must error, not silently return empty merge groups."""
+    from particle_col_image_segmentation_tpu.labels.analysis import (
+        analyze_plane_device,
+    )
+
+    img = synthetic_label_plane(seed=5, cell_types=SINGLE, shape=(96, 96))
+    ct = tuple(sorted(SINGLE.items()))
+    out = analyze_plane_device(
+        jnp.asarray(img), ct, CFG, compute_merge=False
+    )
+    with pytest.raises(ValueError, match="compute_merge"):
+        analyze_plane(img, SINGLE, CFG, merged=True, device_out=out)
+    # and the matched pairing still works
+    res = analyze_plane(img, SINGLE, CFG, merged=False, device_out=out)
+    assert res.merged_clusters == {}
+
+
 def test_dapi_dedup_parity():
     dapi = synthetic_label_plane(
         seed=8, cell_types={1: "6B07", 2: "Particle", 3: "Background"}, shape=(160, 160)
