@@ -72,7 +72,9 @@ def process_single_h5_file(
     full_file_path = os.path.join(cur_folder, file_path)
     density_path, cell_pos_path = get_pos_and_density_file_names(cur_folder)
     base_name = full_file_path.replace(".h5", "")
-    processed_folder = cur_folder.split("/")[-1]
+    # basename of the RESOLVED path: a trailing-slash folder would make
+    # split("/")[-1] empty, corrupting density-CSV keys and figure titles
+    processed_folder = os.path.basename(os.path.abspath(cur_folder))
 
     cell_types = classmaps.get_cell_type_map(file_path)
     ds_arr = normalize_ds_arr(load_h5_plane(full_file_path), cfg)
@@ -125,7 +127,7 @@ def process_multiple_h5_files(
     density_path, cell_pos_path = get_pos_and_density_file_names(cur_folder)
     raw_path = cell_pos_path.replace("_cell_pos.csv", "_cell_pos_raw.csv")
     combined_path = cell_pos_path.replace("_cell_pos.csv", "_cell_pos_combined.csv")
-    processed_folder = cur_folder.split("/")[-1]
+    processed_folder = os.path.basename(os.path.abspath(cur_folder))
 
     rfp_particle_area: Optional[int] = None
     master_cell_pos: Dict[str, list] = {}
@@ -188,6 +190,15 @@ def process_multiple_h5_files(
 
     if len(cell_strains) > 1:
         other_name = "GFP" if cell_strains == ["6B07", "C3M10"] else "RFP"
+        missing = [c for c in ("DAPI", other_name) if c not in channel_ds_arrs]
+        if missing:
+            # a bare KeyError here left partial output (the raw CSV is
+            # already written) with no hint which capture the folder lacks
+            raise ValueError(
+                f"multi-strain folder {processed_folder!r} is missing the "
+                f"{'/'.join(missing)} channel file(s) needed for DAPI "
+                f"dedup (have: {sorted(channel_ds_arrs)})"
+            )
         other = channel_ds_arrs[other_name]
         dapi_dev, dedup_conv = dapi_dedup_device(
             jnp.asarray(channel_ds_arrs["DAPI"]), jnp.asarray(other), cfg
@@ -196,11 +207,12 @@ def process_multiple_h5_files(
             raise RuntimeError(
                 "DAPI-dedup CCL did not converge within the kernel budget"
             )
-        dapi_updated = np.asarray(dapi_dev)
         # The reference analyzes the already-denoised deduped plane directly
-        # (:168) — no second median pass.
+        # (:168) — no second median pass.  The device array goes straight
+        # in (a np.asarray here would roundtrip the full plane through the
+        # host only to be re-uploaded).
         dapi_res = analyze_plane(
-            dapi_updated, dapi_cell_types, cfg, merged=False, denoise=False
+            dapi_dev, dapi_cell_types, cfg, merged=False, denoise=False
         )
         master_cell_pos["6B07"] = dapi_res.cell_pos.get("6B07", [])
         master_cell_clusters["6B07"] = dapi_res.cell_clusters.get("6B07", [])
@@ -213,6 +225,7 @@ def process_multiple_h5_files(
 
             cmap, norm = get_color_map(BASE_TYPE_MAP)
             dapi_cmap, dapi_norm = get_color_map(dapi_cell_types)
+            dapi_updated = np.asarray(dapi_dev)  # figures need host pixels
             other_updated = np.array(other, copy=True)
             other_updated[other == 3] = 5
             other_updated[other == 2] = 4
@@ -232,10 +245,20 @@ def process_multiple_h5_files(
     )
 
     # fused plane is built from denoised channels — no second median pass
-    # (reference :206 analyzes combined_channels directly)
-    fused = np.asarray(fuse_channels(channel_ds_arrs, cell_strains))
+    # (reference :206 analyzes combined_channels directly); stays on device
+    # (figures materialize a host copy only when actually drawn)
+    try:
+        fused_dev = fuse_channels(channel_ds_arrs, cell_strains)
+    except KeyError as e:
+        raise ValueError(
+            f"folder {processed_folder!r} lacks the channel file for "
+            f"{e.args[0]!r} needed by the fused analysis "
+            f"(have: {sorted(channel_ds_arrs)})"
+        ) from e
     with stage("analyze_plane_fused"):
-        fused_res = analyze_plane(fused, BASE_TYPE_MAP, cfg, merged=True, denoise=False)
+        fused_res = analyze_plane(
+            fused_dev, BASE_TYPE_MAP, cfg, merged=True, denoise=False
+        )
     merged_clusters = fused_res.merged_clusters
 
     if make_figures and base_name is not None:
@@ -246,6 +269,7 @@ def process_multiple_h5_files(
         )
 
         cmap, norm = get_color_map(BASE_TYPE_MAP)
+        fused = np.asarray(fused_dev)
         plot_original_vs_merged(
             fused, merged_clusters, master_cell_clusters, BASE_TYPE_MAP,
             processed_folder, base_name,

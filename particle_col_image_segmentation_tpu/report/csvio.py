@@ -128,27 +128,23 @@ def write_density_info(
     behavior (SURVEY.md §5)."""
     header = ["folder", "strain", "cell_density", "cell_area_ratio", "cell_count"]
     existing_data = []
-    path_exists = os.path.exists(csv_output_file)
-    data_exists = False
-    if path_exists:
+    if os.path.exists(csv_output_file):
         with open(csv_output_file, "r") as f:
             reader = csv.reader(f)
             next(reader, None)
-            for row in reader:
-                if row and row[0] == h5_folder:
-                    data_exists = True
-                elif row:
-                    existing_data.append(row)
-    if data_exists:
-        with open(csv_output_file, "w") as f:
-            writer = csv.writer(f)
-            writer.writerow(header)
-            writer.writerows(existing_data)
-    with open(csv_output_file, "a") as f:
+            existing_data = [
+                row for row in reader if row and row[0] != h5_folder
+            ]
+    # one atomic replace: the old rewrite-then-append left a window where a
+    # crash had already deleted the folder's previous rows but not yet
+    # written the new ones
+    tmp = csv_output_file + ".tmp"
+    with open(tmp, "w", newline="") as f:
         writer = csv.writer(f)
-        if not path_exists:
-            writer.writerow(header)
+        writer.writerow(header)
+        writer.writerows(existing_data)
         for strain in cell_density:
             writer.writerow(
                 [h5_folder, strain, cell_density[strain], cell_area_ratio[strain], cell_count[strain]]
             )
+    os.replace(tmp, csv_output_file)

@@ -153,6 +153,41 @@ class TestMultiChannelFlow:
         write_merged_cell_position_info(merged, str(exp_dir / "merged.csv"), rfp_area, CFG)
         assert _read(merged_csv) == _read(exp_dir / "merged.csv")
 
+    def test_missing_channel_raises_clearly(self, tmp_path):
+        """A multi-strain folder lacking the DAPI capture must raise a
+        ValueError naming the missing channel, not a bare KeyError."""
+        folder = tmp_path / "6B07_C3M10" / "48h" / "Tp_9_48h_60X_1"
+        folder.mkdir(parents=True)
+        rfp_types = {1: "Particle", 2: "Background"}
+        rfp = synthetic_label_plane(
+            seed=44, cell_types=rfp_types, shape=(96, 96),
+            n_cells_per_strain=0, n_clusters_per_strain=0,
+        )
+        files = ["Tp_9_48h_60X_1_RFP_labels.h5"]
+        save_h5_plane(str(folder / files[0]), rfp)
+        with pytest.raises(ValueError, match="DAPI"):
+            experiment.process_multiple_h5_files(
+                str(folder), files, CFG, make_figures=False
+            )
+
+    def test_trailing_slash_folder_name(self, tmp_path):
+        """A trailing-slash folder path must not produce empty density-CSV
+        keys / figure titles (split('/')[-1] regression)."""
+        folder = tmp_path / "3D05" / "24h" / "Tp_7_24h_60X_2"
+        folder.mkdir(parents=True)
+        types = {1: "3D05", 2: "Particle", 3: "Background"}
+        img = synthetic_label_plane(seed=45, cell_types=types, shape=(96, 96))
+        name = "Tp_7_3D05_24h_60X_2_labels.h5"
+        save_h5_plane(str(folder / name), img)
+        experiment.process_single_h5_file(
+            str(folder) + "/", name, CFG, make_figures=False
+        )
+        density_csv = folder.parent / "3D05_24h_cell_density_info.csv"
+        rows = _read(density_csv).strip().splitlines()
+        assert all(
+            r.startswith("Tp_7_24h_60X_2,") for r in rows[1:]
+        ), rows
+
     def test_two_channel_3d05_6b07(self, tmp_path):
         folder = tmp_path / "3D05_6B07" / "24h" / "Tp_1_24h_60X_7"
         folder.mkdir(parents=True)
