@@ -238,9 +238,16 @@ def _roi_batched(
         # reduction is free anyway
         sums = jnp.sum(resized[:, None] * isotopes[None], axis=(-2, -1))
         solid = jnp.floor(resized) >= 1
-        cnt = jnp.maximum(jnp.sum(solid, axis=(1, 2)), 1)
-        cx = jnp.sum(jnp.where(solid, cols[None], 0.0), axis=(1, 2)) / cnt + 1.0
-        cy = jnp.sum(jnp.where(solid, rows[None], 0.0), axis=(1, 2)) / cnt + 1.0
+        cnt = jnp.sum(solid, axis=(1, 2))
+        # a real ROI whose antialias-downscale dissolves (no pixel >= 1)
+        # has no centroid: NaN, not a silent (1,1) corner coordinate
+        # (MATLAB's regionprops on the empty solid mask errors loudly)
+        safe = jnp.maximum(cnt, 1)
+        cx = jnp.sum(jnp.where(solid, cols[None], 0.0), axis=(1, 2)) / safe + 1.0
+        cy = jnp.sum(jnp.where(solid, rows[None], 0.0), axis=(1, 2)) / safe + 1.0
+        nan = jnp.float32(jnp.nan)
+        cx = jnp.where(cnt > 0, cx, nan)
+        cy = jnp.where(cnt > 0, cy, nan)
         return sums, jnp.stack([cx, cy], axis=-1)
 
     ids = jnp.arange(1, num_rois + 1).reshape(-1, chunk)
@@ -265,10 +272,14 @@ def _roi_scan(labels: jnp.ndarray, isotopes: jnp.ndarray, num_rois: int, out_siz
         resized = _resize_acq(mask, out_size)
         sums = jnp.sum(isotopes * resized[None], axis=(1, 2))
         solid = jnp.floor(resized) >= 1
-        cnt = jnp.maximum(jnp.sum(solid), 1)
-        cx = jnp.sum(jnp.where(solid, cols, 0.0)) / cnt + 1.0
-        cy = jnp.sum(jnp.where(solid, rows, 0.0)) / cnt + 1.0
-        return None, (sums, jnp.stack([cx, cy]))
+        cnt = jnp.sum(solid)
+        safe = jnp.maximum(cnt, 1)  # dissolved ROI -> NaN (see one_chunk)
+        cx = jnp.sum(jnp.where(solid, cols, 0.0)) / safe + 1.0
+        cy = jnp.sum(jnp.where(solid, rows, 0.0)) / safe + 1.0
+        nan = jnp.float32(jnp.nan)
+        return None, (sums, jnp.stack([
+            jnp.where(cnt > 0, cx, nan), jnp.where(cnt > 0, cy, nan)
+        ]))
 
     _, (sums, cents) = jax.lax.scan(
         body, None, jnp.arange(1, num_rois + 1), length=num_rois
@@ -410,6 +421,11 @@ def analyze_nanosims(
         nearest = np.concatenate([a_near, b_near]) / (
             cfg.distance_size_px / cfg.raster_um
         )
+    elif red.num_rois or green.num_rois:
+        # one painted class only: there IS no other-class neighbor — NaN
+        # per ROI keeps data_dist_nearest.csv written and the bound CSV at
+        # its documented 19 columns instead of silently shifting layouts
+        nearest = np.full((red.num_rois + green.num_rois,), np.nan)
 
     if cfg.compat_green_o_bug:
         # ref :210-213: the green loop accumulates its O17/O18 maps into the
@@ -480,8 +496,12 @@ def run_nanosims(
         bound_rgb_cropped = crop_to_content(
             bound_rgb, imcrop_rect=cfg.compat_imcrop_rect
         )
-        bd = boundary_distances(result, bound_rgb_cropped, acq, cfg)
+        # ONE mask for both the distances and the figure export, so a
+        # future threshold change cannot make them disagree silently
         bound_mask_img = boundary_class_mask(bound_rgb_cropped)
+        bd = boundary_distances(
+            result, bound_rgb_cropped, acq, cfg, bound_mask=bound_mask_img
+        )
         base = (
             np.column_stack([result.all_data, result.nearest])
             if result.nearest is not None
@@ -510,6 +530,7 @@ def boundary_distances(
     bound_rgb_cropped: np.ndarray,
     acquisition_size: int,
     cfg: NanoSIMSConfig = NanoSIMSConfig(),
+    bound_mask: Optional[np.ndarray] = None,
 ) -> np.ndarray:
     """Min distance from each ROI to the painted aggregate boundary, µm
     (ref :270-309).
@@ -527,7 +548,9 @@ def boundary_distances(
         analysis and rendering cannot diverge on the compat flag.
       acquisition_size: side of the cropped isotope planes (n−2).
     """
-    red = boundary_class_mask(bound_rgb_cropped)
+    red = bound_mask if bound_mask is not None else boundary_class_mask(
+        bound_rgb_cropped
+    )
     bd = np.asarray(boundary_mask(jnp.asarray(red)))
     ys, xs = np.nonzero(bd)
     if len(ys) == 0:
