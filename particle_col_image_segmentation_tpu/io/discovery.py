@@ -76,7 +76,12 @@ def get_similar_files(file_name: str, folder: str) -> List[str]:
     clean = remove_channels(file_name).replace("_zstack", "").replace(".tif", "")
     for file in os.listdir(folder):
         check = remove_channels(file).replace("_zstack", "").replace(".tif", "")
-        if clean in check and ("_mip.tif" in file.lower() or ".jpg" in file.lower()):
+        # token-boundary match, not substring (reference :44 uses `in`):
+        # 'run_Pos1' must not steal 'run_Pos10_mip.tif' — a substring hit
+        # silently misfiles the sibling acquisition's MIP on disk
+        if (check == clean or check.startswith(clean + "_")) and (
+            "_mip.tif" in file.lower() or ".jpg" in file.lower()
+        ):
             similar.append(os.path.join(folder, file))
     return similar
 

@@ -78,7 +78,7 @@ def _quad_figure(
         ax10 = fig.add_subplot(gs[1, :])
         ax11 = None
     else:
-        fig, axes = plt.subplots(2, 2, figsize=(16, 16))
+        axes = fig.subplots(2, 2)
         (ax00, ax01), (ax10, ax11) = axes
     fig.suptitle(base_name, fontsize=20, y=0.98)
     plt.subplots_adjust(top=0.9)
@@ -101,8 +101,9 @@ def _quad_figure(
     plt.tight_layout()
     plt.subplots_adjust(top=0.95, bottom=0.05)
     plt.savefig(f"{output_name}_plots.png", dpi=300)
+    # close only OUR figure: close("all") would tear down figures a batch
+    # caller is still composing in the same process
     plt.close(fig)
-    plt.close("all")
     return fig
 
 
@@ -110,7 +111,13 @@ def create_channel_plots(
     raw_arr, strain, cmap, norm, base_name, output_name, denoised_arr,
     overlap_arr=None, cell_positions=None, cell_clusters=None,
 ):
-    """Per-channel 2×2 (or 3-panel) figure (reference :346-462)."""
+    """Per-channel 2×2 (or 3-panel) figure (reference :346-462).
+
+    ``strain`` is accepted for reference signature parity but is
+    behaviorally dead there too: the reference computes min_cell_area from
+    it (:381) only for titles that are commented out (:384-401).
+    """
+    del strain
     return _quad_figure(
         raw_arr, cmap, norm, base_name, output_name, denoised_arr, overlap_arr,
         cell_positions, cell_clusters, three_panel_when_no_overlap=True,
@@ -153,7 +160,9 @@ def visualize_dapi_overlap_results(
     """2×2 DAPI-overlap figure (reference :290-343) — input arrays are NOT
     mutated (the reference overwrites original_rfp in place at :321)."""
     fig, axes = plt.subplots(2, 2, figsize=(20, 20))
-    fig.suptitle(f"{base_name} DAPI-RFP Overlap", fontsize=20, y=0.98)
+    fig.suptitle(
+        f"{base_name} DAPI-{other_channel_name} Overlap", fontsize=20, y=0.98
+    )
     plt.subplots_adjust(top=0.8)
 
     axes[0, 0].imshow(original_dapi, cmap=dapi_cmap, norm=dapi_norm)

@@ -20,7 +20,7 @@ matplotlib.use("Agg")
 import matplotlib.pyplot as plt  # noqa: E402
 
 
-def save_rois_figure(rois_rgb: np.ndarray, out_path: str) -> None:
+def save_rois_figure(rois_rgb: np.ndarray, out_path: str) -> plt.Figure:
     """The cropped painted-ROI image, exported as PNG and (when out_path
     ends in .png) the reference's sibling SVG too (reference :87-89)."""
     fig, ax = plt.subplots(figsize=(8, 8))
@@ -33,7 +33,7 @@ def save_rois_figure(rois_rgb: np.ndarray, out_path: str) -> None:
     return fig
 
 
-def save_bound_paint_figure(bound_rgb: np.ndarray, out_path: str) -> None:
+def save_bound_paint_figure(bound_rgb: np.ndarray, out_path: str) -> plt.Figure:
     """The cropped painted boundary image (reference :271-277)."""
     fig, ax = plt.subplots(figsize=(8, 8))
     ax.imshow(bound_rgb)
@@ -43,17 +43,26 @@ def save_bound_paint_figure(bound_rgb: np.ndarray, out_path: str) -> None:
     return fig
 
 
-def save_annotations_figure(result, rois_rgb: np.ndarray, out_path: str) -> None:
+def save_annotations_figure(result, rois_rgb: np.ndarray, out_path: str) -> plt.Figure:
     """Painted ROIs with per-ROI indices at painted-space centroids
     (reference :167-169, :231-233, :236)."""
     fig, ax = plt.subplots(figsize=(8, 8))
     ax.imshow(rois_rgb)
     for cls in (result.red, result.green):
-        lab = cls.labels
-        for i in range(1, cls.num_rois + 1):
-            ys, xs = np.nonzero(lab == i)
-            if len(ys):
-                ax.text(xs.mean(), ys.mean(), str(i), fontsize=6, color="w")
+        lab = np.asarray(cls.labels).ravel()
+        n = cls.num_rois
+        if n == 0:
+            continue
+        # one bincount pass for all centroids (a per-ROI nonzero scan is
+        # O(R·H·W) — hundreds of full-image passes just to place text)
+        H, W = np.asarray(cls.labels).shape
+        cnt = np.bincount(lab, minlength=n + 1)
+        ys = np.bincount(lab, weights=np.repeat(np.arange(H), W), minlength=n + 1)
+        xs = np.bincount(lab, weights=np.tile(np.arange(W), H), minlength=n + 1)
+        for i in range(1, n + 1):
+            if cnt[i]:
+                ax.text(xs[i] / cnt[i], ys[i] / cnt[i], str(i), fontsize=6,
+                        color="w")
     ax.axis("off")
     fig.savefig(out_path, bbox_inches="tight", dpi=300)
     plt.close(fig)
@@ -62,7 +71,7 @@ def save_annotations_figure(result, rois_rgb: np.ndarray, out_path: str) -> None
 
 def save_cell_position_figure(
     result, n14c12_img: np.ndarray, out_path: str
-) -> None:
+) -> plt.Figure:
     """Red/green ROI centroids over the N14C12 display image
     (reference :246-250)."""
     fig, ax = plt.subplots(figsize=(8, 8))
@@ -85,7 +94,7 @@ def save_cell_position_figure(
 
 def save_boundary_figure(
     bound_mask: np.ndarray, n14c12_img: np.ndarray, out_path: str
-) -> None:
+) -> plt.Figure:
     """Aggregate boundary over the N14C12 display image (reference :294-297)."""
     import jax.numpy as jnp
 

@@ -183,6 +183,22 @@ class TestDiscovery:
         assert remove_channels("Tp_RFP_1_zstack.tif") == "Tp_1_zstack.tif"
         assert clean_acquisition_name("Tp_GFP_2_zstack.tif") == "Tp_2"
 
+    def test_similar_files_token_boundary(self, tmp_path):
+        """'run_Pos1' must not claim 'run_Pos10_mip.tif' — a substring
+        match silently misfiled the sibling acquisition's MIP on disk."""
+        names = [
+            "run_Pos1_DAPI_zstack.tif",
+            "run_Pos1_DAPI_mip.tif",
+            "run_Pos10_DAPI_mip.tif",
+        ]
+        for n in names:
+            (tmp_path / n).write_bytes(b"x")
+        got = {
+            os.path.basename(p)
+            for p in get_similar_files("run_Pos1_DAPI_zstack.tif", str(tmp_path))
+        }
+        assert got == {"run_Pos1_DAPI_zstack.tif", "run_Pos1_DAPI_mip.tif"}
+
     def test_normalize_capture_tree(self, tmp_path, monkeypatch):
         d = tmp_path / "cap" / "run1"
         d.mkdir(parents=True)
