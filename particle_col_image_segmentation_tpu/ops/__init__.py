@@ -15,7 +15,12 @@ from particle_col_image_segmentation_tpu.ops.regionprops import (  # noqa: F401
     centroids_int,
     region_props,
 )
-from particle_col_image_segmentation_tpu.ops.edt import edt, edt_sq  # noqa: F401
+from particle_col_image_segmentation_tpu.ops.edt import (  # noqa: F401
+    edt,
+    edt_exact,
+    edt_sq,
+    edt_sq_exact,
+)
 from particle_col_image_segmentation_tpu.ops.morphology import (  # noqa: F401
     boundary_mask,
     close_disk,

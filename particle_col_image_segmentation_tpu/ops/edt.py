@@ -4,10 +4,13 @@ Replaces scipy.ndimage.distance_transform_edt at the reference call sites
 (tiff_analysis.py:996 — threshold at 2 px; refine_boundaries.py:60 — marker
 seeding) with a two-phase TPU-friendly transform:
 
-  phase 1 (columns): capped distance to the nearest feature pixel in the same
-    column, via two log-depth directional scans;
-  phase 2 (rows):    d²(r,c) = min over |dx| ≤ cap of dx² + dv(r, c+dx)²,
-    an unrolled 2·cap+1-tap vector min.
+  phase 1 (within each row, along the lane axis −1): capped distance to the
+    nearest feature pixel in the same ROW, via two log-depth directional
+    scans;
+  phase 2 (across rows, along the sublane axis −2):
+    d²(r,c) = min over |dy| ≤ cap of dy² + dh(r+dy, c)², an unrolled
+    2·cap+1-tap vector min over row-shifted planes.  This is the axis that
+    needs the cap-row halo when spatially sharded (parallel/sharded.py).
 
 The result is *exact* wherever the true distance ≤ cap (offsets beyond the
 cap can only produce distances > cap).  Pixels farther than cap get a value
@@ -25,7 +28,7 @@ import jax.numpy as jnp
 
 from particle_col_image_segmentation_tpu.ops.scans import directional_distance
 
-__all__ = ["edt_sq", "edt"]
+__all__ = ["edt_sq", "edt", "edt_sq_exact", "edt_exact"]
 
 
 @partial(jax.jit, static_argnames=("cap",))

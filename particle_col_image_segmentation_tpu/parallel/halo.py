@@ -30,6 +30,9 @@ def exchange_rows(x: jnp.ndarray, halo: int, axis_name: str = SPACE_AXIS):
     """
     n = jax.lax.axis_size(axis_name)
     h_loc = x.shape[-2]
+    if halo == 0:  # zero hops would leave the part lists empty (IndexError)
+        empty = x[..., :0, :]
+        return empty, empty
     hops = -(-halo // h_loc)  # ceil
 
     # Ship only the rows each hop actually contributes (the far hop carries
@@ -69,6 +72,12 @@ def pad_with_halo(
     plane edges.  'constant' supports halos larger than the band height
     (multi-hop exchange); 'symmetric' requires halo ≤ h (its only user is
     the small median window)."""
+    if edge_mode not in ("symmetric", "constant"):
+        # silently zero-filling for a typo'd numpy-style mode ("reflect",
+        # "mirror") would corrupt edge rows with no error
+        raise ValueError(f"edge_mode must be 'symmetric' or 'constant', got {edge_mode!r}")
+    if halo == 0:
+        return x
     n = jax.lax.axis_size(axis_name)
     idx = jax.lax.axis_index(axis_name)
     h_loc = x.shape[-2]

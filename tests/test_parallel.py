@@ -152,6 +152,31 @@ def test_sharded_merge_matches_single_chip(n_data, n_space):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_pad_with_halo_zero_and_bad_mode():
+    """halo == 0 must no-op (reachable via --cell-cluster-distance-threshold
+    1 → merge disk radius 0); an unknown edge_mode must raise instead of
+    silently zero-filling plane edges."""
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from particle_col_image_segmentation_tpu.parallel.halo import pad_with_halo
+    from particle_col_image_segmentation_tpu.parallel.mesh import SPACE_AXIS
+
+    mesh = make_mesh(n_data=1, n_space=8)
+    x = np.arange(64 * 16, dtype=np.int32).reshape(64, 16)
+
+    def f(xs):
+        return pad_with_halo(xs, 0, edge_mode="constant")
+
+    out = jax.jit(jax.shard_map(
+        f, mesh=mesh, in_specs=P(SPACE_AXIS, None),
+        out_specs=P(SPACE_AXIS, None),
+    ))(jnp.asarray(x))
+    np.testing.assert_array_equal(np.asarray(out), x)
+    with pytest.raises(ValueError, match="edge_mode"):
+        pad_with_halo(jnp.zeros((8, 8)), 1, edge_mode="reflect")
+
+
 def test_make_mesh_rejects_degenerate_shapes():
     """Empty / oversubscribed meshes and silent remainder drops raise;
     an explicit subset stays legal (used by the DP-only tests)."""
