@@ -392,8 +392,39 @@ def measure_copy_gbps() -> float:
     return (2 * x.nbytes / 1e9) / dt
 
 
+def _probe_platform(timeout_s: int = 900) -> str:
+    """Bounded device-backend probe in a SUBPROCESS.
+
+    A wedged TPU relay makes in-process backend init hang indefinitely
+    (observed 2026-08-17: axon init blocked > 400 s, then UNAVAILABLE);
+    probing out-of-process lets the bench fall back to CPU and still emit
+    its one JSON line instead of hanging the driver forever.
+    """
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; d = jax.devices(); print(d[0].platform)"],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+        if r.returncode == 0:
+            return r.stdout.strip().splitlines()[-1]
+    except subprocess.TimeoutExpired:
+        pass
+    return "unavailable"
+
+
 def main():
     import tempfile
+
+    platform = _probe_platform()
+    if platform in ("unavailable", "cpu"):
+        import jax
+
+        # never touch the (hung/absent) device backend in this process
+        jax.config.update("jax_platforms", "cpu")
 
     batch = np.stack([make_plane(s) for s in range(BATCH)])
     device_mps = bench_device(batch)
@@ -413,6 +444,9 @@ def main():
                 "vs_baseline": round(device_mps / baseline_mps, 2),
                 "mask_exact_parity": bool(parity),
                 "watershed_boundary_iou": round(iou, 4),
+                # "unavailable" = device backend hung/absent, numbers are
+                # the CPU-fallback path — NOT chip throughput
+                "platform": platform,
                 "platform_copy_gbps": round(measure_copy_gbps(), 2),
                 # one number per BASELINE.json config (VERDICT r1 #2)
                 "configs": {

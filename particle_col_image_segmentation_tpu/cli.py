@@ -62,8 +62,14 @@ def _cfg_from_args(args) -> AnalysisConfig:
 
 
 def main(argv=None) -> int:
+    # usage text must show how the tool was ACTUALLY invoked: the installed
+    # console script by its own name, `python -m` runs by the module form
+    # (argparse's default would print the unrunnable "cli.py")
+    prog = os.path.basename(sys.argv[0] or "")
+    if prog in ("", "cli.py", "__main__.py"):
+        prog = "python -m particle_col_image_segmentation_tpu"
     parser = argparse.ArgumentParser(
-        prog="particle_col_image_segmentation_tpu",
+        prog=prog,
         description=__doc__,
         formatter_class=argparse.RawDescriptionHelpFormatter,
     )
@@ -224,14 +230,19 @@ def main(argv=None) -> int:
             get_h5_files_recursively,
         )
         from particle_col_image_segmentation_tpu.io.hdf5 import load_h5_plane
-        from particle_col_image_segmentation_tpu.models.batch import run_batch
+        from particle_col_image_segmentation_tpu.models.batch import (
+            derive_class_values,
+            run_batch,
+        )
         from particle_col_image_segmentation_tpu.oracle.reference_pipeline import (
             normalize_ds_arr,
         )
 
-        from particle_col_image_segmentation_tpu.models.batch import (
-            derive_class_values,
-        )
+        if args.data_parallel and args.batch_size % args.data_parallel != 0:
+            parser.error(
+                "--batch-size must be a multiple of --data-parallel "
+                f"(got {args.batch_size} and {args.data_parallel})"
+            )
 
         cfg = AnalysisConfig(max_regions=args.max_regions)
         folder_to_files = get_h5_files_recursively(args.folder)
@@ -278,9 +289,14 @@ def main(argv=None) -> int:
         sink = None
         writer = None
         if args.csv:
-            # append on a manifest resume: truncating would permanently lose
-            # the rows of planes the manifest now skips
-            resume = manifest is not None and os.path.exists(args.csv)
+            # append on an ACTUAL manifest resume (completed planes exist
+            # whose rows live only in the old CSV): truncating would lose
+            # them.  A fresh manifest + leftover CSV must truncate, or every
+            # re-processed plane appends a duplicate row.
+            resume = (
+                manifest is not None and manifest.done_count > 0
+                and os.path.exists(args.csv)
+            )
             sink = open(args.csv, "a" if resume else "w", newline="")
             writer = _csv.writer(sink)
             if not resume:
@@ -322,6 +338,11 @@ def main(argv=None) -> int:
                             [path, stats.num_regions, stats.particle_px,
                              stats.cell_px, status]
                         )
+                        # flush BEFORE control returns to run_batch, which
+                        # fsyncs the manifest next: a crash after mark_done
+                        # with this row still buffered would lose it forever
+                        # (resume skips the plane)
+                        sink.flush()
         finally:
             if sink is not None:
                 sink.close()
@@ -332,6 +353,12 @@ def main(argv=None) -> int:
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             "bench.py",
         )
+        if not os.path.exists(bench):
+            # bench.py ships with the source checkout, not the wheel
+            parser.error(
+                f"bench.py not found at {bench} — the benchmark runs from a "
+                "source checkout (git clone), not an installed package"
+            )
         return subprocess.call([sys.executable, bench])
     return 0
 
