@@ -71,8 +71,15 @@ def read_zstack(path: str, num_channels: Optional[int] = None) -> np.ndarray:
     if meta_ch is not None:
         num_channels = meta_ch
     if num_channels is not None and arr.ndim == 3:
-        z = arr.shape[0] // num_channels
-        arr = arr[: z * num_channels].reshape(z, num_channels, *arr.shape[1:])
+        z, rem = divmod(arr.shape[0], num_channels)
+        if rem or z == 0:
+            # silently dropping the remainder pages (or the whole stack
+            # when pages < channels) is data loss with no diagnostic
+            raise ValueError(
+                f"{path}: {arr.shape[0]} pages do not group into "
+                f"{num_channels} channels"
+            )
+        arr = arr.reshape(z, num_channels, *arr.shape[1:])
     return arr
 
 

@@ -49,8 +49,13 @@ def get_clean_file_name(input_file: str) -> Tuple[str, str]:
 
 
 def create_channel_folder(destination: str, used_channels: str, channel_name: str) -> str:
-    """Derive and create the per-channel output folder (reference :32-36)."""
-    tokens = (".tif", "_mip") + ((used_channels,) if used_channels else ())
+    """Derive and create the per-channel output folder (reference :32-36).
+
+    The extension token strips case-insensitively: the folder scan accepts
+    '.TIF' stacks, whose channel folders must not embed the extension."""
+    tokens = (".tif", ".TIF", "_mip") + (
+        (used_channels,) if used_channels else ()
+    )
     clean = _strip_tokens(destination, tokens) + "_" + channel_name
     create_folder(clean)
     return clean
@@ -68,6 +73,14 @@ def split_planes(
     channel_indices = list(channel_indices)
     for i, z_slice in enumerate(zstack):
         if z_slice.shape[0] != 4:
+            if z_slice.shape[0] < 2:
+                # the reference's fallback indexes channels {0, 1}; a
+                # 1-channel plane would IndexError inside the fancy index
+                raise ValueError(
+                    f"plane {i} has {z_slice.shape[0]} channel(s) — the "
+                    "2-channel RFP/GFP fallback (reference :53-55) needs "
+                    "at least 2"
+                )
             channel_map = {0: "RFP", 1: "GFP"}
             channel_indices = [0, 1]
         names = [channel_map[idx] for idx in channel_indices]
@@ -79,7 +92,7 @@ def split_planes(
 def process_tif(input_file: str, channel_indices: Sequence[int]) -> List[str]:
     """Move the stack into its clean folder, split planes per channel
     (reference :38-65). Returns written file paths."""
-    input_file_end = input_file.split("/")[-1].split(".")[0]
+    input_file_end, _, _ = os.path.basename(input_file).partition(".")
     used_channels, clean_file_name = get_clean_file_name(input_file)
     create_folder(clean_file_name)
     destination = os.path.join(clean_file_name, os.path.basename(input_file))
@@ -92,7 +105,9 @@ def process_tif(input_file: str, channel_indices: Sequence[int]) -> List[str]:
     # stacks inside it to move-only (same path-token bug class _strip_tokens
     # fixes for output naming)
     if (
-        not input_file.endswith(".tif")
+        not input_file.lower().endswith(".tif")  # process_folder matches
+        # extensions case-insensitively; '.TIF' stacks must split, not just
+        # move
         or "_mip" in os.path.basename(input_file).lower()
     ):
         return []
@@ -101,12 +116,22 @@ def process_tif(input_file: str, channel_indices: Sequence[int]) -> List[str]:
     # as tifffile reconstructs [Z, C, H, W] for the reference (:50-51).
     n_ch = 4 if used_channels == "_CY5_RFP_GFP_DAPI" else 2
     zstack = read_zstack(destination, num_channels=n_ch)
-    if zstack.ndim == 3:  # single plane [C,H,W]
-        zstack = zstack[None]
+    if zstack.ndim == 2:
+        # a single-PAGE file named like a z-stack: row-iterating it (what
+        # the reference's loop would do) writes per-row garbage fragments
+        raise ValueError(
+            f"{destination} has a single 2-D page — not a splittable "
+            "z-stack (mips are move-only; rename without '_zstack')"
+        )
     written = []
+    folders = {}  # channel name → created output folder (loop-invariant)
+    channel_file_name = input_file_end.replace(used_channels, "")
     for i, channel_name, plane in split_planes(zstack, channel_indices):
-        channel_folder = create_channel_folder(destination, used_channels, channel_name)
-        channel_file_name = input_file_end.replace(used_channels, "")
+        channel_folder = folders.get(channel_name)
+        if channel_folder is None:
+            channel_folder = folders[channel_name] = create_channel_folder(
+                destination, used_channels, channel_name
+            )
         output_file = os.path.join(
             channel_folder, f"{channel_file_name}_z{i}_{channel_name}.tif"
         )
@@ -116,16 +141,36 @@ def process_tif(input_file: str, channel_indices: Sequence[int]) -> List[str]:
 
 
 def process_folder(top_level_folder: str, channel_indices: Sequence[int]) -> None:
-    """One-level scan for _zstack.tif / _mip.tif / _mip.jpg (reference :73-89)."""
-    for folder in os.listdir(top_level_folder):
+    """One-level scan for _zstack.tif / _mip.tif / _mip.jpg (reference :73-89).
+
+    One malformed capture must not abort the whole scan (earlier files are
+    already renamed into their clean folders): failures are logged with the
+    path and the scan continues.
+    """
+    import logging
+
+    log = logging.getLogger(__name__)
+    failed = []
+    for folder in sorted(os.listdir(top_level_folder)):
         folder_path = os.path.join(top_level_folder, folder)
         if not os.path.isdir(folder_path) or folder.startswith("."):
             continue
-        for file in os.listdir(folder_path):
+        for file in sorted(os.listdir(folder_path)):
             low = file.lower()
             if (
                 low.endswith("_zstack.tif")
                 or low.endswith("_mip.tif")
                 or low.endswith("_mip.jpg")
             ):
-                process_tif(os.path.join(folder_path, file), channel_indices)
+                path = os.path.join(folder_path, file)
+                try:
+                    process_tif(path, channel_indices)
+                except Exception as e:  # noqa: BLE001 — contain per file
+                    failed.append(path)
+                    log.error("split failed for %s: %s: %s", path,
+                              type(e).__name__, e)
+    if failed:
+        raise RuntimeError(
+            f"{len(failed)} capture(s) failed to split (all others "
+            f"completed): {failed}"
+        )

@@ -3,6 +3,7 @@
 import os
 
 import numpy as np
+import pytest
 
 from particle_col_image_segmentation_tpu.io.discovery import (
     clean_acquisition_name,
@@ -129,6 +130,54 @@ class TestZsplit:
         zsplit.process_folder(str(tmp_path / "exports_mip_top"), [1, 2])
         clean = acq / "Tp_7"
         rfp = clean / "Tp_7_zstack_RFP"
+        assert rfp.is_dir() and len(list(rfp.iterdir())) == 2
+
+    def test_indivisible_pages_raise(self, tmp_path):
+        """Pages not grouping into the channel count must raise, not
+        silently drop the remainder (or the whole stack)."""
+        from particle_col_image_segmentation_tpu.io.tiff import read_zstack
+
+        stack = np.zeros((5, 8, 8), np.uint8)  # 5 pages, 2 channels
+        p = str(tmp_path / "odd.tif")
+        write_tiff(p, stack)
+        with pytest.raises(ValueError, match="do not group"):
+            read_zstack(p, num_channels=2)
+
+    def test_one_channel_fallback_raises(self):
+        stack = np.zeros((2, 1, 4, 4), np.uint16)
+        with pytest.raises(ValueError, match="at least 2"):
+            list(zsplit.split_planes(stack, [1, 2]))
+
+    def test_uppercase_tif_still_splits(self, tmp_path, monkeypatch):
+        """'.TIF' matches the folder scan case-insensitively; process_tif
+        must split it, not silently move-only."""
+        acq = tmp_path / "top" / "acq1"
+        acq.mkdir(parents=True)
+        stack = (
+            np.random.default_rng(9).integers(0, 255, (2, 2, 16, 16)).astype(np.uint8)
+        )
+        write_tiff(str(acq / "Tp_RFP_GFP_8_zstack.TIF"), stack.reshape(4, 16, 16))
+        monkeypatch.chdir(tmp_path)
+        zsplit.process_folder(str(tmp_path / "top"), [1, 2])
+        rfp = tmp_path / "top" / "acq1" / "Tp_8" / "Tp_8_zstack_RFP"
+        assert rfp.is_dir() and len(list(rfp.iterdir())) == 2
+
+    def test_bad_capture_does_not_stop_scan(self, tmp_path, monkeypatch):
+        """One malformed capture is reported at the end; the others split."""
+        acq = tmp_path / "top" / "acq1"
+        acq.mkdir(parents=True)
+        good = (
+            np.random.default_rng(3).integers(0, 255, (2, 2, 16, 16)).astype(np.uint8)
+        )
+        # 'aaa' sorts before the good capture, so the failure comes first
+        write_tiff(str(acq / "Tp_RFP_GFP_aaa_zstack.tif"),
+                   np.zeros((5, 16, 16), np.uint8))  # 5 pages ÷ 2 channels
+        write_tiff(str(acq / "Tp_RFP_GFP_zzz_zstack.tif"),
+                   good.reshape(4, 16, 16))
+        monkeypatch.chdir(tmp_path)
+        with pytest.raises(RuntimeError, match="1 capture"):
+            zsplit.process_folder(str(tmp_path / "top"), [1, 2])
+        rfp = tmp_path / "top" / "acq1" / "Tp_zzz" / "Tp_zzz_zstack_RFP"
         assert rfp.is_dir() and len(list(rfp.iterdir())) == 2
 
     def test_mip_tif_moved_not_split(self, tmp_path, monkeypatch):
