@@ -27,6 +27,9 @@ H = W = 2048
 # the larger batch now wins); PCIS_BENCH_BATCH overrides for tuning runs
 BATCH = int(os.environ.get("PCIS_BENCH_BATCH", "32"))
 ITERS = 6
+# device backend unavailable → every config shrinks to smoke sizes (the
+# JSON's "platform" field marks the numbers as non-chip)
+FALLBACK = False
 # capacity ≥ actual regions (~12.6k); 16383 → table rows = 16384 = 128·128,
 # so the MXU histogram's q one-hot has zero pad rows (11% fewer MACs)
 MAX_REGIONS = 16383
@@ -134,7 +137,7 @@ def watershed_boundary_iou() -> Tuple[float, float]:
     from particle_col_image_segmentation_tpu.oracle import ndimage as ond
     from particle_col_image_segmentation_tpu.utils.metrics import boundary_iou
 
-    n = 512
+    n = 128 if FALLBACK else 512
     rng = np.random.default_rng(0)
     m = np.zeros((n, n), bool)
     yy, xx = np.mgrid[:n, :n]
@@ -158,7 +161,7 @@ def watershed_boundary_iou() -> Tuple[float, float]:
 
     # B=16: same wall time as B=8 on v5e (fixed dispatch + loop overhead
     # dominates small batches), 2× the MP/s; B=32 measured worse
-    B = 16
+    B = 2 if FALLBACK else 16
     stack = jnp.asarray(np.stack(
         [np.roll(prob, 17 * b, axis=1) for b in range(B)]
     ))
@@ -193,7 +196,7 @@ def bench_config1():
         threshold_and_count,
     )
 
-    n = 512
+    n = 128 if FALLBACK else 512
     rng = np.random.default_rng(1)
     img = (rng.random((n, n)) * 400).astype(np.uint16)
     yy, xx = np.mgrid[:n, :n]
@@ -254,7 +257,7 @@ def bench_config2(tmpdir: str):
         threshold_and_count_batch,
     )
 
-    n, planes, stacks = 512, 24, 4
+    n, planes, stacks = (128, 4, 1) if FALLBACK else (512, 24, 4)
     rng = np.random.default_rng(2)
     yy, xx = np.mgrid[:n, :n]
     paths = []
@@ -419,12 +422,17 @@ def _probe_platform(timeout_s: int = 900) -> str:
 def main():
     import tempfile
 
+    global BATCH, ITERS, FALLBACK
     platform = _probe_platform()
     if platform in ("unavailable", "cpu"):
         import jax
 
         # never touch the (hung/absent) device backend in this process
         jax.config.update("jax_platforms", "cpu")
+        # fallback numbers are smoke coverage, not chip throughput (the
+        # JSON's "platform" says so) — full sizes would run for hours on
+        # the host and look like a hang to the driver
+        BATCH, ITERS, FALLBACK = 2, 1, True
 
     batch = np.stack([make_plane(s) for s in range(BATCH)])
     device_mps = bench_device(batch)
