@@ -42,8 +42,16 @@ class RunManifest:
         rec = {"key": key, "status": "done", "ts": time.time()}
         if meta:
             rec["meta"] = meta
-        with open(self.path, "a") as f:
-            f.write(json.dumps(rec) + "\n")
+        with open(self.path, "ab+") as f:
+            # a crash can leave a torn partial last line (ignored on load);
+            # appending onto it would weld this record into the garbage and
+            # lose BOTH — terminate the tail first
+            f.seek(0, os.SEEK_END)
+            if f.tell() > 0:
+                f.seek(-1, os.SEEK_END)
+                if f.read(1) != b"\n":
+                    f.write(b"\n")
+            f.write((json.dumps(rec) + "\n").encode())
             f.flush()
             os.fsync(f.fileno())
         self._done.add(key)

@@ -40,6 +40,11 @@ class TestManifest:
             f.write('{"key": "b", "sta')  # crash mid-write
         m = RunManifest(p)
         assert m.is_done("a") and not m.is_done("b")
+        # appending after the torn tail must not weld the new record into
+        # the garbage line (losing BOTH on the next resume)
+        m.mark_done("b")
+        m3 = RunManifest(p)
+        assert m3.is_done("a") and m3.is_done("b") and m3.done_count == 2
 
 
 class TestLoader:
