@@ -16,7 +16,9 @@ import numpy as np
 from scipy import ndimage as ndi
 
 from particle_col_image_segmentation_tpu.config import (
+    BASE_TYPE_MAP,
     CELL_TYPES,
+    STRAIN_MAP,
     AnalysisConfig,
     DEFAULT_CONFIG,
 )
@@ -32,8 +34,12 @@ from particle_col_image_segmentation_tpu.oracle.ndimage import (
 def normalize_ds_arr(ds_arr: np.ndarray, cfg: AnalysisConfig = DEFAULT_CONFIG) -> np.ndarray:
     """Squeeze (H,W,1) / (1,H,W) → (H,W) (reference: tiff_analysis.py:727-737).
 
-    The reference hardcodes H=W=2048; we accept any square plane unless
-    ``cfg.enforce_reference_shape`` is set.
+    The reference hardcodes H=W=2048; we accept any 2-D plane (the device
+    kernels handle rectangular shapes; the reference itself squeezes ANY
+    trailing-1 shape without checking squareness) unless
+    ``cfg.enforce_reference_shape`` pins the exact 2048².  A squeeze that
+    still leaves >2 dims raises — the reference would silently hand a 3-D
+    array to skimage.label (defect class, SURVEY §2.6).
     """
     if ds_arr.shape[-1] == 1:
         out = np.squeeze(ds_arr)
@@ -41,8 +47,8 @@ def normalize_ds_arr(ds_arr: np.ndarray, cfg: AnalysisConfig = DEFAULT_CONFIG) -
         out = ds_arr[0]
     else:
         out = ds_arr
-    if out.ndim != 2 or out.shape[0] != out.shape[1]:
-        raise ValueError(f"DS arr shape is not a square plane. Shape: {ds_arr.shape}")
+    if out.ndim != 2:
+        raise ValueError(f"DS arr is not a single plane. Shape: {ds_arr.shape}")
     if cfg.enforce_reference_shape and out.shape != (2048, 2048):
         raise ValueError(f"DS arr shape is not 2048². Shape: {ds_arr.shape}")
     return out
@@ -319,8 +325,6 @@ def combine_channels(
 ) -> np.ndarray:
     """Stamp each non-3D05 strain's cell pixels into the fused base array
     (reference: tiff_analysis.py:233-249)."""
-    from particle_col_image_segmentation_tpu.config import BASE_TYPE_MAP, STRAIN_MAP
-
     for strain in cell_strains:
         if strain == "3D05":
             continue
