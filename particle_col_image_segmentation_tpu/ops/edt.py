@@ -77,6 +77,65 @@ def edt(feature: jnp.ndarray, cap: int) -> jnp.ndarray:
     return jnp.sqrt(edt_sq(feature, cap).astype(jnp.float32))
 
 
+def row_dh2_exact(feature: jnp.ndarray, inf) -> jnp.ndarray:
+    """Phase 1 of the exact EDT: per-row squared horizontal distance to the
+    nearest feature in the same row; ``inf`` for featureless rows (they must
+    contribute +inf to the phase-2 min-plus, not a finite (W+1)² candidate,
+    or any pixel whose true nearest feature is farther than W+1 rows away
+    gets a too-small distance)."""
+    feature = feature.astype(bool)
+    W = feature.shape[-1]
+    capw = W + 1
+    right = directional_distance(feature, axis=-1, cap=capw)
+    left = jnp.flip(
+        directional_distance(jnp.flip(feature, -1), axis=-1, cap=capw), -1
+    )
+    dh = jnp.minimum(right, left).astype(jnp.int32)
+    return jnp.where(dh >= capw, inf, dh * dh)
+
+
+def minplus_rows(
+    dh2_src: jnp.ndarray,
+    r_idx: jnp.ndarray,
+    inf,
+    rows_per_step: int = 8,
+) -> jnp.ndarray:
+    """Phase 2 of the exact EDT: ``out[..., i, c] = min_j dh2_src[..., j, c]
+    + (r_idx[i] − j)²`` — the full min-plus over ALL source rows, as a
+    ``lax.scan`` over row chunks.  ``r_idx`` gives each OUTPUT row's global
+    row index, so a spatially sharded caller can pass the all-gathered dh2
+    plane with its own band's indices (parallel/sharded.py)."""
+    Hs, W = dh2_src.shape[-2:]
+    C = rows_per_step
+    Hp = -(-Hs // C) * C
+    pad = [(0, 0)] * (dh2_src.ndim - 2) + [(0, Hp - Hs), (0, 0)]
+    src = jnp.pad(dh2_src, pad, constant_values=inf)
+    # move the chunked row axis to the front for lax.scan xs
+    src_chunks = jnp.moveaxis(
+        src.reshape(dh2_src.shape[:-2] + (Hp // C, C, W)), -3, 0
+    )  # [Hp/C, ..., C, W]
+    j_base = jnp.arange(Hp // C) * C
+    r_idx = r_idx.astype(jnp.int32)
+    Hout = r_idx.shape[0]
+
+    def step(out, xs):
+        rows, jb = xs  # rows: [..., C, W]
+        for k in range(C):
+            dy = r_idx - (jb + k)  # [Hout]
+            add = (dy * dy).astype(jnp.int32)[:, None]  # [Hout, 1]
+            out = jnp.minimum(out, rows[..., k, :][..., None, :] + add)
+        return out, None
+
+    # derive the carry init from the data (0·row + inf) so its varying-axes
+    # type matches the body output under shard_map (a plain jnp.full is
+    # replicated and trips the scan carry vma check)
+    out0 = jnp.broadcast_to(
+        0 * dh2_src[..., :1, :] + inf, dh2_src.shape[:-2] + (Hout, W)
+    )
+    out, _ = jax.lax.scan(step, out0, (src_chunks, j_base))
+    return out
+
+
 @partial(jax.jit, static_argnames=("rows_per_step",))
 def edt_sq_exact(feature: jnp.ndarray, rows_per_step: int = 8) -> jnp.ndarray:
     """Exact (uncapped) squared EDT of [..., H, W] — scipy parity everywhere.
@@ -92,42 +151,12 @@ def edt_sq_exact(feature: jnp.ndarray, rows_per_step: int = 8) -> jnp.ndarray:
     Pixels with no feature anywhere in the plane get ≥ (H+W)² (scipy
     returns the true distance only when features exist; callers mask).
     """
-    feature = feature.astype(bool)
     H, W = feature.shape[-2:]
-    capw = W + 1
-    right = directional_distance(feature, axis=-1, cap=capw)
-    left = jnp.flip(
-        directional_distance(jnp.flip(feature, -1), axis=-1, cap=capw), -1
-    )
-    dh = jnp.minimum(right, left).astype(jnp.int32)
     inf = jnp.int32((H + W + 2) * (H + W + 2))
-    # Rows with no feature pixel come back saturated at capw from the
-    # directional scans; they must contribute +inf to the phase-2 min-plus,
-    # not a finite (W+1)² candidate, or any pixel whose true nearest feature
-    # is farther than W+1 rows away gets a too-small distance.
-    dh2 = jnp.where(dh >= capw, inf, dh * dh)
-    C = rows_per_step
-    Hp = -(-H // C) * C
-    pad = [(0, 0)] * (feature.ndim - 2) + [(0, Hp - H), (0, 0)]
-    src = jnp.pad(dh2, pad, constant_values=inf)
-    # move the chunked row axis to the front for lax.scan xs
-    src_chunks = jnp.moveaxis(
-        src.reshape(feature.shape[:-2] + (Hp // C, C, W)), -3, 0
-    )  # [Hp/C, ..., C, W]
-    j_base = jnp.arange(Hp // C) * C
-    r_idx = jnp.arange(H, dtype=jnp.int32)
-
-    def step(out, xs):
-        rows, jb = xs  # rows: [..., C, W]
-        for k in range(C):
-            dy = r_idx - (jb + k)  # [H]
-            add = (dy * dy).astype(jnp.int32)[:, None]  # [H, 1]
-            out = jnp.minimum(out, rows[..., k, :][..., None, :] + add)
-        return out, None
-
-    out0 = jnp.full(feature.shape, inf, jnp.int32)
-    out, _ = jax.lax.scan(step, out0, (src_chunks, j_base))
-    return out
+    dh2 = row_dh2_exact(feature, inf)
+    return minplus_rows(
+        dh2, jnp.arange(H, dtype=jnp.int32), inf, rows_per_step
+    )
 
 
 def edt_exact(feature: jnp.ndarray) -> jnp.ndarray:

@@ -22,9 +22,16 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 from particle_col_image_segmentation_tpu.config import AnalysisConfig
-from particle_col_image_segmentation_tpu.ops.edt import edt_sq
+from particle_col_image_segmentation_tpu.ops.edt import (
+    edt_sq,
+    minplus_rows,
+    row_dh2_exact,
+)
 from particle_col_image_segmentation_tpu.ops.filters import median_label_filter_padded
-from particle_col_image_segmentation_tpu.ops.scans import seg_min_scan_bidi
+from particle_col_image_segmentation_tpu.ops.scans import (
+    seg_min_scan_bidi,
+    seg_or_scan_bidi,
+)
 from particle_col_image_segmentation_tpu.parallel.halo import pad_with_halo
 from particle_col_image_segmentation_tpu.parallel.mesh import DATA_AXIS, SPACE_AXIS
 
@@ -42,6 +49,7 @@ __all__ = [
     "make_sharded_segment_fn",
     "make_sharded_analysis_fn",
     "make_sharded_dapi_dedup_fn",
+    "make_sharded_refine_fn",
     "make_sharded_watershed_fn",
 ]
 
@@ -177,7 +185,7 @@ def _dist_ccl(val, base, lin, max_iters):
 
 
 def _compact_and_tables_shard(
-    lab, lin, den, base, max_regions, max_iters, extra=(),
+    lab, lin, den, base, max_regions, max_iters, extra=(), fg=None,
 ):
     """Global compact ids + region tables from converged global root labels.
 
@@ -192,8 +200,16 @@ def _compact_and_tables_shard(
     ``extra``: additional [b_loc, h_loc, W] planes segment-summed per region
     and psum'd alongside area/class (centroid coordinate sums for the merge
     stage, overlap masks for DAPI dedup); returned as the trailing tuple.
+
+    ``fg``: optional bool plane gating which components receive ranks —
+    only components whose root pixel is foreground get compact ids, exactly
+    like the single-chip ``compact_labels`` on a ``background=0`` CCL
+    (non-fg components' pixels come back as id 0).  Value-homogeneous
+    components make root gating equivalent to component gating.
     """
     is_root = lab == lin
+    if fg is not None:
+        is_root = is_root & fg
     local_counts = jnp.sum(is_root.astype(jnp.int32), axis=(-2, -1))  # [b_loc]
     sidx = jax.lax.axis_index(SPACE_AXIS)
     all_counts = jax.lax.all_gather(local_counts, SPACE_AXIS)  # [n_space, b_loc]
@@ -659,6 +675,147 @@ def _watershed_shard(image, markers, mask, connectivity: int, max_iters: int):
     reached = m & (cost < _FINF) & (lab != BIG)
     out = jnp.where(reached, lab, 0)
     return out, (c_ch == 0) & (l_ch == 0)
+
+
+# ---------------------------------------------------------------------------
+# refine pipeline (models/refine.refine_plane_device, spatially sharded —
+# reference refine_boundaries.py end to end on a mesh)
+# ---------------------------------------------------------------------------
+
+
+def _edt_sq_exact_shard(feature, rows_per_step: int = 8):
+    """Distributed exact squared EDT (ops.edt.edt_sq_exact semantics,
+    bit-identical).
+
+    Phase 1 (per-row horizontal distances) is fully shard-local — rows live
+    whole on a shard.  Phase 2's min-plus needs EVERY row's phase-1 plane:
+    one all_gather over the space axis ships the [H_global, W] int32 dh²
+    image (16 MB at 2048², once — not per iteration), then each shard
+    min-pluses only its own band's output rows (``minplus_rows`` with
+    global row indices), keeping the O(H²·W) work evenly sharded.
+    """
+    h_loc, W = feature.shape[-2:]
+    n = jax.lax.axis_size(SPACE_AXIS)
+    Hg = n * h_loc
+    inf = jnp.int32((Hg + W + 2) * (Hg + W + 2))  # = single-chip inf
+    dh2 = row_dh2_exact(feature, inf)
+    g = jax.lax.all_gather(dh2, SPACE_AXIS)  # [n, ..., h_loc, W]
+    g = jnp.moveaxis(g, 0, -3).reshape(feature.shape[:-2] + (Hg, W))
+    row0 = jax.lax.axis_index(SPACE_AXIS) * h_loc
+    r_idx = row0 + jnp.arange(h_loc, dtype=jnp.int32)
+    return minplus_rows(g, r_idx, inf, rows_per_step)
+
+
+def _local_maxima_shard(img, max_iters: int):
+    """Distributed plateau-aware local maxima (ops.morphology.local_maxima
+    semantics, 8-conn): halo'd neighbor compares seed the "bad" set, which
+    floods through equal-value plateaus via in-band segmented OR scans +
+    per-iteration 1-px halo exchange (a plateau spanning k bands converges
+    in ~k iterations); psum convergence, per-plane flags."""
+    img = img.astype(jnp.float32)
+    shape = img.shape
+    h_loc, W = shape[-2:]
+    img_p = _ws_pad(img, jnp.float32(-_FINF))  # -inf: borders never "higher"
+
+    def _sl(xp, dy, dx):
+        return xp[..., 1 + dy : 1 + dy + h_loc, 1 + dx : 1 + dx + W]
+
+    offsets = [(-1, 0), (1, 0), (0, -1), (0, 1),
+               (-1, -1), (-1, 1), (1, -1), (1, 1)]
+    has_higher = jnp.zeros(shape, bool)
+    eqs = []  # plateau-equality masks, fixed under the flood
+    for dy, dx in offsets:
+        nb = _sl(img_p, dy, dx)
+        has_higher = has_higher | (nb > img)
+        eqs.append(nb == img)
+
+    same_row = jnp.concatenate(
+        [jnp.zeros(shape[:-1] + (1,), bool),
+         img[..., :, 1:] == img[..., :, :-1]], axis=-1,
+    )
+    same_col = jnp.concatenate(
+        [jnp.zeros(shape[:-2] + (1, W), bool),
+         img[..., 1:, :] == img[..., :-1, :]], axis=-2,
+    )
+
+    def body(state):
+        bad, _, _, i = state
+        bad_p = _ws_pad(bad, False)
+        new = bad
+        for eq, (dy, dx) in zip(eqs, offsets):
+            new = new | (_sl(bad_p, dy, dx) & eq)
+        new = new | seg_or_scan_bidi(new, same_row, axis=-1)
+        new = new | seg_or_scan_bidi(new, same_col, axis=-2)
+        ch_planes = jax.lax.psum(
+            jnp.any(new != bad, axis=(-2, -1)).astype(jnp.int32), SPACE_AXIS
+        )
+        changed = jax.lax.psum(
+            jax.lax.psum(jnp.any(ch_planes > 0).astype(jnp.int32), SPACE_AXIS),
+            DATA_AXIS,
+        )
+        return new, ch_planes, changed > 0, i + 1
+
+    def cond(state):
+        _, _, changed, i = state
+        return changed & (i < max_iters)
+
+    ch0 = jax.lax.pcast(
+        jnp.ones(shape[:-2], jnp.int32), (DATA_AXIS,), to="varying"
+    )
+    bad, ch_planes, _, _ = jax.lax.while_loop(
+        cond, body, (has_higher, ch0, jnp.bool_(True), 0)
+    )
+    return ~bad, ch_planes == 0
+
+
+def _refine_shard(bm, threshold: float, connectivity: int, max_regions: int,
+                  max_iters: int):
+    binary = bm < threshold  # reference :44-45
+    dist = jnp.sqrt(_edt_sq_exact_shard(~binary).astype(jnp.float32))
+    maxima, conv_max = _local_maxima_shard(dist, max_iters)
+    lin, base, _ = _linear_ids(bm)
+    lab, ch = _dist_ccl(maxima.astype(jnp.uint8), base, lin, max_iters)
+    markers, _, _, conv_cmp, _ = _compact_and_tables_shard(
+        lab, lin, maxima.astype(jnp.uint8), base, max_regions, max_iters,
+        fg=maxima,
+    )
+    num = jax.lax.psum(
+        jnp.sum(((lab == lin) & maxima).astype(jnp.int32), axis=(-2, -1)),
+        SPACE_AXIS,
+    )
+    labels, conv_ws = _watershed_shard(
+        bm.astype(jnp.float32), markers, binary, connectivity, max_iters
+    )
+    converged = conv_max & (ch == 0) & conv_cmp & conv_ws
+    return labels, markers, num, converged
+
+
+def make_sharded_refine_fn(mesh, threshold: float = 0.5,
+                           connectivity: int = 1, max_regions: int = 4096,
+                           max_iters: int = 4096):
+    """The FULL refine pipeline on a mesh: probability maps [B, H, W] →
+    (labels [B,H,W], markers [B,H,W], num_cells [B], converged [B]).
+
+    EDT → plateau-aware local maxima → distributed CCL → raster-rank
+    marker compaction → two-phase watershed, every stage halo-exchange
+    sharded — per-plane results bit-identical to the single-chip
+    ``models.refine.refine_plane_device`` (tested on the 8-virtual-device
+    CPU mesh).  Callers must check ``num_cells <= max_regions`` and
+    ``converged`` (same contracts as the single-chip path)."""
+    fn = jax.shard_map(
+        partial(_refine_shard, threshold=threshold,
+                connectivity=connectivity, max_regions=max_regions,
+                max_iters=max_iters),
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS, SPACE_AXIS, None),),
+        out_specs=(
+            P(DATA_AXIS, SPACE_AXIS, None),
+            P(DATA_AXIS, SPACE_AXIS, None),
+            P(DATA_AXIS),
+            P(DATA_AXIS),
+        ),
+    )
+    return jax.jit(fn)
 
 
 def make_sharded_watershed_fn(mesh, connectivity: int = 1,

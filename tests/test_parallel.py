@@ -274,6 +274,57 @@ def test_sharded_watershed_matches_single_chip(n_data, n_space):
         np.testing.assert_array_equal(np.asarray(out[b]), np.asarray(ref))
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+@pytest.mark.parametrize("n_data,n_space", [(2, 4), (1, 8)])
+def test_sharded_refine_matches_single_chip(n_data, n_space):
+    """The FULL sharded refine pipeline (EDT → maxima → CCL → markers →
+    watershed on the mesh) must be bit-identical per plane to
+    refine_plane_device."""
+    import jax.numpy as jnp
+    from scipy import ndimage as ndi
+
+    from particle_col_image_segmentation_tpu.config import RefineConfig
+    from particle_col_image_segmentation_tpu.models.refine import (
+        refine_plane_device,
+    )
+    from particle_col_image_segmentation_tpu.parallel.sharded import (
+        make_sharded_refine_fn,
+    )
+
+    mesh = make_mesh(n_data=n_data, n_space=n_space)
+    B, H, W = (2 if n_data == 2 else 1), 64, 128
+    planes = []
+    for b in range(B):
+        rng = np.random.default_rng(70 + b)
+        m = np.zeros((H, W), bool)
+        yy, xx = np.mgrid[:H, :W]
+        for _ in range(4):
+            cy, cx = rng.integers(10, H - 10), rng.integers(10, W - 10)
+            r2 = int(rng.integers(30, 90))
+            m |= (yy - cy) ** 2 + (xx - cx) ** 2 <= r2
+            m |= (yy - cy) ** 2 + (xx - cx - int(1.4 * np.sqrt(r2))) ** 2 <= r2
+        dist = ndi.distance_transform_edt(m)
+        planes.append((1.0 - dist / max(1.0, dist.max())).astype(np.float32))
+    probs = np.stack(planes)
+
+    fn = make_sharded_refine_fn(mesh, max_regions=1024)
+    labels, markers, num, conv = fn(jnp.asarray(probs))
+    assert bool(np.asarray(conv).all())
+    cfg = RefineConfig()
+    for b in range(B):
+        ref_l, ref_m, ref_n, *_ , ref_c = refine_plane_device(
+            jnp.asarray(probs[b]), cfg, 1024
+        )
+        assert bool(np.asarray(ref_c))
+        assert int(np.asarray(num)[b]) == int(ref_n)
+        np.testing.assert_array_equal(
+            np.asarray(markers)[b], np.asarray(ref_m)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(labels)[b], np.asarray(ref_l)
+        )
+
+
 @pytest.mark.slow
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
 def test_sharded_full_scale_1024():
