@@ -327,6 +327,46 @@ def test_sharded_refine_matches_single_chip(n_data, n_space):
 
 @pytest.mark.slow
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_refine_full_scale_512():
+    """Sharded refine at realistic scale: 512² touching-particle relief on
+    a 1×8 mesh — halo traffic, plateau spans, and rank distances are
+    qualitatively different from the 64×128 unit fixture."""
+    import jax.numpy as jnp
+    from scipy import ndimage as ndi
+
+    from particle_col_image_segmentation_tpu.config import RefineConfig
+    from particle_col_image_segmentation_tpu.models.refine import (
+        refine_plane_device,
+    )
+    from particle_col_image_segmentation_tpu.parallel.sharded import (
+        make_sharded_refine_fn,
+    )
+
+    mesh = make_mesh(n_data=1, n_space=8)
+    n = 512
+    rng = np.random.default_rng(0)
+    m = np.zeros((n, n), bool)
+    yy, xx = np.mgrid[:n, :n]
+    for _ in range(30):
+        cy, cx = rng.integers(40, n - 40, 2)
+        r2 = int(rng.integers(150, 400))
+        m |= (yy - cy) ** 2 + (xx - cx) ** 2 <= r2
+        m |= (yy - cy) ** 2 + (xx - cx - int(1.5 * np.sqrt(r2))) ** 2 <= r2
+    dist = ndi.distance_transform_edt(m)
+    prob = (1.0 - dist / max(1.0, dist.max())).astype(np.float32)
+
+    fn = make_sharded_refine_fn(mesh, max_regions=4096)
+    labels, markers, num, conv = fn(jnp.asarray(prob[None]))
+    assert bool(np.asarray(conv).all())
+    ref_l, ref_m, ref_n, *_, ref_c = refine_plane_device(
+        jnp.asarray(prob), RefineConfig(), 4096
+    )
+    assert bool(np.asarray(ref_c)) and int(np.asarray(num)[0]) == int(ref_n)
+    np.testing.assert_array_equal(np.asarray(labels)[0], np.asarray(ref_l))
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
 def test_sharded_full_scale_1024():
     """Full-scale sharded run (VERDICT r1 #8): at 1024² the halo counts,
     rank propagation distances, and iteration budgets are qualitatively
