@@ -17,31 +17,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-__all__ = ["median_label_filter", "box_count", "gaussian_blur"]
-
-
-def _shift_sum(x: jnp.ndarray, size: int, axis: int) -> jnp.ndarray:
-    """Sum over a centered window of ``size`` along ``axis`` of a
-    symmetric-padded array; returns the valid (original-size) region."""
-    half = size // 2
-    pad = [(0, 0)] * x.ndim
-    pad[axis] = (half, half)
-    xp = jnp.pad(x, pad, mode="symmetric")
-    n = x.shape[axis]
-    out = None
-    for o in range(size):
-        sl = [slice(None)] * x.ndim
-        sl[axis] = slice(o, o + n)
-        piece = xp[tuple(sl)]
-        out = piece if out is None else out + piece
-    return out
-
-
-def box_count(mask: jnp.ndarray, size: int) -> jnp.ndarray:
-    """Count of True values in the centered size×size window (symmetric pad —
-    scipy's default 'reflect' boundary)."""
-    x = mask.astype(jnp.int32)
-    return _shift_sum(_shift_sum(x, size, -1), size, -2)
+__all__ = ["median_label_filter", "gaussian_blur"]
 
 
 def _valid_window_sum(xp: jnp.ndarray, size: int, axis: int) -> jnp.ndarray:
@@ -68,6 +44,29 @@ def _threshold_packing(size: int, num_classes: int):
     return bits, groups
 
 
+def pack_thresholds(x: jnp.ndarray, group, bits: int) -> jnp.ndarray:
+    """One packed indicator plane for a threshold group:
+    ``Σ_pos (x ≤ v_pos) << (bits·pos)`` — shared by every median variant
+    (reduce_window, pre-padded valid sums, the Pallas band kernel) so the
+    packing scheme lives in exactly one place."""
+    packed = None
+    for pos, v in enumerate(group):
+        term = (x <= v).astype(jnp.int32) << (bits * pos)
+        packed = term if packed is None else packed + term
+    return packed
+
+
+def median_from_counts(med, counts: jnp.ndarray, group, bits: int,
+                       half_rank: int):
+    """Fold one group's packed window counts into the median accumulator:
+    median = #{v : count(window ≤ v) < half_rank}."""
+    fmask = (1 << bits) - 1
+    for pos in range(len(group)):
+        t = (((counts >> (bits * pos)) & fmask) < half_rank).astype(jnp.int32)
+        med = t if med is None else med + t
+    return med
+
+
 def median_label_filter_padded(
     xp: jnp.ndarray, size: int = 5, num_classes: int = 8
 ) -> jnp.ndarray:
@@ -76,17 +75,11 @@ def median_label_filter_padded(
     x = xp.astype(jnp.int32)
     half_rank = (size * size) // 2 + 1
     bits, groups = _threshold_packing(size, num_classes)
-    mask = (1 << bits) - 1
     med = None
     for group in groups:
-        packed = None
-        for pos, v in enumerate(group):
-            term = (x <= v).astype(jnp.int32) << (bits * pos)
-            packed = term if packed is None else packed + term
+        packed = pack_thresholds(x, group, bits)
         cum = _valid_window_sum(_valid_window_sum(packed, size, -1), size, -2)
-        for pos, _v in enumerate(group):
-            t = (((cum >> (bits * pos)) & mask) < half_rank).astype(jnp.int32)
-            med = t if med is None else med + t
+        med = median_from_counts(med, cum, group, bits, half_rank)
     return med.astype(xp.dtype)
 
 
@@ -141,18 +134,9 @@ def median_label_filter(img: jnp.ndarray, size: int = 5, num_classes: int = 8):
     half = size // 2
     half_rank = (size * size) // 2 + 1  # ceil(n/2) for odd n
     bits, groups = _threshold_packing(size, num_classes)
-    fmask = (1 << bits) - 1
     x = img.astype(jnp.int32)
     xp = _pad_symmetric_aligned(x, half)
-    le = jnp.stack(
-        [
-            sum(
-                ((xp <= v).astype(jnp.int32) << (bits * pos))
-                for pos, v in enumerate(group)
-            )
-            for group in groups
-        ]
-    )
+    le = jnp.stack([pack_thresholds(xp, group, bits) for group in groups])
     # trailing init-value padding keeps the window output the same aligned
     # size as the input (a VALID output of width Wp−size+1 is lane-misaligned
     # and forces relayouts in every consumer); rows [H:] / cols [W:] are
@@ -167,11 +151,7 @@ def median_label_filter(img: jnp.ndarray, size: int = 5, num_classes: int = 8):
     )
     med = None
     for g, group in enumerate(groups):
-        for pos, _v in enumerate(group):
-            t = (((counts[g] >> (bits * pos)) & fmask) < half_rank).astype(
-                jnp.int32
-            )
-            med = t if med is None else med + t
+        med = median_from_counts(med, counts[g], group, bits, half_rank)
     return med[..., :H, :W].astype(img.dtype)
 
 
@@ -186,18 +166,30 @@ def gaussian_blur(img: jnp.ndarray, sigma: float) -> jnp.ndarray:
     k = (k / k.sum()).astype(np.float32)
 
     x = img.astype(jnp.float32)
+    H, W = x.shape[-2:]
+    # ONE aligned pad for both axes (a plain per-axis jnp.pad produces
+    # lane-misaligned intermediates — the ~20× relayout cost documented on
+    # _pad_symmetric_aligned); replicate borders written in place.  Edge
+    # replication commutes with the per-axis convolutions, so the result is
+    # bit-identical to pad-then-conv per axis (same k-order summation).
+    Hp = _round_up(H + 2 * half, 8)
+    Wp = _round_up(W + 2 * half, 128)
+    pad = [(0, 0)] * (x.ndim - 2) + [
+        (half, Hp - H - half), (half, Wp - W - half)
+    ]
+    xp = jnp.pad(x, pad)
+    xp = xp.at[..., :half, :].set(xp[..., half : half + 1, :])
+    xp = xp.at[..., half + H :, :].set(xp[..., half + H - 1 : half + H, :])
+    xp = xp.at[..., :, :half].set(xp[..., :, half : half + 1])
+    xp = xp.at[..., :, half + W :].set(xp[..., :, half + W - 1 : half + W])
 
-    def conv_axis(x, axis):
-        n = x.shape[axis]
-        pad = [(0, 0)] * x.ndim
-        pad[axis] = (half, half)
-        xp = jnp.pad(x, pad, mode="edge")
+    def conv_axis_padded(xp, axis, n):
         out = None
         for o in range(2 * half + 1):
-            sl = [slice(None)] * x.ndim
+            sl = [slice(None)] * xp.ndim
             sl[axis] = slice(o, o + n)
             piece = xp[tuple(sl)] * k[o]
             out = piece if out is None else out + piece
         return out
 
-    return conv_axis(conv_axis(x, -2), -1)
+    return conv_axis_padded(conv_axis_padded(xp, -2, H), -1, W)

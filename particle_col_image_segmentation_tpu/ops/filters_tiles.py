@@ -21,7 +21,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from particle_col_image_segmentation_tpu.ops.filters import _threshold_packing
+from particle_col_image_segmentation_tpu.ops.filters import (
+    _threshold_packing,
+    median_from_counts,
+    pack_thresholds,
+)
 
 __all__ = ["median_label_filter_pallas", "median_label_filter_auto"]
 
@@ -40,7 +44,6 @@ def _median_kernel(img_hbm, out_ref, *, T, half, size, num_classes, slot):
     win = T + 2 * _VHALO
     half_rank = (size * size) // 2 + 1
     bits, groups = _threshold_packing(size, num_classes)
-    fmask = (1 << bits) - 1
     off = _VHALO - half  # first row feeding the vertical window sum
 
     def run(img_s, sem):
@@ -51,10 +54,7 @@ def _median_kernel(img_hbm, out_ref, *, T, half, size, num_classes, slot):
         col = jax.lax.broadcasted_iota(jnp.int32, (T, W), 1)
         med = None
         for group in groups:
-            packed = None
-            for pos, v in enumerate(group):
-                t = (x <= v).astype(jnp.int32) << (bits * pos)
-                packed = t if packed is None else packed + t
+            packed = pack_thresholds(x, group, bits)
             # vertical window sum: static sublane slices (rows pre-reflected)
             rs = None
             for d in range(size):
@@ -81,9 +81,7 @@ def _median_kernel(img_hbm, out_ref, *, T, half, size, num_classes, slot):
                         0,
                     )
             cs = cs + wrap
-            for pos, _v in enumerate(group):
-                t = (((cs >> (bits * pos)) & fmask) < half_rank).astype(jnp.int32)
-                med = t if med is None else med + t
+            med = median_from_counts(med, cs, group, bits, half_rank)
         out_ref[0, :, :] = med.astype(jnp.uint8)
 
     pl.run_scoped(
@@ -158,6 +156,8 @@ def median_label_filter_auto(
     H, W = img.shape[-2:]
     if (
         on_tpu
+        and img.ndim <= 3  # the Pallas kernel packs [H,W]/[B,H,W] only;
+        # deeper leading batch dims take the any-rank XLA path
         and size % 2 == 1
         and 1 <= size // 2 <= _VHALO
         and num_classes <= 8
