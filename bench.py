@@ -443,35 +443,50 @@ def main():
     with tempfile.TemporaryDirectory() as td:
         c2_mps, c2_vs = bench_config2(td)
     c4_ms, c4_rois, c4_vs = bench_config4()
-    print(
-        json.dumps(
-            {
-                "metric": "fused_segmentation_throughput",
-                "value": round(device_mps, 2),
-                "unit": "MP/s/chip",
-                "vs_baseline": round(device_mps / baseline_mps, 2),
-                "mask_exact_parity": bool(parity),
-                "watershed_boundary_iou": round(iou, 4),
-                # "unavailable" = device backend hung/absent, numbers are
-                # the CPU-fallback path — NOT chip throughput
-                "platform": platform,
-                "platform_copy_gbps": round(measure_copy_gbps(), 2),
-                # one number per BASELINE.json config (VERDICT r1 #2)
-                "configs": {
-                    "1_otsu_count_512_mps": round(c1_mps, 1),
-                    "1_vs_cpu": round(c1_vs, 1),
-                    "2_zstack_e2e_mps": round(c2_mps, 1),
-                    "2_vs_cpu": round(c2_vs, 1),
-                    "3_refine_mps": round(refine_mps, 1),
-                    "3_boundary_iou": round(iou, 4),
-                    "4_nanosims_ms_per_acq": round(c4_ms, 2),
-                    "4_nanosims_rois_per_s": round(c4_rois, 0),
-                    "4_vs_cpu": round(c4_vs, 1),
-                    "5_fused_segmentation_mps": round(device_mps, 2),
-                },
-            }
+    configs = {
+        "1_otsu_count_512_mps": round(c1_mps, 1),
+        "1_vs_cpu": round(c1_vs, 1),
+        "2_zstack_e2e_mps": round(c2_mps, 1),
+        "2_vs_cpu": round(c2_vs, 1),
+        "3_refine_mps": round(refine_mps, 1),
+        "3_boundary_iou": round(iou, 4),
+        "4_nanosims_ms_per_acq": round(c4_ms, 2),
+        "4_nanosims_rois_per_s": round(c4_rois, 0),
+        "4_vs_cpu": round(c4_vs, 1),
+        "5_fused_segmentation_mps": round(device_mps, 2),
+    }
+    record = {
+        "metric": "fused_segmentation_throughput",
+        "value": round(device_mps, 2),
+        "unit": "MP/s/chip",
+        "vs_baseline": round(device_mps / baseline_mps, 2),
+        "mask_exact_parity": bool(parity),
+        "watershed_boundary_iou": round(iou, 4),
+        # "unavailable" = device backend hung/absent, numbers are
+        # the CPU-fallback path — NOT chip throughput
+        "platform": platform,
+        "platform_copy_gbps": round(measure_copy_gbps(), 2),
+        # one number per BASELINE.json config (VERDICT r1 #2)
+        "configs": configs,
+    }
+    if FALLBACK:
+        # an off-chip run must not be mistakable for a chip regression
+        # (round-2 lesson: value=0.94 next to round-1's 790 read as an 840×
+        # collapse).  Headline fields go null with a reason; the smoke-size
+        # CPU measurements stay available under "fallback_smoke" for
+        # coverage inspection only.
+        record.update(
+            value=None,
+            vs_baseline=None,
+            configs=None,
+            fallback_smoke=configs,
+            reason=(
+                "device backend unavailable or CPU-only — smoke-size "
+                "coverage run, NOT chip throughput; compare only "
+                "platform=tpu records across rounds"
+            ),
         )
-    )
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -101,6 +101,17 @@ def main(argv=None) -> int:
         "[Z,H,W,C]) and refine all planes in one device graph "
         "(4-D inputs take this path automatically)",
     )
+    p.add_argument(
+        "--space-parallel", type=int, default=0,
+        help="devices on the space mesh axis: plane ROWS shard across "
+        "devices (halo-exchanged EDT/CCL/watershed), for probability maps "
+        "too large for one chip — plane height must be a multiple of this",
+    )
+    p.add_argument(
+        "--data-parallel", type=int, default=0,
+        help="devices on the data mesh axis when refining a stack with "
+        "--space-parallel (planes split across this many devices)",
+    )
 
     p = sub.add_parser("nanosims", help="NanoSIMS 5-isotope ROI analysis")
     p.add_argument("mat_folder")
@@ -121,6 +132,13 @@ def main(argv=None) -> int:
     p.add_argument(
         "--data-parallel", type=int, default=0,
         help="devices on the data mesh axis (0 = single device)",
+    )
+    p.add_argument(
+        "--space-parallel", type=int, default=0,
+        help="devices on the space mesh axis: plane ROWS shard across "
+        "devices (halo-exchanged distributed CCL/tables), removing the "
+        "single-chip plane-size ceiling — plane height must be a multiple "
+        "of this (0/1 = planes stay whole per device)",
     )
     p.add_argument(
         "--particle-val", type=int, default=None,
@@ -187,7 +205,44 @@ def main(argv=None) -> int:
             boundary_threshold=args.threshold, boundary_channel=args.channel
         )
         probs = load_h5_plane(args.h5_file, key="exported_data")
-        if args.stack or probs.ndim == 4:
+        if args.space_parallel > 1:
+            import numpy as np
+
+            from particle_col_image_segmentation_tpu.models.refine import (
+                refine_boundaries_sharded,
+            )
+            from particle_col_image_segmentation_tpu.parallel.mesh import (
+                make_mesh,
+            )
+
+            mesh = make_mesh(
+                n_data=args.data_parallel or 1, n_space=args.space_parallel
+            )
+            as_stack = args.stack or probs.ndim == 4
+            results = refine_boundaries_sharded(
+                probs, cfg, mesh=mesh, stack=as_stack
+            )
+            if not as_stack:
+                result = results[0]
+                print(f"cells: {result.num_cells}")
+                if args.out:
+                    save_h5_plane(args.out, result.labels)
+                    print("labels written to", args.out)
+                if args.csv:
+                    write_refine_csv(result, args.csv)
+                    print("cell stats written to", args.csv)
+            else:
+                print(f"planes: {len(results)}, cells: "
+                      f"{sum(r.num_cells for r in results)}")
+                if args.out:
+                    save_h5_plane(
+                        args.out, np.stack([r.labels for r in results])
+                    )
+                    print("labels written to", args.out)
+                if args.csv:
+                    write_refine_stack_csv(results, args.csv)
+                    print("cell stats written to", args.csv)
+        elif args.stack or probs.ndim == 4:
             import numpy as np
 
             results = refine_boundaries_stack(probs, cfg)
@@ -243,6 +298,11 @@ def main(argv=None) -> int:
                 "--batch-size must be a multiple of --data-parallel "
                 f"(got {args.batch_size} and {args.data_parallel})"
             )
+        if args.space_parallel > 1 and args.pack_transfer:
+            parser.error(
+                "--pack-transfer is incompatible with --space-parallel "
+                "(nibble packing halves W under the row sharding)"
+            )
 
         cfg = AnalysisConfig(max_regions=args.max_regions)
         folder_to_files = get_h5_files_recursively(args.folder)
@@ -271,10 +331,13 @@ def main(argv=None) -> int:
                     cv = tuple(args.cell_vals)
                 groups.setdefault((pv, cv), []).append(path)
         mesh = None
-        if args.data_parallel:
+        if args.data_parallel or args.space_parallel > 1:
             from particle_col_image_segmentation_tpu.parallel.mesh import make_mesh
 
-            mesh = make_mesh(n_data=args.data_parallel, n_space=1)
+            mesh = make_mesh(
+                n_data=args.data_parallel or 1,
+                n_space=max(args.space_parallel, 1),
+            )
         manifest = None
         if args.manifest:
             from particle_col_image_segmentation_tpu.utils.manifest import (

@@ -194,6 +194,52 @@ def make_fused_segment_fn(
     return jax.jit(fn)
 
 
+def make_space_sharded_segment_fn(
+    mesh, cfg: AnalysisConfig, particle_val: int = 2, cell_vals=(1,),
+    max_iters: int = 128,
+):
+    """Spatially sharded fused pass with the SAME output contract as
+    ``fused_segment_batch`` — the run_batch step for planes too large for
+    one chip (the reference hard-asserts 2048², tiff_analysis.py:734; this
+    path removes that ceiling).
+
+    B shards over the mesh "data" axis, plane rows over "space"; the
+    distributed CCL/compaction/tables run halo-exchanged inside one
+    shard_map (parallel.sharded).  The per-plane pixel stats are recomputed
+    from the replicated region tables exactly like the single-device pass,
+    so overflow semantics (ids past ``cfg.max_regions`` dropped) match
+    bit-for-bit.
+    """
+    from particle_col_image_segmentation_tpu.parallel.sharded import (
+        make_sharded_segment_fn,
+    )
+
+    inner = make_sharded_segment_fn(
+        mesh, cfg, particle_val=particle_val, cell_vals=tuple(cell_vals),
+        max_iters=max_iters, with_tables=True,
+    )
+
+    @jax.jit
+    def fn(imgs):
+        (_, _, _, n_comp, _, _, conv, seg, areas, classes) = inner(imgs)
+        class_px = jnp.stack(
+            [
+                jnp.sum(jnp.where(classes == v, areas, 0), axis=-1)
+                for v in range(cfg.num_classes)
+            ],
+            axis=-1,
+        )
+        particle_px = class_px[..., particle_val]
+        cell_px = (
+            sum(class_px[..., v] for v in cell_vals)
+            if cell_vals
+            else jnp.zeros_like(particle_px)
+        )
+        return seg, n_comp, areas, classes, particle_px, cell_px, class_px, conv
+
+    return fn
+
+
 def run_batch(
     paths: Sequence[str],
     load_fn: Callable[[str], np.ndarray],
@@ -232,14 +278,29 @@ def run_batch(
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        from particle_col_image_segmentation_tpu.parallel.mesh import DATA_AXIS
+        from particle_col_image_segmentation_tpu.parallel.mesh import (
+            DATA_AXIS,
+            SPACE_AXIS,
+        )
 
         n_data = mesh.shape[DATA_AXIS]
+        n_space = dict(mesh.shape).get(SPACE_AXIS, 1)
         assert batch_size % n_data == 0, (batch_size, n_data)
-        segment_fn = make_fused_segment_fn(
-            mesh, cfg, particle_val, cell_vals, packed=pack_transfer
-        )
-        sharding = NamedSharding(mesh, P(DATA_AXIS))
+        if n_space > 1:
+            if pack_transfer:
+                raise ValueError(
+                    "pack_transfer packs along W, which conflicts with the "
+                    "space axis sharding rows — ship unpacked on a space mesh"
+                )
+            segment_fn = make_space_sharded_segment_fn(
+                mesh, cfg, particle_val, cell_vals
+            )
+            sharding = NamedSharding(mesh, P(DATA_AXIS, SPACE_AXIS, None))
+        else:
+            segment_fn = make_fused_segment_fn(
+                mesh, cfg, particle_val, cell_vals, packed=pack_transfer
+            )
+            sharding = NamedSharding(mesh, P(DATA_AXIS))
     it = batched_device_iterator(
         load_fn, todo, batch_size=batch_size, sharding=sharding,
         pack=pack_transfer, on_error=on_error, with_paths=True,

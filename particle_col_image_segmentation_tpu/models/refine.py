@@ -176,6 +176,13 @@ def refine_boundaries_stack(
     labels, _, num, table, _, converged = refine_plane_device(
         jnp.asarray(arr, jnp.float32), cfg, max_regions
     )
+    _check_stack_converged(converged)
+    return _assemble_stack_results(
+        np.asarray(labels), np.asarray(num), table, max_regions
+    )
+
+
+def _check_stack_converged(converged) -> None:
     conv = np.atleast_1d(np.asarray(converged))
     if not conv.all():
         bad = np.nonzero(~conv)[0].tolist()
@@ -183,11 +190,17 @@ def refine_boundaries_stack(
             f"refine fixpoints did not converge on plane(s) {bad} within "
             "the kernel iteration budgets — labels are invalid"
         )
-    labels_np = np.asarray(labels)
-    nums = np.asarray(num)
+
+
+def _assemble_stack_results(
+    labels_np: np.ndarray, nums: np.ndarray, table, max_regions: int
+) -> "list[RefineResult]":
+    """RefineResults from stacked device outputs (shared by the single-chip
+    and space-sharded stack paths; ``table`` needs area/sr_hi/sr_lo/sc_hi/
+    sc_lo fields — a full RegionTable or the sharded 5-column sums)."""
     cy, cx = centroids_f64(table)  # [Z, R+1] each
     areas_all = np.asarray(table.area)
-    Z = arr.shape[0]
+    Z = labels_np.shape[0]
     max_n = int(nums.max()) if Z else 0
     if max_n > max_regions:
         bad = int(np.argmax(nums))
@@ -217,6 +230,77 @@ def refine_boundaries_stack(
             nn_distances=nn_all[z, :n],
         ))
     return results
+
+
+def refine_boundaries_sharded(
+    probabilities: np.ndarray,
+    cfg: RefineConfig = RefineConfig(),
+    max_regions: int = 4096,
+    mesh=None,
+    stack: "bool | None" = None,
+) -> "list[RefineResult]":
+    """Space-sharded refine: plane rows shard across the mesh "space" axis,
+    planes across "data" — the path for probability maps too large for one
+    chip (and the CLI's ``refine --space-parallel``).
+
+    ``stack`` selects the input interpretation exactly like the CLI flag:
+    False → a single plane ([H,W] / [C,H,W] / [H,W,C], refine_boundaries
+    semantics, returned as a 1-element list); True → a z-stack ([Z,H,W] /
+    [Z,C,H,W] / [Z,H,W,C], refine_boundaries_stack semantics); None
+    (default) → stack iff 4-D.  Z is padded to a multiple of the data-axis
+    size by repeating the last plane (padding results are dropped).  The
+    EDT is always exact on this path (``cfg.edt_cap`` does not apply).
+    Per-plane labels are bit-identical to ``refine_plane_device`` (tested
+    on the 8-virtual-device CPU mesh).
+    """
+    from particle_col_image_segmentation_tpu.parallel.mesh import (
+        DATA_AXIS,
+        make_mesh,
+    )
+    from particle_col_image_segmentation_tpu.parallel.sharded import (
+        make_sharded_refine_fn,
+    )
+
+    probs = np.asarray(probabilities)
+    if stack is None:
+        stack = probs.ndim == 4
+    if stack:
+        if probs.ndim == 3 and probs.shape[-1] <= 8:
+            # same guard as refine_boundaries_stack: [H, W, C] is a single
+            # channel-last plane, not H planes of [W, C]
+            raise ValueError(
+                f"shape {probs.shape} looks like a single [H, W, C] plane "
+                "(trailing axis <= 8 can only be channels) — pass "
+                "stack=False, or a [Z, H, W(, C)] stack"
+            )
+        arr = _extract_boundary_channel(probs, cfg, ndim=3)
+    else:
+        arr = _extract_boundary_channel(probs, cfg, ndim=2)[None]
+    if mesh is None:
+        mesh = make_mesh()
+    n_data = mesh.shape[DATA_AXIS]
+    Z = arr.shape[0]
+    pad = (-Z) % n_data
+    if pad:
+        arr = np.concatenate([arr, np.repeat(arr[-1:], pad, axis=0)])
+    fn = make_sharded_refine_fn(
+        mesh, threshold=cfg.boundary_threshold, max_regions=max_regions,
+        with_tables=True,
+    )
+    labels, _, num, converged, sums = fn(jnp.asarray(arr, jnp.float32))
+    _check_stack_converged(np.asarray(converged)[:Z])
+    sums_np = np.asarray(sums)
+
+    class _Sums:
+        area = sums_np[:Z, :, 0]
+        sr_hi = sums_np[:Z, :, 1]
+        sr_lo = sums_np[:Z, :, 2]
+        sc_hi = sums_np[:Z, :, 3]
+        sc_lo = sums_np[:Z, :, 4]
+
+    return _assemble_stack_results(
+        np.asarray(labels)[:Z], np.asarray(num)[:Z], _Sums, max_regions
+    )
 
 
 def _refine_rows(result: RefineResult, prefix: tuple = ()):

@@ -769,7 +769,7 @@ def _local_maxima_shard(img, max_iters: int):
 
 
 def _refine_shard(bm, threshold: float, connectivity: int, max_regions: int,
-                  max_iters: int):
+                  max_iters: int, with_tables: bool = False):
     binary = bm < threshold  # reference :44-45
     dist = jnp.sqrt(_edt_sq_exact_shard(~binary).astype(jnp.float32))
     maxima, conv_max = _local_maxima_shard(dist, max_iters)
@@ -787,12 +787,39 @@ def _refine_shard(bm, threshold: float, connectivity: int, max_regions: int,
         bm.astype(jnp.float32), markers, binary, connectivity, max_iters
     )
     converged = conv_max & (ch == 0) & conv_cmp & conv_ws
-    return labels, markers, num, converged
+    if not with_tables:
+        return labels, markers, num, converged
+    # per-cell area + exact centroid coordinate sums over the FINAL labels
+    # (the single-chip path's region_props table, ops/regionprops.py):
+    # shard-local segment sums with GLOBAL row coordinates, psum'd over the
+    # space axis; (hi, lo) base-split keeps Σrow exact in int32
+    from particle_col_image_segmentation_tpu.ops.regionprops import HILO_BASE
+
+    R = max_regions + 1
+    _, _, row_offset = _linear_ids(bm)
+    rows_g = (
+        jax.lax.broadcasted_iota(jnp.int32, bm.shape, bm.ndim - 2) + row_offset
+    )
+    cols_g = jax.lax.broadcasted_iota(jnp.int32, bm.shape, bm.ndim - 1)
+
+    def tables_one(s2, rg, cg):
+        ids = s2.ravel()
+        stacked = jnp.stack(
+            [jnp.ones_like(ids), rg.ravel() // HILO_BASE,
+             rg.ravel() % HILO_BASE, cg.ravel() // HILO_BASE,
+             cg.ravel() % HILO_BASE],
+            axis=-1,
+        )
+        return jax.ops.segment_sum(stacked, ids, num_segments=R)
+
+    sums_l = jax.vmap(tables_one)(labels, rows_g, cols_g)  # [b, R+1, 5]
+    sums = jax.lax.psum(sums_l, SPACE_AXIS)
+    return labels, markers, num, converged, sums
 
 
 def make_sharded_refine_fn(mesh, threshold: float = 0.5,
                            connectivity: int = 1, max_regions: int = 4096,
-                           max_iters: int = 4096):
+                           max_iters: int = 4096, with_tables: bool = False):
     """The FULL refine pipeline on a mesh: probability maps [B, H, W] →
     (labels [B,H,W], markers [B,H,W], num_cells [B], converged [B]).
 
@@ -801,19 +828,28 @@ def make_sharded_refine_fn(mesh, threshold: float = 0.5,
     sharded — per-plane results bit-identical to the single-chip
     ``models.refine.refine_plane_device`` (tested on the 8-virtual-device
     CPU mesh).  Callers must check ``num_cells <= max_regions`` and
-    ``converged`` (same contracts as the single-chip path)."""
+    ``converged`` (same contracts as the single-chip path).
+
+    ``with_tables`` appends ``sums`` [B, max_regions+1, 5] — per-cell
+    (area, Σrow hi, Σrow lo, Σcol hi, Σcol lo) over the final labels,
+    replicated across the space axis — enough to reconstruct the per-cell
+    areas/centroids the refine CSV needs (the stated reference goals,
+    refine_boundaries.py:2-12)."""
+    out_specs = (
+        P(DATA_AXIS, SPACE_AXIS, None),
+        P(DATA_AXIS, SPACE_AXIS, None),
+        P(DATA_AXIS),
+        P(DATA_AXIS),
+    )
+    if with_tables:
+        out_specs = out_specs + (P(DATA_AXIS),)
     fn = jax.shard_map(
         partial(_refine_shard, threshold=threshold,
                 connectivity=connectivity, max_regions=max_regions,
-                max_iters=max_iters),
+                max_iters=max_iters, with_tables=with_tables),
         mesh=mesh,
         in_specs=(P(DATA_AXIS, SPACE_AXIS, None),),
-        out_specs=(
-            P(DATA_AXIS, SPACE_AXIS, None),
-            P(DATA_AXIS, SPACE_AXIS, None),
-            P(DATA_AXIS),
-            P(DATA_AXIS),
-        ),
+        out_specs=out_specs,
     )
     return jax.jit(fn)
 

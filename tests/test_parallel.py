@@ -325,6 +325,100 @@ def test_sharded_refine_matches_single_chip(n_data, n_space):
         )
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_refine_boundaries_sharded_matches_stack(tmp_path):
+    """The user-reachable sharded refine (models.refine.refine_boundaries_
+    sharded + CLI --space-parallel) must reproduce refine_boundaries_stack
+    exactly: same labels/areas/centroids/NN distances, byte-identical CSV."""
+    import jax.numpy as jnp  # noqa: F401
+    from scipy import ndimage as ndi
+
+    from particle_col_image_segmentation_tpu.config import RefineConfig
+    from particle_col_image_segmentation_tpu.models.refine import (
+        refine_boundaries,
+        refine_boundaries_sharded,
+        refine_boundaries_stack,
+        write_refine_stack_csv,
+    )
+
+    H, W, Z = 64, 128, 3  # Z=3 pads to 4 on the data axis
+    planes = []
+    for b in range(Z):
+        rng = np.random.default_rng(120 + b)
+        m = np.zeros((H, W), bool)
+        yy, xx = np.mgrid[:H, :W]
+        for _ in range(4):
+            cy, cx = rng.integers(10, H - 10), rng.integers(10, W - 10)
+            r2 = int(rng.integers(30, 90))
+            m |= (yy - cy) ** 2 + (xx - cx) ** 2 <= r2
+            m |= (yy - cy) ** 2 + (xx - cx - int(1.4 * np.sqrt(r2))) ** 2 <= r2
+        dist = ndi.distance_transform_edt(m)
+        planes.append((1.0 - dist / max(1.0, dist.max())).astype(np.float32))
+    probs = np.stack(planes)
+
+    cfg = RefineConfig()
+    mesh = make_mesh(n_data=4, n_space=2)
+    got = refine_boundaries_sharded(
+        probs, cfg, max_regions=1024, mesh=mesh, stack=True
+    )
+    ref = refine_boundaries_stack(probs, cfg, max_regions=1024)
+    assert len(got) == len(ref) == Z
+    for g, r in zip(got, ref):
+        assert g.num_cells == r.num_cells
+        np.testing.assert_array_equal(g.labels, r.labels)
+        np.testing.assert_array_equal(g.areas, r.areas)
+        np.testing.assert_array_equal(g.centroids, r.centroids)
+        np.testing.assert_allclose(g.nn_distances, r.nn_distances, rtol=1e-6)
+    a, b = tmp_path / "sharded.csv", tmp_path / "single.csv"
+    write_refine_stack_csv(got, str(a))
+    write_refine_stack_csv(ref, str(b))
+    assert a.read_bytes() == b.read_bytes()
+
+    # single-plane input (the too-big-for-one-chip shape): 1-element list
+    # matching refine_boundaries
+    one = refine_boundaries_sharded(
+        probs[0], cfg, max_regions=1024,
+        mesh=make_mesh(n_data=1, n_space=8),
+    )
+    r1 = refine_boundaries(probs[0], cfg, max_regions=1024)
+    assert len(one) == 1 and one[0].num_cells == r1.num_cells
+    np.testing.assert_array_equal(one[0].labels, r1.labels)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_cli_refine_space_parallel(tmp_path):
+    """CLI refine --space-parallel: sharded single-plane refine end-to-end,
+    CSV byte-identical to the single-device CLI run."""
+    import h5py
+    from scipy import ndimage as ndi
+
+    from particle_col_image_segmentation_tpu.cli import main
+
+    H = W = 64
+    rng = np.random.default_rng(7)
+    m = np.zeros((H, W), bool)
+    yy, xx = np.mgrid[:H, :W]
+    for _ in range(4):
+        cy, cx = rng.integers(10, H - 10, 2)
+        r2 = int(rng.integers(30, 90))
+        m |= (yy - cy) ** 2 + (xx - cx) ** 2 <= r2
+    dist = ndi.distance_transform_edt(m)
+    prob = (1.0 - dist / max(1.0, dist.max())).astype(np.float32)
+    h5 = tmp_path / "probs.h5"
+    with h5py.File(h5, "w") as f:
+        f.create_dataset("exported_data", data=prob[None])  # [C=1, H, W]
+    single_csv = tmp_path / "single.csv"
+    sharded_csv = tmp_path / "sharded.csv"
+    rc = main(["refine", str(h5), "--channel", "0",
+               "--csv", str(single_csv)])
+    assert rc == 0
+    rc = main(["refine", str(h5), "--channel", "0",
+               "--csv", str(sharded_csv), "--space-parallel", "2"])
+    assert rc == 0
+    assert single_csv.read_bytes() == sharded_csv.read_bytes()
+    assert len(single_csv.read_bytes().splitlines()) > 1
+
+
 @pytest.mark.slow
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
 def test_sharded_refine_full_scale_512():

@@ -345,6 +345,68 @@ class TestCLIParsing:
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_run_batch_space_mesh_matches_single_device():
+    """run_batch on a 4×2 data×space mesh (rows halo-exchange sharded) must
+    yield identical per-plane stats to the single-device fused pass — the
+    user-reachable spatial-sharding path (VERDICT r2 #2)."""
+    from particle_col_image_segmentation_tpu.parallel.mesh import make_mesh
+
+    planes = {
+        f"p{i}": synthetic_label_plane(seed=90 + i, shape=(64, 64))
+        for i in range(8)
+    }
+    mesh = make_mesh(n_data=4, n_space=2)
+    got = dict(run_batch(list(planes), lambda k: planes[k], CFG,
+                         batch_size=4, mesh=mesh))
+    ref = dict(run_batch(list(planes), lambda k: planes[k], CFG, batch_size=4))
+    assert set(got) == set(ref)
+    for k in ref:
+        assert got[k].num_regions == ref[k].num_regions
+        assert got[k].particle_px == ref[k].particle_px
+        assert got[k].cell_px == ref[k].cell_px
+        assert got[k].converged == ref[k].converged
+        np.testing.assert_array_equal(got[k].class_px, ref[k].class_px)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_run_batch_space_mesh_rejects_pack_transfer():
+    from particle_col_image_segmentation_tpu.parallel.mesh import make_mesh
+
+    planes = {"p0": synthetic_label_plane(seed=5, shape=(64, 64))}
+    mesh = make_mesh(n_data=1, n_space=2)
+    with pytest.raises(ValueError, match="pack_transfer"):
+        list(run_batch(list(planes), lambda k: planes[k], CFG, batch_size=1,
+                       mesh=mesh, pack_transfer=True))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_cli_batch_space_parallel_csv_byte_identical(tmp_path):
+    """CLI `batch --data-parallel 4 --space-parallel 2` writes a CSV
+    byte-identical to the single-device run (VERDICT r2 #2 done-criterion)."""
+    import h5py
+
+    from particle_col_image_segmentation_tpu.cli import main
+
+    exp = tmp_path / "exp"
+    exp.mkdir()
+    for i in range(4):
+        img = synthetic_label_plane(seed=70 + i, shape=(64, 64))
+        with h5py.File(exp / f"3D05_p{i}_RFP.h5", "w") as f:
+            f.create_dataset("exported_data", data=img[None])
+    single_csv = tmp_path / "single.csv"
+    sharded_csv = tmp_path / "sharded.csv"
+    rc = main(["batch", str(exp), "--batch-size", "4",
+               "--max-regions", "1023", "--csv", str(single_csv)])
+    assert rc == 0
+    rc = main(["batch", str(exp), "--batch-size", "4",
+               "--max-regions", "1023", "--csv", str(sharded_csv),
+               "--data-parallel", "4", "--space-parallel", "2"])
+    assert rc == 0
+    assert single_csv.read_bytes() == sharded_csv.read_bytes()
+    assert b",ok" in single_csv.read_bytes()
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
 def test_run_batch_mesh_matches_single_device():
     """run_batch(mesh=...) (shard_map data-parallel) must yield identical
     per-plane stats to the single-device path."""
