@@ -126,10 +126,11 @@ def check_mask_parity(plane: np.ndarray, oracle_den, oracle_lab) -> bool:
     return masks_equal(dev_seg, oracle_lab)
 
 
-def watershed_boundary_iou() -> Tuple[float, float]:
+def watershed_boundary_iou() -> Tuple[float, float, float]:
     """Watershed parity + refine throughput (BASELINE config #3): returns
     (boundary IoU vs the oracle priority flood on a 512² touching-particle
-    relief, refine-pipeline MP/s)."""
+    relief, same after 16-level quantization — the harshest realistic
+    Ilastik-export plateau regime, VERDICT r2 #4 — and refine MP/s)."""
     import jax.numpy as jnp
     from scipy import ndimage as ndi
 
@@ -178,12 +179,21 @@ def watershed_boundary_iou() -> Tuple[float, float]:
         best = min(best, (time.perf_counter() - t0) / reps)
     refine_mps = (B * n * n / 1e6) / best
 
-    binary = prob < 0.5
-    odist = ndi.distance_transform_edt(binary)
-    omax = ond.local_maxima(odist)
-    omark = ond.label(omax.astype(np.uint8))
-    oref = ond.watershed(prob, omark, mask=binary)
-    return boundary_iou(res.labels, oref), refine_mps
+    def _oracle_iou(p, labels):
+        binary = p < 0.5
+        odist = ndi.distance_transform_edt(binary)
+        omark = ond.label(ond.local_maxima(odist).astype(np.uint8))
+        oref = ond.watershed(p, omark, mask=binary)
+        return boundary_iou(labels, oref)
+
+    iou = _oracle_iou(prob, res.labels)
+    # 16-level quantized variant: Ilastik exports are uint8 probability
+    # maps, so the real relief is plateaued; 16 levels is the harshest
+    # realistic case on the measured IoU-vs-quantization curve (PERF.md)
+    q16 = (np.round(prob * 15.0) / 15.0).astype(np.float32)
+    res_q = refine_boundaries(q16)
+    iou_q16 = _oracle_iou(q16, res_q.labels)
+    return iou, iou_q16, refine_mps
 
 
 def bench_config1():
@@ -438,7 +448,7 @@ def main():
     device_mps = bench_device(batch)
     baseline_mps, oracle_den, oracle_lab = bench_reference_cpu(batch[0])
     parity = check_mask_parity(batch[0], oracle_den, oracle_lab)
-    iou, refine_mps = watershed_boundary_iou()
+    iou, iou_q16, refine_mps = watershed_boundary_iou()
     c1_mps, c1_vs = bench_config1()
     with tempfile.TemporaryDirectory() as td:
         c2_mps, c2_vs = bench_config2(td)
@@ -450,6 +460,7 @@ def main():
         "2_vs_cpu": round(c2_vs, 1),
         "3_refine_mps": round(refine_mps, 1),
         "3_boundary_iou": round(iou, 4),
+        "3_boundary_iou_q16": round(iou_q16, 4),
         "4_nanosims_ms_per_acq": round(c4_ms, 2),
         "4_nanosims_rois_per_s": round(c4_rois, 0),
         "4_vs_cpu": round(c4_vs, 1),

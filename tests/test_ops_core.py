@@ -606,6 +606,49 @@ class TestBandSweepConvergence:
                             jnp.asarray(m), max_iters=2, with_flag=True)
         assert not bool(conv)
 
+    @pytest.mark.parametrize("k", [8, 64])
+    def test_watershed_quantized_realistic_regime(self, k):
+        """Ilastik probability maps arrive uint8-quantized (plateaued); in
+        the PIPELINE regime — markers from EDT maxima of the object mask,
+        flooding confined to the mask (refine_boundaries.py:60-73) — the
+        kernel must stay ≥0.99 boundary IoU vs the oracle priority flood
+        at every quantization level (the measured curve lives in
+        docs/PERF.md; the unconfined sparse-seed regime is documented
+        out-of-contract there)."""
+        from scipy import ndimage as ndi
+
+        from particle_col_image_segmentation_tpu.oracle import ndimage as ond
+        from particle_col_image_segmentation_tpu.ops.watershed import watershed
+        from particle_col_image_segmentation_tpu.utils.metrics import (
+            boundary_iou,
+        )
+
+        n = 256
+        rng = np.random.default_rng(0)
+        m = np.zeros((n, n), bool)
+        yy, xx = np.mgrid[:n, :n]
+        for _ in range(max(6, n // 17)):
+            cy, cx = rng.integers(40, n - 40, 2)
+            r2 = int(rng.integers(150, 400))
+            m |= (yy - cy) ** 2 + (xx - cx) ** 2 <= r2
+            m |= (yy - cy) ** 2 + (xx - cx - int(1.5 * np.sqrt(r2))) ** 2 <= r2
+        dist = ndi.distance_transform_edt(m)
+        prob = (1.0 - dist / max(1.0, dist.max())).astype(np.float32)
+        q = (np.round(prob * (k - 1)) / (k - 1)).astype(np.float32)
+        binary = q < 0.5
+        markers = ond.label(
+            ond.local_maxima(ndi.distance_transform_edt(binary)).astype(
+                np.uint8
+            )
+        )
+        dev, conv = watershed(
+            jnp.asarray(q), jnp.asarray(markers), jnp.asarray(binary),
+            max_iters=4096, with_flag=True,
+        )
+        assert bool(conv)
+        orc = ond.watershed(q, markers, mask=binary)
+        assert boundary_iou(np.asarray(dev), orc) >= 0.99
+
 
 class TestPallasMedian:
     @pytest.mark.parametrize("shape", [(64, 128), (96, 256)])

@@ -256,6 +256,28 @@ class TestWatershedHandGoldens:
         out = ond.watershed(img, markers)
         np.testing.assert_array_equal(out, [[1, 1, 1, 1, 2, 2]])
 
+    def test_quantized_basin_tunnels_wave(self):
+        # THE quantized-plateau mechanism behind the sparse-seed IoU gap
+        # (docs/PERF.md round-3 watershed section): a basin below the
+        # plateau level acts as a TUNNEL — pops at img < level jump the
+        # queue, so a wave that touches a basin rim floods the whole basin
+        # and re-enters the plateau within ~one BFS round, regardless of
+        # basin width.  img [2,2,2,1,1,1,2,2,2,2,2,2], seeds x0/x11.
+        # trace: s1(2,a0) pops→x1; s2(2,a1)→x10; x1(2,a2)→x2; x10(2,a3)→x9;
+        # x2(2,a4)→x3 pushed at ITS OWN img (1,a6); x3 pops BEFORE x9's
+        # (2,a5)→x4(1,a7); x4→x5(1,a8); x5→x6 pushed (2,a9); x9(2,a5) only
+        # now→x8; x6(2,a9)→x7 claims for marker 1.  Marker 1 takes 8 of 12
+        # cells despite x7 being only 4 BFS steps from s2 and 7 from s1 —
+        # geodesic distance does NOT govern plateau claims across basins.
+        img = np.array([[2.0, 2, 2, 1, 1, 1, 2, 2, 2, 2, 2, 2]])
+        markers = np.zeros((1, 12), np.int64)
+        markers[0, 0] = 1
+        markers[0, 11] = 2
+        out = ond.watershed(img, markers)
+        np.testing.assert_array_equal(
+            out, [[1, 1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 2]]
+        )
+
     def test_2d_plateau_corner_race(self):
         # 3×3 zeros, seeds at opposite corners (raster: (0,0) first).
         # trace: s1(age0) pops → claims (0,1),(1,0),(1,1) [8-conn? default
