@@ -78,6 +78,13 @@ def main(argv=None) -> int:
     p = sub.add_parser("analyze", help="recursive .h5 label-map analysis")
     p.add_argument("folder", help="top-level folder (strain tokens in path)")
     _add_analysis_flags(p)
+    p.add_argument(
+        "--space-parallel", type=int, default=0,
+        help="devices on the space mesh axis: every plane's ROWS shard "
+        "across devices (halo-exchanged CCL/tables/fill/merge), removing "
+        "the single-chip plane-size ceiling — plane height must be a "
+        "multiple of this",
+    )
 
     p = sub.add_parser("split", help="split z-stack TIFFs per plane/channel")
     p.add_argument("folder")
@@ -172,7 +179,15 @@ def main(argv=None) -> int:
     if args.command == "analyze":
         from particle_col_image_segmentation_tpu.models.experiment import run_analysis
 
-        run_analysis(args.folder, _cfg_from_args(args), make_figures=not args.no_figures)
+        mesh = None
+        if args.space_parallel > 1:
+            from particle_col_image_segmentation_tpu.parallel.mesh import (
+                make_mesh,
+            )
+
+            mesh = make_mesh(n_data=1, n_space=args.space_parallel)
+        run_analysis(args.folder, _cfg_from_args(args),
+                     make_figures=not args.no_figures, mesh=mesh)
         if args.profile:
             from particle_col_image_segmentation_tpu.utils.profiling import (
                 STAGE_TOTALS,

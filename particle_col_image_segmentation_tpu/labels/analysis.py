@@ -35,7 +35,13 @@ from particle_col_image_segmentation_tpu.ops.regionprops_tiles import (
     table_lookup_auto,
 )
 
-__all__ = ["PlaneDeviceOut", "analyze_plane_device", "dapi_dedup_device", "strain_values_of"]
+__all__ = [
+    "PlaneDeviceOut",
+    "analyze_plane_device",
+    "analyze_plane_device_sharded",
+    "dapi_dedup_device",
+    "strain_values_of",
+]
 
 
 class PlaneDeviceOut(NamedTuple):
@@ -202,6 +208,60 @@ def analyze_plane_device(
         overlap_counts=overlap_counts,
         g_ctx=g_ctx,
         converged=conv,
+    )
+
+
+def analyze_plane_device_sharded(
+    img: jnp.ndarray,
+    cell_types: Tuple[Tuple[int, str], ...],
+    cfg: AnalysisConfig,
+    mesh,
+    compute_merge: bool = True,
+    denoise: bool = True,
+) -> PlaneDeviceOut:
+    """``analyze_plane_device`` on a device mesh: plane rows shard across
+    the "space" axis (halo-exchanged distributed CCL / tables / fill /
+    merge, parallel.sharded), removing the single-chip plane-size ceiling
+    for the MAIN analysis path.  Returns the same PlaneDeviceOut —
+    seg/table/fill/overlaps bit-identical to the single-chip graph;
+    ``g_ctx`` root VALUES come from the distributed CCL (different ids,
+    identical grouping partition, which is all the host consumes)."""
+    from particle_col_image_segmentation_tpu.parallel.sharded import (
+        make_sharded_full_analysis_fn,
+    )
+
+    strain_pairs = strain_values_of(cell_types)
+    strain_vals = tuple(v for v, _ in strain_pairs)
+    particle_val = _particle_value(cell_types)
+    fn = make_sharded_full_analysis_fn(
+        mesh, cfg, particle_val=particle_val, cell_vals=strain_vals,
+        denoise=denoise, with_merge=compute_merge,
+    )
+    (den, _, particle_ct, n_comp, filled, overlap_strain, conv, seg,
+     area, class_id, sr_hi, sr_lo, sc_hi, sc_lo, bbox, g_ctx) = fn(
+        jnp.asarray(img)[None]
+    )
+    R = cfg.max_regions + 1
+    table = RegionTable(
+        area=area[0],
+        sr_hi=sr_hi[0],
+        sr_lo=sr_lo[0],
+        sc_hi=sc_hi[0],
+        sc_lo=sc_lo[0],
+        bbox=bbox[0],
+        class_id=class_id[0],
+        valid=(area[0] > 0) & (jnp.arange(R) > 0),
+    )
+    return PlaneDeviceOut(
+        den=den[0],
+        seg=seg[0],
+        num=n_comp[0],
+        table=table,
+        particle_area=particle_ct[0],
+        filled=filled[0],
+        overlap_counts=overlap_strain[0],
+        g_ctx=g_ctx[0],
+        converged=conv[0],
     )
 
 

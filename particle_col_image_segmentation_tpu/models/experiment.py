@@ -54,12 +54,17 @@ def process_h5_folder(
     h5_files: List[str],
     cfg: AnalysisConfig = DEFAULT_CONFIG,
     make_figures: bool = True,
+    mesh=None,
 ) -> None:
-    """Dispatch single vs multi-channel (reference :85-89)."""
+    """Dispatch single vs multi-channel (reference :85-89).  ``mesh``
+    shards every plane's rows over the mesh "space" axis (planes too large
+    for one chip); results are identical to the single-device run."""
     if len(h5_files) == 1:
-        process_single_h5_file(cur_folder, h5_files[0], cfg, make_figures)
+        process_single_h5_file(cur_folder, h5_files[0], cfg, make_figures,
+                               mesh=mesh)
     else:
-        process_multiple_h5_files(cur_folder, h5_files, cfg, make_figures)
+        process_multiple_h5_files(cur_folder, h5_files, cfg, make_figures,
+                                  mesh=mesh)
 
 
 def process_single_h5_file(
@@ -67,6 +72,7 @@ def process_single_h5_file(
     file_path: str,
     cfg: AnalysisConfig = DEFAULT_CONFIG,
     make_figures: bool = True,
+    mesh=None,
 ) -> PlaneAnalysis:
     """Single-file flow (reference :627-671)."""
     full_file_path = os.path.join(cur_folder, file_path)
@@ -79,7 +85,7 @@ def process_single_h5_file(
     cell_types = classmaps.get_cell_type_map(file_path)
     ds_arr = normalize_ds_arr(load_h5_plane(full_file_path), cfg)
     with stage("analyze_plane"):
-        res = analyze_plane(ds_arr, cell_types, cfg, merged=True)
+        res = analyze_plane(ds_arr, cell_types, cfg, merged=True, mesh=mesh)
 
     # counts/densities use the PRE-fill particle area (reference :647-648)
     cell_count, cell_density, cell_area_ratio = get_cell_counts_and_densities(
@@ -122,6 +128,7 @@ def process_multiple_h5_files(
     h5_files: List[str],
     cfg: AnalysisConfig = DEFAULT_CONFIG,
     make_figures: bool = True,
+    mesh=None,
 ) -> Dict[str, PlaneAnalysis]:
     """Multi-channel fusion flow (reference :92-222)."""
     density_path, cell_pos_path = get_pos_and_density_file_names(cur_folder)
@@ -146,7 +153,8 @@ def process_multiple_h5_files(
         base_name = full_file_path.replace(".h5", "")
         ds_arr = normalize_ds_arr(load_h5_plane(full_file_path), cfg)
         with stage("analyze_plane"):
-            res = analyze_plane(ds_arr, cell_types, cfg, merged=False)
+            res = analyze_plane(ds_arr, cell_types, cfg, merged=False,
+                                mesh=mesh)
         results[channel] = res
         # keep the device array — fusion/dedup consume it on device; figures
         # trigger the host transfer lazily via res.denoised
@@ -200,9 +208,28 @@ def process_multiple_h5_files(
                 f"dedup (have: {sorted(channel_ds_arrs)})"
             )
         other = channel_ds_arrs[other_name]
-        dapi_dev, dedup_conv = dapi_dedup_device(
-            jnp.asarray(channel_ds_arrs["DAPI"]), jnp.asarray(other), cfg
-        )
+        if mesh is not None:
+            from particle_col_image_segmentation_tpu.parallel.sharded import (
+                make_sharded_dapi_dedup_fn,
+            )
+
+            dedup_fn = make_sharded_dapi_dedup_fn(mesh, cfg)
+            dapi_b, dedup_num, dedup_conv_b = dedup_fn(
+                jnp.asarray(channel_ds_arrs["DAPI"])[None],
+                jnp.asarray(other)[None],
+            )
+            dapi_dev, dedup_conv = dapi_b[0], dedup_conv_b[0]
+            if int(dedup_num[0]) > cfg.max_regions:
+                # overflowing regions get no overlap row (sharded contract)
+                raise ValueError(
+                    f"DAPI plane has {int(dedup_num[0])} components > "
+                    f"max_regions={cfg.max_regions}; raise "
+                    "AnalysisConfig.max_regions"
+                )
+        else:
+            dapi_dev, dedup_conv = dapi_dedup_device(
+                jnp.asarray(channel_ds_arrs["DAPI"]), jnp.asarray(other), cfg
+            )
         if not bool(dedup_conv):
             raise RuntimeError(
                 "DAPI-dedup CCL did not converge within the kernel budget"
@@ -212,7 +239,8 @@ def process_multiple_h5_files(
         # in (a np.asarray here would roundtrip the full plane through the
         # host only to be re-uploaded).
         dapi_res = analyze_plane(
-            dapi_dev, dapi_cell_types, cfg, merged=False, denoise=False
+            dapi_dev, dapi_cell_types, cfg, merged=False, denoise=False,
+            mesh=mesh,
         )
         master_cell_pos["6B07"] = dapi_res.cell_pos.get("6B07", [])
         master_cell_clusters["6B07"] = dapi_res.cell_clusters.get("6B07", [])
@@ -257,7 +285,8 @@ def process_multiple_h5_files(
         ) from e
     with stage("analyze_plane_fused"):
         fused_res = analyze_plane(
-            fused_dev, BASE_TYPE_MAP, cfg, merged=True, denoise=False
+            fused_dev, BASE_TYPE_MAP, cfg, merged=True, denoise=False,
+            mesh=mesh,
         )
     merged_clusters = fused_res.merged_clusters
 
@@ -292,7 +321,9 @@ def run_analysis(
     top_level_folder: str,
     cfg: AnalysisConfig = DEFAULT_CONFIG,
     make_figures: bool = True,
+    mesh=None,
 ) -> None:
-    """Top-level driver (reference main, :1126-1134)."""
+    """Top-level driver (reference main, :1126-1134).  ``mesh`` shards
+    plane rows over the mesh "space" axis (CLI ``analyze --space-parallel``)."""
     for folder, files in get_h5_files_recursively(top_level_folder).items():
-        process_h5_folder(folder, files, cfg, make_figures)
+        process_h5_folder(folder, files, cfg, make_figures, mesh=mesh)

@@ -70,19 +70,32 @@ def analyze_plane(
     merged: bool = False,
     denoise: bool = True,
     device_out: Optional[PlaneDeviceOut] = None,
+    mesh=None,
 ) -> PlaneAnalysis:
     """Analyze one raw label plane end-to-end.
 
     Matches oracle/reference get_cell_positions_and_areas on the denoised
     plane, plus recreate_particle_area.  ``denoise=False`` analyzes the plane
     as-is (reference re-analysis paths).  Pass ``device_out`` to reuse an
-    already-computed device result (e.g. from a batched run).
+    already-computed device result (e.g. from a batched run), or ``mesh``
+    to shard plane rows over the mesh "space" axis (planes too large for
+    one chip; same results as the single-device graph).
     """
     ct = _as_static(cell_types)
     if device_out is None:
-        device_out = analyze_plane_device(
-            jnp.asarray(img), ct, cfg, compute_merge=merged, denoise=denoise
-        )
+        if mesh is not None:
+            from particle_col_image_segmentation_tpu.labels.analysis import (
+                analyze_plane_device_sharded,
+            )
+
+            device_out = analyze_plane_device_sharded(
+                jnp.asarray(img), ct, cfg, mesh, compute_merge=merged,
+                denoise=denoise,
+            )
+        else:
+            device_out = analyze_plane_device(
+                jnp.asarray(img), ct, cfg, compute_merge=merged, denoise=denoise
+            )
     out = device_out
 
     num = int(out.num)

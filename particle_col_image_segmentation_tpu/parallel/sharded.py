@@ -305,9 +305,11 @@ def _merge_shard(den, area, sr_hi, sr_lo, sc_hi, sc_lo, cfg: AnalysisConfig,
     icy = jnp.clip(_exact_floor_div(sr_hi, sr_lo, d), 0, Hg - 1)  # [b, R+1]
     icx = jnp.clip(_exact_floor_div(sc_hi, sc_lo, d), 0, W - 1)
 
+    # empty strain_vals (e.g. an RFP plane with no cell class under the
+    # 6B07/6B07+C3M10 rules): union-only context, like _stage_merge
     masks = [den == v for v in strain_vals]
-    union = masks[0]
-    for m in masks[1:]:
+    union = jnp.zeros(den.shape, bool)
+    for m in masks:
         union = union | m
     ctx = jnp.stack(masks + [union], axis=0)  # [S, b, h, W]
     r = cfg.merge_disk_radius
@@ -338,14 +340,32 @@ def _merge_shard(den, area, sr_hi, sr_lo, sc_hi, sc_lo, cfg: AnalysisConfig,
 def _segment_shard(
     img, cfg: AnalysisConfig, particle_val: int, cell_vals, max_iters: int,
     with_tables: bool = False, with_merge: bool = False,
+    with_analysis: bool = False, denoise: bool = True,
 ):
     """Body run per shard: [b_loc, h_loc, W] →
-    (den, lab, particle_ct, n_comp, filled, overlap_ct[, seg, area, class_id])."""
+    (den, lab, particle_ct, n_comp, filled, overlap_ct[, seg, area, class_id]).
+
+    ``with_analysis`` (implies tables) switches to the full
+    PlaneDeviceOut-grade outputs: per-STRAIN overlap counts [b, S], the
+    exact centroid coordinate sums, region bboxes (segment min/max pmax'd
+    over the space axis, half-open like ops.regionprops), and ``g_ctx`` —
+    everything labels.analysis.analyze_plane_device computes, sharded
+    (``with_merge=False`` skips the merge compute and returns the same -1
+    placeholder g_ctx as the single-chip ``compute_merge=False``).
+    ``denoise=False`` analyzes the plane as-is (the reference re-analysis
+    paths, tiff_analysis.py:168,206)."""
+    if with_analysis:
+        with_tables = True
     h_loc, W = img.shape[-2:]
-    half = cfg.denoise_size // 2
-    img_h = pad_with_halo(img, half, edge_mode="symmetric")
-    img_h = jnp.pad(img_h, [(0, 0)] * (img.ndim - 1) + [(half, half)], mode="symmetric")
-    den = median_label_filter_padded(img_h, cfg.denoise_size, cfg.num_classes)
+    if denoise:
+        half = cfg.denoise_size // 2
+        img_h = pad_with_halo(img, half, edge_mode="symmetric")
+        img_h = jnp.pad(
+            img_h, [(0, 0)] * (img.ndim - 1) + [(half, half)], mode="symmetric"
+        )
+        den = median_label_filter_padded(img_h, cfg.denoise_size, cfg.num_classes)
+    else:
+        den = img
 
     lin, base, _ = _linear_ids(den)
     lab, ch_planes = _dist_ccl(den, base, lin, max_iters)
@@ -365,7 +385,7 @@ def _segment_shard(
     dt2 = cfg.distance_threshold * cfg.distance_threshold
     dr2 = cfg.dilation_radius * cfg.dilation_radius
     filled = den
-    overlap_ct = jnp.zeros(den.shape[:-2], jnp.int32)
+    overlaps = []
     for sval in cell_vals:
         pm_ext = pad_with_halo(
             filled == particle_val, cap, edge_mode="constant", fill=False
@@ -373,12 +393,17 @@ def _segment_shard(
         d2 = edt_sq(pm_ext, cap=cap)[..., cap:-cap, :]
         overlap = (filled == sval) & ((d2 < dt2) | (d2 <= dr2))
         ov_local = jnp.sum(overlap.astype(jnp.int32), axis=(-2, -1))
-        overlap_ct = overlap_ct + jax.lax.psum(ov_local, SPACE_AXIS)
+        overlaps.append(jax.lax.psum(ov_local, SPACE_AXIS))
         filled = jnp.where(overlap, jnp.asarray(particle_val, den.dtype), filled)
+    overlap_ct = (
+        sum(overlaps)
+        if overlaps
+        else jnp.zeros(den.shape[:-2], jnp.int32)
+    )
     if not with_tables:
         return den, lab, particle_ct, n_comp, filled, overlap_ct, ccl_converged
     extra = ()
-    if with_merge:
+    if with_merge or with_analysis:
         # global centroid coordinate sums in the same exact (hi, lo) int32
         # digit split as ops.regionprops (Σrow can exceed int32)
         from particle_col_image_segmentation_tpu.ops.regionprops import (
@@ -397,14 +422,56 @@ def _segment_shard(
         lab, lin, den, base, cfg.max_regions, max_iters, extra=extra
     )
     conv = ccl_converged & cmp_converged
-    if not with_merge:
+    if not with_merge and not with_analysis:
         return (den, lab, particle_ct, n_comp, filled, overlap_ct,
                 conv, seg, area, class_id)
-    g_ctx, m_conv = _merge_shard(
-        den, area, *sums, cfg=cfg, strain_vals=cell_vals, max_iters=max_iters
+    if with_merge:
+        g_ctx, m_conv = _merge_shard(
+            den, area, *sums, cfg=cfg, strain_vals=cell_vals,
+            max_iters=max_iters,
+        )
+    else:  # analysis without merge: same placeholder as compute_merge=False
+        g_ctx = jnp.full(
+            den.shape[:-2] + (len(cell_vals) + 1, cfg.max_regions + 1),
+            -1, jnp.int32,
+        )
+        m_conv = jnp.ones(den.shape[:-2], bool)
+    if not with_analysis:
+        return (den, lab, particle_ct, n_comp, filled, overlap_ct,
+                conv & m_conv, seg, area, class_id, g_ctx)
+    # full-analysis extras: bboxes exactly like ops.regionprops.region_props
+    # (min r = −max(−r) rides the same segment_max; half-open maxes), with
+    # GLOBAL row coordinates and a pmax over the space axis
+    R = cfg.max_regions + 1
+    _, _, row_offset = _linear_ids(den)
+    rows_g = (
+        jax.lax.broadcasted_iota(jnp.int32, den.shape, den.ndim - 2)
+        + row_offset
     )
-    return (den, lab, particle_ct, n_comp, filled, overlap_ct,
-            conv & m_conv, seg, area, class_id, g_ctx)
+    cols_g = jax.lax.broadcasted_iota(jnp.int32, den.shape, den.ndim - 1)
+
+    def maxs_one(s2, rg, cg):
+        ids = s2.ravel()
+        stacked = jnp.stack(
+            [rg.ravel(), cg.ravel(), -rg.ravel(), -cg.ravel()], axis=-1
+        )
+        return jax.ops.segment_max(stacked, ids, num_segments=R)
+
+    maxs_l = jax.vmap(maxs_one)(seg, rows_g, cols_g)  # [b, R+1, 4]
+    maxs = jax.lax.pmax(maxs_l, SPACE_AXIS)
+    bbox = jnp.stack(
+        [-maxs[..., 2], -maxs[..., 3], maxs[..., 0] + 1, maxs[..., 1] + 1],
+        axis=-1,
+    )
+    overlap_strain = (
+        jnp.stack(overlaps, axis=-1)
+        if overlaps
+        else jnp.zeros(den.shape[:-2] + (0,), jnp.int32)
+    )
+    sr_hi, sr_lo, sc_hi, sc_lo = sums
+    return (den, lab, particle_ct, n_comp, filled, overlap_strain,
+            conv & m_conv, seg, area, class_id,
+            sr_hi, sr_lo, sc_hi, sc_lo, bbox, g_ctx)
 
 
 def make_sharded_segment_fn(
@@ -483,6 +550,35 @@ def make_sharded_analysis_fn(
         mesh, cfg, particle_val=particle_val, cell_vals=cell_vals,
         max_iters=max_iters, with_tables=True, with_merge=True,
     )
+
+
+def make_sharded_full_analysis_fn(
+    mesh, cfg: AnalysisConfig, particle_val: int = 2, cell_vals=(1,),
+    max_iters: int = 128, denoise: bool = True, with_merge: bool = True,
+):
+    """PlaneDeviceOut-grade sharded analysis: [B,H,W] uint8 →
+    (den, lab, particle_ct [B], n_comp [B], filled, overlap_strain [B,S],
+     converged [B], seg, area [B,R+1], class_id [B,R+1],
+     sr_hi, sr_lo, sc_hi, sc_lo [B,R+1 each], bbox [B,R+1,4],
+     g_ctx [B,S+1,R+1]) — everything ``labels.analysis.analyze_plane_device``
+    computes (full RegionTable incl. exact centroid sums and bboxes,
+    per-strain fill overlaps, merge-group roots), every stage
+    halo-exchange sharded.  ``denoise=False`` mirrors the reference
+    re-analysis paths (tiff_analysis.py:168,206)."""
+    plane = P(DATA_AXIS, SPACE_AXIS, None)
+    rep = P(DATA_AXIS)
+    fn = jax.shard_map(
+        partial(
+            _segment_shard, cfg=cfg, particle_val=particle_val,
+            cell_vals=tuple(cell_vals), max_iters=max_iters,
+            with_analysis=True, with_merge=with_merge, denoise=denoise,
+        ),
+        mesh=mesh,
+        in_specs=plane,
+        out_specs=(plane, plane, rep, rep, plane, rep, rep, plane,
+                   rep, rep, rep, rep, rep, rep, rep, rep),
+    )
+    return jax.jit(fn)
 
 
 def sharded_segment_batch(

@@ -153,6 +153,59 @@ class TestMultiChannelFlow:
         write_merged_cell_position_info(merged, str(exp_dir / "merged.csv"), rfp_area, CFG)
         assert _read(merged_csv) == _read(exp_dir / "merged.csv")
 
+    @pytest.mark.skipif(
+        len(__import__("jax").devices()) < 8, reason="needs 8 devices"
+    )
+    def test_three_channel_space_sharded_matches_single_device(self, tmp_path):
+        """The FULL multi-channel flow (per-channel analysis, sharded DAPI
+        dedup, fusion re-analysis, merge) on a 1×8 space mesh must write
+        byte-identical CSVs to the single-device run — `analyze
+        --space-parallel` end-to-end (VERDICT r2 #2, main analysis path)."""
+        from particle_col_image_segmentation_tpu.cli import main
+        from particle_col_image_segmentation_tpu.parallel.mesh import make_mesh
+
+        rfp_types = {1: "Particle", 2: "Background"}
+        dapi_types = {1: "6B07", 2: "Particle", 3: "Background"}
+        gfp_types = {1: "C3M10", 2: "Particle", 3: "Background"}
+        rfp = synthetic_label_plane(
+            seed=41, cell_types=rfp_types, shape=(160, 160),
+            n_cells_per_strain=0, n_clusters_per_strain=0,
+        )
+        dapi = synthetic_label_plane(seed=42, cell_types=dapi_types, shape=(160, 160))
+        gfp = synthetic_label_plane(seed=43, cell_types=gfp_types, shape=(160, 160))
+        files = [
+            "Tp_2_48h_60X_3_RFP_labels.h5",
+            "Tp_2_48h_60X_3_DAPI_labels.h5",
+            "Tp_2_48h_60X_3_GFP_labels.h5",
+        ]
+
+        def run(sub, mesh=None, cli=False):
+            folder = tmp_path / sub / "6B07_C3M10" / "48h" / "Tp_2_48h_60X_3"
+            folder.mkdir(parents=True)
+            for f, arr in zip(files, (rfp, dapi, gfp)):
+                save_h5_plane(str(folder / f), arr)
+            if cli:
+                rc = main(["analyze", str(tmp_path / sub), "--no-figures",
+                           "--max-regions", "4096",
+                           "--space-parallel", "8"])
+                assert rc == 0
+            else:
+                experiment.process_multiple_h5_files(
+                    str(folder), files, CFG, make_figures=False, mesh=mesh
+                )
+            return {
+                "density": _read(folder.parent / "6B07_C3M10_48h_cell_density_info.csv"),
+                "combined": _read(folder / "Tp_2_48h_60X_3_cell_pos_combined.csv"),
+                "raw": _read(folder / "Tp_2_48h_60X_3_cell_pos_raw.csv"),
+                "merged": _read(folder / "Tp_2_48h_60X_3_merged_cell_pos.csv"),
+            }
+
+        ref = run("single")
+        got = run("sharded", mesh=make_mesh(n_data=1, n_space=8))
+        assert got == ref
+        via_cli = run("cli", cli=True)
+        assert via_cli == ref
+
     def test_missing_channel_raises_clearly(self, tmp_path):
         """A multi-strain folder lacking the DAPI capture must raise a
         ValueError naming the missing channel, not a bare KeyError."""
