@@ -116,8 +116,9 @@ def main(argv=None) -> int:
     )
     p.add_argument(
         "--data-parallel", type=int, default=0,
-        help="devices on the data mesh axis when refining a stack with "
-        "--space-parallel (planes split across this many devices)",
+        help="devices on the data mesh axis when refining a stack "
+        "(planes split across this many devices; combines with "
+        "--space-parallel)",
     )
 
     p = sub.add_parser("nanosims", help="NanoSIMS 5-isotope ROI analysis")
@@ -220,7 +221,7 @@ def main(argv=None) -> int:
             boundary_threshold=args.threshold, boundary_channel=args.channel
         )
         probs = load_h5_plane(args.h5_file, key="exported_data")
-        if args.space_parallel > 1:
+        if args.space_parallel > 1 or args.data_parallel > 1:
             import numpy as np
 
             from particle_col_image_segmentation_tpu.models.refine import (
@@ -231,7 +232,8 @@ def main(argv=None) -> int:
             )
 
             mesh = make_mesh(
-                n_data=args.data_parallel or 1, n_space=args.space_parallel
+                n_data=args.data_parallel or 1,
+                n_space=max(args.space_parallel, 1),
             )
             as_stack = args.stack or probs.ndim == 4
             results = refine_boundaries_sharded(

@@ -95,6 +95,11 @@ class AnalysisConfig:
     # rounds.
     ccl_max_sweeps: int = 16
     ccl_max_iters: int = 64
+    # Halo-exchange rounds for the DISTRIBUTED fixpoints (parallel.sharded:
+    # CCL, rank propagation, dedup) when running space-sharded.  Validated
+    # at the reference's full 2048² plane (test_parallel.py); raise it the
+    # same way as the budgets above if a sharded run flags non-convergence.
+    sharded_max_iters: int = 128
 
     @property
     def min_cell_area_map(self) -> dict:

@@ -230,12 +230,22 @@ def analyze_plane_device_sharded(
         make_sharded_full_analysis_fn,
     )
 
+    from particle_col_image_segmentation_tpu.parallel.mesh import DATA_AXIS
+
+    if mesh.shape[DATA_AXIS] != 1:
+        raise ValueError(
+            f"analyze shards ONE plane at a time: the mesh data axis must "
+            f"be 1, got {dict(mesh.shape)} — build it with "
+            "make_mesh(n_data=1, n_space=N) (use models.batch.run_batch "
+            "for data-parallel many-plane runs)"
+        )
     strain_pairs = strain_values_of(cell_types)
     strain_vals = tuple(v for v, _ in strain_pairs)
     particle_val = _particle_value(cell_types)
     fn = make_sharded_full_analysis_fn(
         mesh, cfg, particle_val=particle_val, cell_vals=strain_vals,
-        denoise=denoise, with_merge=compute_merge,
+        max_iters=cfg.sharded_max_iters, denoise=denoise,
+        with_merge=compute_merge,
     )
     (den, _, particle_ct, n_comp, filled, overlap_strain, conv, seg,
      area, class_id, sr_hi, sr_lo, sc_hi, sc_lo, bbox, g_ctx) = fn(

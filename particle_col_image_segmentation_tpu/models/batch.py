@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Callable, Iterator, Sequence, Tuple
+from typing import Callable, Iterator, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -126,24 +126,8 @@ def fused_segment_batch(
     areas, classes = region_counts_auto(
         seg, den, cfg.max_regions, val_bound=cfg.num_classes - 1
     )
-    # Every pixel belongs to exactly one class-homogeneous region (background
-    # is labeled too), so all pixel histograms reduce over the [R+1] tables
-    # instead of the plane — O(R) work.  Requires num ≤ cfg.max_regions
-    # (ids past capacity are dropped from the tables); callers check ``num``.
-    class_px = jnp.stack(
-        [
-            jnp.sum(jnp.where(classes == v, areas, 0), axis=-1)
-            for v in range(cfg.num_classes)
-        ],
-        axis=-1,
-    )
-    particle_px = class_px[..., particle_val]
-    # empty cell_vals (e.g. an RFP plane with no cell class under the
-    # 6B07/6B07+C3M10 rules) must still yield a [B] array, not Python 0
-    cell_px = (
-        sum(class_px[..., v] for v in cell_vals)
-        if cell_vals
-        else jnp.zeros_like(particle_px)
+    class_px, particle_px, cell_px = _pixel_stats_from_tables(
+        areas, classes, cfg, particle_val, cell_vals
     )
     converged = conv_ccl & conv_cmp  # per plane [B]
     return seg, num, areas, classes, particle_px, cell_px, class_px, converged
@@ -194,9 +178,34 @@ def make_fused_segment_fn(
     return jax.jit(fn)
 
 
+def _pixel_stats_from_tables(areas, classes, cfg: AnalysisConfig,
+                             particle_val: int, cell_vals):
+    """Per-plane pixel histograms reduced over the [R+1] region tables
+    (every pixel belongs to exactly one class-homogeneous region, so this
+    is O(R) — shared by the fused and space-sharded passes so overflow
+    semantics cannot diverge).  Requires num ≤ cfg.max_regions (ids past
+    capacity are dropped from the tables); callers check ``num``."""
+    class_px = jnp.stack(
+        [
+            jnp.sum(jnp.where(classes == v, areas, 0), axis=-1)
+            for v in range(cfg.num_classes)
+        ],
+        axis=-1,
+    )
+    particle_px = class_px[..., particle_val]
+    # empty cell_vals (e.g. an RFP plane with no cell class under the
+    # 6B07/6B07+C3M10 rules) must still yield a [B] array, not Python 0
+    cell_px = (
+        sum(class_px[..., v] for v in cell_vals)
+        if cell_vals
+        else jnp.zeros_like(particle_px)
+    )
+    return class_px, particle_px, cell_px
+
+
 def make_space_sharded_segment_fn(
     mesh, cfg: AnalysisConfig, particle_val: int = 2, cell_vals=(1,),
-    max_iters: int = 128,
+    max_iters: Optional[int] = None,
 ):
     """Spatially sharded fused pass with the SAME output contract as
     ``fused_segment_batch`` — the run_batch step for planes too large for
@@ -216,24 +225,15 @@ def make_space_sharded_segment_fn(
 
     inner = make_sharded_segment_fn(
         mesh, cfg, particle_val=particle_val, cell_vals=tuple(cell_vals),
-        max_iters=max_iters, with_tables=True,
+        max_iters=max_iters if max_iters is not None else cfg.sharded_max_iters,
+        with_tables=True,
     )
 
     @jax.jit
     def fn(imgs):
         (_, _, _, n_comp, _, _, conv, seg, areas, classes) = inner(imgs)
-        class_px = jnp.stack(
-            [
-                jnp.sum(jnp.where(classes == v, areas, 0), axis=-1)
-                for v in range(cfg.num_classes)
-            ],
-            axis=-1,
-        )
-        particle_px = class_px[..., particle_val]
-        cell_px = (
-            sum(class_px[..., v] for v in cell_vals)
-            if cell_vals
-            else jnp.zeros_like(particle_px)
+        class_px, particle_px, cell_px = _pixel_stats_from_tables(
+            areas, classes, cfg, particle_val, cell_vals
         )
         return seg, n_comp, areas, classes, particle_px, cell_px, class_px, conv
 

@@ -213,13 +213,18 @@ def process_multiple_h5_files(
                 make_sharded_dapi_dedup_fn,
             )
 
-            dedup_fn = make_sharded_dapi_dedup_fn(mesh, cfg)
+            dedup_fn = make_sharded_dapi_dedup_fn(
+                mesh, cfg, max_iters=cfg.sharded_max_iters
+            )
             dapi_b, dedup_num, dedup_conv_b = dedup_fn(
                 jnp.asarray(channel_ds_arrs["DAPI"])[None],
                 jnp.asarray(other)[None],
             )
             dapi_dev, dedup_conv = dapi_b[0], dedup_conv_b[0]
-            if int(dedup_num[0]) > cfg.max_regions:
+            # convergence first: an unconverged plane's region count is
+            # garbage, and a bogus max_regions error would name the wrong
+            # remedy
+            if bool(dedup_conv) and int(dedup_num[0]) > cfg.max_regions:
                 # overflowing regions get no overlap row (sharded contract)
                 raise ValueError(
                     f"DAPI plane has {int(dedup_num[0])} components > "

@@ -131,6 +131,20 @@ def refine_boundaries(
     )
 
 
+def _reject_channel_last_plane(probs: np.ndarray) -> None:
+    """Stack entry points must reject a SINGLE [H, W, C] channel-last
+    export (Ilastik's usual axis order): flooding it as H planes of
+    [W, C] would silently produce garbage — shared so the heuristic
+    cannot drift between the stack entry points."""
+    if probs.ndim == 3 and probs.shape[-1] <= 8:
+        raise ValueError(
+            f"shape {probs.shape} looks like a single [H, W, C] plane "
+            "(trailing axis <= 8 can only be channels) — refine it as a "
+            "single plane (refine_boundaries / stack=False), or pass a "
+            "[Z, H, W(, C)] stack"
+        )
+
+
 def _extract_boundary_channel(arr: np.ndarray, cfg: RefineConfig, ndim: int):
     """Strip the (small, ≤ 8) channel axis off either end, reference-axis
     first — shared by the plane and stack entry points (``ndim`` = expected
@@ -163,15 +177,7 @@ def refine_boundaries_stack(
     are bit-identical to ``refine_boundaries`` on each plane.
     """
     probs = np.asarray(probabilities)
-    if probs.ndim == 3 and probs.shape[-1] <= 8:
-        # [H, W, C] is a SINGLE-plane channel-last export (Ilastik's usual
-        # axis order, handled by refine_boundaries); flooding it as H
-        # planes of [W, C] would silently produce garbage
-        raise ValueError(
-            f"shape {probs.shape} looks like a single [H, W, C] plane "
-            "(trailing axis <= 8 can only be channels) — use "
-            "refine_boundaries, or pass a [Z, H, W(, C)] stack"
-        )
+    _reject_channel_last_plane(probs)
     arr = _extract_boundary_channel(probs, cfg, ndim=3)
     labels, _, num, table, _, converged = refine_plane_device(
         jnp.asarray(arr, jnp.float32), cfg, max_regions
@@ -265,14 +271,7 @@ def refine_boundaries_sharded(
     if stack is None:
         stack = probs.ndim == 4
     if stack:
-        if probs.ndim == 3 and probs.shape[-1] <= 8:
-            # same guard as refine_boundaries_stack: [H, W, C] is a single
-            # channel-last plane, not H planes of [W, C]
-            raise ValueError(
-                f"shape {probs.shape} looks like a single [H, W, C] plane "
-                "(trailing axis <= 8 can only be channels) — pass "
-                "stack=False, or a [Z, H, W(, C)] stack"
-            )
+        _reject_channel_last_plane(probs)
         arr = _extract_boundary_channel(probs, cfg, ndim=3)
     else:
         arr = _extract_boundary_channel(probs, cfg, ndim=2)[None]

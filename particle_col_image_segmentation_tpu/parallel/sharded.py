@@ -15,7 +15,7 @@ backend.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -48,6 +48,7 @@ __all__ = [
     "sharded_segment_batch",
     "make_sharded_segment_fn",
     "make_sharded_analysis_fn",
+    "make_sharded_full_analysis_fn",
     "make_sharded_dapi_dedup_fn",
     "make_sharded_refine_fn",
     "make_sharded_watershed_fn",
@@ -474,6 +475,7 @@ def _segment_shard(
             sr_hi, sr_lo, sc_hi, sc_lo, bbox, g_ctx)
 
 
+@lru_cache(maxsize=None)
 def make_sharded_segment_fn(
     mesh,
     cfg: AnalysisConfig,
@@ -486,6 +488,10 @@ def make_sharded_segment_fn(
     """Build the jitted sharded step: [B,H,W] uint8 →
     (den [B,H,W], labels [B,H,W] global-root ids, particle_px [B],
      n_comp [B], filled [B,H,W], overlap_px [B], converged [B]).
+
+    Cached per argument tuple (``cell_vals`` must be hashable, i.e. a
+    tuple): repeated factory calls return the SAME jitted object, so
+    jit's trace cache hits instead of retracing the whole graph per call.
 
     ``converged`` is per-plane: False means the distributed fixpoint hit its
     ``max_iters`` budget with labels still changing — the labels/tables for
@@ -547,11 +553,12 @@ def make_sharded_analysis_fn(
     plus ``g_ctx`` [B, n_strains+1, R+1] merge-group roots (-1 = centroid
     off the dilated mask), identical to the single-chip ``_stage_merge``."""
     return make_sharded_segment_fn(
-        mesh, cfg, particle_val=particle_val, cell_vals=cell_vals,
+        mesh, cfg, particle_val=particle_val, cell_vals=tuple(cell_vals),
         max_iters=max_iters, with_tables=True, with_merge=True,
     )
 
 
+@lru_cache(maxsize=None)
 def make_sharded_full_analysis_fn(
     mesh, cfg: AnalysisConfig, particle_val: int = 2, cell_vals=(1,),
     max_iters: int = 128, denoise: bool = True, with_merge: bool = True,
@@ -585,7 +592,7 @@ def sharded_segment_batch(
     batch, mesh, cfg: AnalysisConfig, particle_val: int = 2, cell_vals=(1,)
 ):
     """Convenience wrapper: run the sharded step on a host batch."""
-    fn = make_sharded_segment_fn(mesh, cfg, particle_val, cell_vals)
+    fn = make_sharded_segment_fn(mesh, cfg, particle_val, tuple(cell_vals))
     return fn(jnp.asarray(batch))
 
 
@@ -621,6 +628,7 @@ def _dapi_dedup_shard(dapi, other, cfg: AnalysisConfig, max_iters: int):
     return out, num, (ch == 0) & cmp_conv
 
 
+@lru_cache(maxsize=None)
 def make_sharded_dapi_dedup_fn(mesh, cfg: AnalysisConfig, max_iters: int = 128):
     """Sharded DAPI-vs-other-channel dedup: [B,H,W]×2 uint8 →
     (updated dapi [B,H,W], num_regions [B], converged [B]).  Bit-identical
@@ -913,6 +921,7 @@ def _refine_shard(bm, threshold: float, connectivity: int, max_regions: int,
     return labels, markers, num, converged, sums
 
 
+@lru_cache(maxsize=None)
 def make_sharded_refine_fn(mesh, threshold: float = 0.5,
                            connectivity: int = 1, max_regions: int = 4096,
                            max_iters: int = 4096, with_tables: bool = False):
@@ -950,6 +959,7 @@ def make_sharded_refine_fn(mesh, threshold: float = 0.5,
     return jax.jit(fn)
 
 
+@lru_cache(maxsize=None)
 def make_sharded_watershed_fn(mesh, connectivity: int = 1,
                               max_iters: int = 4096):
     """Sharded marker watershed: (image [B,H,W] f32, markers [B,H,W] i32,

@@ -419,6 +419,75 @@ def test_cli_refine_space_parallel(tmp_path):
     assert len(single_csv.read_bytes().splitlines()) > 1
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_cli_refine_data_parallel_only(tmp_path):
+    """`refine --data-parallel N` WITHOUT --space-parallel must activate
+    the mesh (planes split across devices, rows whole) — it used to be
+    silently ignored — and write the same CSV as the single-device stack
+    run."""
+    import h5py
+    from scipy import ndimage as ndi
+
+    from particle_col_image_segmentation_tpu.cli import main
+
+    H, W, Z = 64, 64, 2
+    planes = []
+    for z in range(Z):
+        rng = np.random.default_rng(30 + z)
+        m = np.zeros((H, W), bool)
+        yy, xx = np.mgrid[:H, :W]
+        for _ in range(3):
+            cy, cx = rng.integers(10, H - 10, 2)
+            m |= (yy - cy) ** 2 + (xx - cx) ** 2 <= int(rng.integers(30, 90))
+        dist = ndi.distance_transform_edt(m)
+        planes.append((1.0 - dist / max(1.0, dist.max())).astype(np.float32))
+    h5 = tmp_path / "stack.h5"
+    with h5py.File(h5, "w") as f:
+        f.create_dataset("exported_data", data=np.stack(planes))
+    single_csv, dp_csv = tmp_path / "s.csv", tmp_path / "dp.csv"
+    assert main(["refine", str(h5), "--stack", "--csv", str(single_csv)]) == 0
+    assert main(["refine", str(h5), "--stack", "--csv", str(dp_csv),
+                 "--data-parallel", "2"]) == 0
+    assert single_csv.read_bytes() == dp_csv.read_bytes()
+    assert len(single_csv.read_bytes().splitlines()) > 1
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_analyze_plane_mesh_requires_single_data_axis():
+    """A reused batch mesh (n_data > 1) must fail analyze with a clear
+    message, not an opaque shard_map divisibility error."""
+    from particle_col_image_segmentation_tpu.models.single_channel import (
+        analyze_plane,
+    )
+
+    img = synthetic_label_plane(seed=9, shape=(64, 64))
+    ct = {1: "3D05", 2: "Particle", 3: "Background"}
+    with pytest.raises(ValueError, match="data axis must be 1"):
+        analyze_plane(img, ct, CFG, mesh=make_mesh(n_data=2, n_space=4))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_space_mesh_honors_sharded_budget():
+    """AnalysisConfig.sharded_max_iters must reach the distributed
+    fixpoints (it used to be a hardcoded 128): a starved budget flags
+    non-convergence instead of silently using the default."""
+    import jax.numpy as jnp
+
+    from particle_col_image_segmentation_tpu.models.batch import (
+        make_space_sharded_segment_fn,
+    )
+
+    batch = np.stack([synthetic_label_plane(seed=3, shape=(64, 64))])
+    mesh = make_mesh(n_data=1, n_space=8)
+    starved = AnalysisConfig(max_regions=4096, sharded_max_iters=1)
+    out = make_space_sharded_segment_fn(mesh, starved)(jnp.asarray(batch))
+    assert not bool(np.asarray(out[-1]).all())
+    ok = make_space_sharded_segment_fn(mesh, AnalysisConfig(max_regions=4096))(
+        jnp.asarray(batch)
+    )
+    assert bool(np.asarray(ok[-1]).all())
+
+
 @pytest.mark.slow
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
 def test_sharded_refine_full_scale_512():
