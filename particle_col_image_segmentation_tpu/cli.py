@@ -120,6 +120,12 @@ def main(argv=None) -> int:
         "(planes split across this many devices; combines with "
         "--space-parallel)",
     )
+    p.add_argument(
+        "--tunnel-basins", action="store_true",
+        help="model priority-flood basin tunneling (basin-component "
+        "contraction) in the watershed — for plateaued/quantized "
+        "probability maps with sparse markers; single-chip only",
+    )
 
     p = sub.add_parser("nanosims", help="NanoSIMS 5-isotope ROI analysis")
     p.add_argument("mat_folder")
@@ -218,7 +224,8 @@ def main(argv=None) -> int:
         )
 
         cfg = RefineConfig(
-            boundary_threshold=args.threshold, boundary_channel=args.channel
+            boundary_threshold=args.threshold, boundary_channel=args.channel,
+            tunnel_basins=args.tunnel_basins,
         )
         probs = load_h5_plane(args.h5_file, key="exported_data")
         if args.space_parallel > 1 or args.data_parallel > 1:

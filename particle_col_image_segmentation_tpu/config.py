@@ -132,6 +132,14 @@ class RefineConfig:
     # giant marker on any region deeper than the cap — only set this on
     # planes known to be shallower than the cap, for speed.
     edt_cap: int | None = None
+    # Model priority-flood basin tunneling in the watershed via
+    # basin-component contraction (ops.watershed docstring).  The default
+    # claim key already holds ≥0.99 boundary IoU on the pipeline regime
+    # (EDT-seeded markers inside their own basins); enable this for
+    # plateaued/quantized probability maps with sparse or hand-placed
+    # markers, where it lifts parity from ~0.5 to ≥0.93 (docs/PERF.md).
+    # Single-chip only: the space-sharded refine path rejects it.
+    tunnel_basins: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

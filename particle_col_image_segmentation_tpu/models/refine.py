@@ -30,6 +30,7 @@ from particle_col_image_segmentation_tpu.ops import (
     edt,
     local_maxima,
     region_props_auto,
+    watershed,
     watershed_auto,
 )
 from particle_col_image_segmentation_tpu.ops.edt import edt_exact
@@ -67,9 +68,18 @@ def refine_plane_device(
     markers, num, conv_cmp = compact_labels_auto(
         raw, max_regions, val=maxima.astype(jnp.uint8), with_flag=True
     )
-    labels, conv_ws = watershed_auto(
-        boundary_map.astype(jnp.float32), markers, binary_mask, with_flag=True
-    )
+    if cfg.tunnel_basins:
+        # basin-contraction claim key (ops.watershed docstring) — XLA
+        # schedule only; segment-min broadcasts have no band-sweep analogue
+        labels, conv_ws = watershed(
+            boundary_map.astype(jnp.float32), markers, binary_mask,
+            with_flag=True, tunnel_basins=True,
+        )
+    else:
+        labels, conv_ws = watershed_auto(
+            boundary_map.astype(jnp.float32), markers, binary_mask,
+            with_flag=True,
+        )
     table = region_props_auto(
         labels, jnp.ones_like(labels, jnp.uint8), max_regions, val_bound=1
     )
@@ -267,6 +277,12 @@ def refine_boundaries_sharded(
         make_sharded_refine_fn,
     )
 
+    if cfg.tunnel_basins:
+        raise ValueError(
+            "tunnel_basins is single-chip only: the sharded refine's "
+            "halo-exchange watershed has no cross-shard segment broadcast. "
+            "Run without --space-parallel (or disable tunnel_basins)."
+        )
     probs = np.asarray(probabilities)
     if stack is None:
         stack = probs.ndim == 4

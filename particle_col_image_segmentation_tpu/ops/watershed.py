@@ -38,10 +38,32 @@ is unique and any schedule — XLA Jacobi, Pallas Gauss-Seidel band sweeps,
 sharded halo-exchange — produces bit-identical labels.  Agreement with
 skimage's sequential priority flood is by boundary IoU (exact queue-order
 ties still differ; BASELINE.json contract).
+
+``tunnel_basins=True`` (XLA schedule only) additionally models **basin
+tunneling**: in the priority flood, a below-level pixel (img < flood
+level) pops before every at-level pixel, so a wave touching a basin rim
+floods the entire basin within one BFS round — geodesic distance across a
+basin is ~1 regardless of its width (hand-traced golden
+`test_quantized_basin_tunnels_wave`).  Naive zero-increment steps make
+the justification graph cyclic (intra-basin zero edges sustain phantom
+states; recorded negative in docs/PERF.md), so this mode *contracts* each
+basin instead: adjacent below-level pixels provably share one flood level
+(cost[p] < cost[q] would force cost[q] ≤ img[q], contradicting
+img[q] < cost[q]), so the connected components of the below-level mask
+are per-level basins.  Claims flow only across component boundaries, the
+level distance increments only onto at-level pixels, and every basin
+adopts the lexicographic-min external candidate via a segment-min
+broadcast each step.  Any constant-cost justification cycle would then
+have to alternate basin→at-level hops, each costing +1 — so the quotient
+graph is acyclic and the relaxation converges.  Measured on 256² sparse
+point-seed fixtures vs the priority-flood oracle (scripts/ws_key_lab.py):
+boundary IoU 0.46→0.96 (smooth, 8-level-quantized), 0.26→0.67 (noise
+relief), unchanged parity on the pipeline regime, in ~half the sweeps.
 """
 
 from __future__ import annotations
 
+import math
 from functools import partial
 from typing import Optional
 
@@ -122,7 +144,10 @@ def fold_claim(best, cand):
     )
 
 
-@partial(jax.jit, static_argnames=("connectivity", "max_iters", "with_flag"))
+@partial(
+    jax.jit,
+    static_argnames=("connectivity", "max_iters", "with_flag", "tunnel_basins"),
+)
 def watershed(
     image: jnp.ndarray,
     markers: jnp.ndarray,
@@ -130,6 +155,7 @@ def watershed(
     connectivity: int = 1,
     max_iters: int = 1024,
     with_flag: bool = False,
+    tunnel_basins: bool = False,
 ) -> jnp.ndarray:
     """Flood ``markers`` over the relief ``image`` within ``mask``.
 
@@ -146,6 +172,12 @@ def watershed(
         verdict) — False means a phase hit ``max_iters`` with work left on
         THAT plane (huge/winding basins); unreached in-mask pixels would
         then silently read 0, so callers must surface it.
+      tunnel_basins: model priority-flood basin tunneling via
+        basin-component contraction (module docstring).  Improves parity
+        on plateaued/quantized reliefs with sparse markers; the default
+        key is already ≥0.99 on the pipeline regime.  Costs one CCL over
+        the below-level mask plus four segment-mins per sweep (transient
+        [#pixels] buffers — prefer modest plane counts per call).
 
     Returns [..., H, W] int32 labels.
     """
@@ -185,6 +217,90 @@ def watershed(
     dist_init = jnp.where(seeded, 0, _BIG_LAB)
     eimg_init = jnp.where(seeded, neg_inf, jnp.float32(_INF))
 
+    basin_conv = jnp.ones(batch_shape, bool)
+    if tunnel_basins:
+        from particle_col_image_segmentation_tpu.ops.ccl import (
+            connected_components,
+        )
+
+        H, W = image.shape[-2:]
+        at_level = img == cost
+        below = m & ~seeded & ~at_level & (cost < _INF)
+        comp, basin_conv = connected_components(
+            below.astype(jnp.int32),
+            background=0,
+            connectivity=4 if connectivity == 1 else 8,
+            with_flag=True,
+        )
+        lin = (
+            jax.lax.broadcasted_iota(jnp.int32, image.shape, image.ndim - 2)
+            * W
+            + jax.lax.broadcasted_iota(jnp.int32, image.shape, image.ndim - 1)
+        )
+        # globally-unique segment ids: per-plane basin labels (min linear
+        # index of the component — always a below-level pixel, so it never
+        # collides with an at-level pixel's own index) + plane offsets
+        seg = jnp.where(below, comp, lin)
+        n_total = math.prod(image.shape)
+        plane_off = (
+            jnp.arange(n_total // (H * W), dtype=jnp.int32) * (H * W)
+        ).reshape((-1, 1, 1))
+        seg = (seg.reshape((-1, H, W)) + plane_off).reshape(image.shape)
+        inc = at_level.astype(jnp.int32)
+
+        def basin_candidates(lab, dist, eimg, dy, dx):
+            nc = _shifted(cost, dy, dx, jnp.float32(_INF))
+            nim = _shifted(img, dy, dx, jnp.float32(_INF))
+            nl = _shifted(lab, dy, dx, _BIG_LAB)
+            nd = _shifted(dist, dy, dx, _BIG_LAB)
+            ne = _shifted(eimg, dy, dx, jnp.float32(_INF))
+            nseg = _shifted(seg, dy, dx, jnp.int32(-1))
+            valid = (
+                (jnp.maximum(nc, img) == cost)
+                & (nl != _BIG_LAB)
+                & (nseg != seg)  # quotient graph: external edges only
+            )
+            reset = nc < cost
+            cd = jnp.where(
+                valid,
+                jnp.where(
+                    reset, 0, jnp.where(nd < _BIG_LAB, nd + inc, _BIG_LAB)
+                ),
+                _BIG_LAB,
+            )
+            ce = jnp.where(valid, jnp.where(reset, nim, ne), jnp.float32(_INF))
+            cs = jnp.where(valid, nim, jnp.float32(_INF))
+            cl = jnp.where(valid, nl, _BIG_LAB)
+            return cd, ce, cs, cl
+
+        seg_flat = seg.reshape(-1)
+
+        def seg_broadcast(bd, be, bs, bl):
+            """Lexicographic (d, e, s, lab) min per segment, gathered back."""
+            d, e, c, l = (x.reshape(-1) for x in (bd, be, bs, bl))
+            dm = jax.ops.segment_min(d, seg_flat, num_segments=n_total)[
+                seg_flat
+            ]
+            t = d == dm
+            em = jax.ops.segment_min(
+                jnp.where(t, e, jnp.float32(_INF)), seg_flat,
+                num_segments=n_total,
+            )[seg_flat]
+            t &= e == em
+            cm = jax.ops.segment_min(
+                jnp.where(t, c, jnp.float32(_INF)), seg_flat,
+                num_segments=n_total,
+            )[seg_flat]
+            t &= c == cm
+            lm = jax.ops.segment_min(
+                jnp.where(t, l, _BIG_LAB), seg_flat, num_segments=n_total
+            )[seg_flat]
+            return (
+                dm.reshape(image.shape),
+                em.reshape(image.shape),
+                lm.reshape(image.shape),
+            )
+
     def lab_body(state):
         lab, dist, eimg, _, i = state
         best = (
@@ -194,11 +310,16 @@ def watershed(
             jnp.full(image.shape, _BIG_LAB, jnp.int32),
         )
         for dy, dx in offsets:
-            best = fold_claim(
-                best,
-                claim_candidates(cost, img, lab, dist, eimg, dy, dx, _shifted),
-            )
-        bd, be, _, bl = best
+            if tunnel_basins:
+                cand = basin_candidates(lab, dist, eimg, dy, dx)
+            else:
+                cand = claim_candidates(
+                    cost, img, lab, dist, eimg, dy, dx, _shifted
+                )
+            best = fold_claim(best, cand)
+        bd, be, bs, bl = best
+        if tunnel_basins:
+            bd, be, bl = seg_broadcast(bd, be, bs, bl)
         new_l = jnp.where(seeded, lab0, jnp.where(m, bl, _BIG_LAB))
         new_d = jnp.where(seeded, 0, jnp.where(m, bd, _BIG_LAB))
         new_e = jnp.where(seeded, neg_inf, jnp.where(m, be, jnp.float32(_INF)))
@@ -220,7 +341,7 @@ def watershed(
     reached = m & (cost < _INF) & (lab != _BIG_LAB)
     out = jnp.where(reached, lab, 0)
     if with_flag:
-        return out, ~(c_changed | l_changed)
+        return out, ~(c_changed | l_changed) & basin_conv
     return out
 
 def watershed_auto(

@@ -14,6 +14,17 @@ quantization fixtures of ws_quant_curve.py.  Variants:
                key (d, e, cs, d_real, lab) — d_real strictly increases
                along every claim edge, making the justification graph
                provably acyclic even where tunnel ties
+  basin        SOUND full tunneling via basin-component contraction:
+               below-level pixels (img < cost) are CCL-grouped (adjacent
+               below-level pixels provably share one cost, so components
+               are per-level basins); claims flow only across component
+               boundaries (external edges), and each basin adopts the
+               lexicographic-min external candidate via segment-min
+               broadcast every step.  Zero-increment edges then cannot
+               form cycles (any constant-cost cycle must alternate
+               basin→at-level hops, each +1), so the recompute relaxation
+               converges to a unique fixpoint — unlike `tunnel`, whose
+               intra-basin zero edges sustain phantom states.
 
 Run: JAX_PLATFORMS=cpu python scripts/ws_key_lab.py [n]
 """
@@ -80,6 +91,24 @@ def ws_variant(image, markers, mask, variant: str, max_iters: int = 4096):
     dr_i = jnp.where(seeded, 0, _BIG)
     e_i = jnp.where(seeded, neg_inf, jnp.float32(_INF))
 
+    H, W = img.shape
+    lin = (
+        jax.lax.broadcasted_iota(jnp.int32, img.shape, 0) * W
+        + jax.lax.broadcasted_iota(jnp.int32, img.shape, 1)
+    )
+    if variant == "basin":
+        from particle_col_image_segmentation_tpu.ops.ccl import (
+            connected_components,
+        )
+
+        below = m & ~seeded & ~at_level & (cost < _INF)
+        comp = connected_components(
+            below.astype(jnp.int32), background=0, connectivity=4
+        )
+        seg = jnp.where(below, comp, lin)
+    else:
+        seg = lin  # unused
+
     def candidates(lab, dist, dreal, eimg, dy, dx):
         nc = _shifted(cost, dy, dx, jnp.float32(_INF))
         nim = _shifted(img, dy, dx, jnp.float32(_INF))
@@ -89,7 +118,11 @@ def ws_variant(image, markers, mask, variant: str, max_iters: int = 4096):
         ne = _shifted(eimg, dy, dx, jnp.float32(_INF))
         valid = (jnp.maximum(nc, img) == cost) & (nl != _BIG)
         reset = nc < cost
-        if variant == "base":
+        if variant == "basin":
+            nseg = _shifted(seg, dy, dx, jnp.int32(-1))
+            valid = valid & (nseg != seg)  # external edges only
+            inc = at_level.astype(jnp.int32)
+        elif variant == "base":
             inc = 1
         elif variant == "downfree":
             # free only on strictly-downhill claims: img[p] < img[n].  The
@@ -129,6 +162,27 @@ def ws_variant(image, markers, mask, variant: str, max_iters: int = 4096):
             eq = eq & (ck == bk)
         return tuple(jnp.where(take, c, b) for b, c in zip(best, cand))
 
+    def seg_lex_min(bd, be, bs, bl):
+        """Per-segment lexicographic min of (d, e, s, lab), broadcast back."""
+        n = H * W
+        s = seg.reshape(-1)
+        d = bd.reshape(-1)
+        e = be.reshape(-1)
+        c = bs.reshape(-1)
+        l = bl.reshape(-1)
+        dm = jax.ops.segment_min(d, s, num_segments=n)[s]
+        t = d == dm
+        em = jax.ops.segment_min(jnp.where(t, e, _INF), s, num_segments=n)[s]
+        t = t & (e == em)
+        cm = jax.ops.segment_min(jnp.where(t, c, _INF), s, num_segments=n)[s]
+        t = t & (c == cm)
+        lm = jax.ops.segment_min(jnp.where(t, l, _BIG), s, num_segments=n)[s]
+        return (
+            dm.reshape(img.shape),
+            em.reshape(img.shape),
+            lm.reshape(img.shape),
+        )
+
     def lab_body(state):
         lab, dist, dreal, eimg, _, i = state
         best = (
@@ -141,7 +195,12 @@ def ws_variant(image, markers, mask, variant: str, max_iters: int = 4096):
         for dy, dx in offsets:
             cd, ce, cs, cdr, cl = candidates(lab, dist, dreal, eimg, dy, dx)
             best = fold(best, (cd, ce, cs, cdr, cl))
-        bd, be, _, bdr, bl = best
+        bd, be, bs_, bdr, bl = best
+        if variant == "basin":
+            bd, be, bl = seg_lex_min(bd, be, bs_, bl)
+            # dreal is not part of the basin key and zero-inc ties would
+            # let it ratchet forever — pin it out of the state evolution
+            bdr = jnp.zeros(img.shape, jnp.int32)
         new_l = jnp.where(seeded, lab0, jnp.where(m, bl, _BIG))
         new_d = jnp.where(seeded, 0, jnp.where(m, bd, _BIG))
         new_dr = jnp.where(seeded, 0, jnp.where(m, bdr, _BIG))

@@ -650,6 +650,142 @@ class TestBandSweepConvergence:
         assert boundary_iou(np.asarray(dev), orc) >= 0.99
 
 
+class TestWatershedTunnelBasins:
+    """tunnel_basins=True: priority-flood basin tunneling via
+    basin-component contraction (ops.watershed module docstring)."""
+
+    def test_tunnel_golden_matches_oracle(self):
+        """The hand-traced quantized-basin golden (test_oracle_external
+        ::test_quantized_basin_tunnels_wave): the wave tunnels a 3-px
+        basin in ~one BFS round, so marker 1 takes 8 of 12 cells.  The
+        default key pays the basin width per pixel and splits 6/6; the
+        basin-contraction key must match the oracle exactly."""
+        from particle_col_image_segmentation_tpu.oracle import ndimage as ond
+        from particle_col_image_segmentation_tpu.ops.watershed import watershed
+
+        img = np.array([[2.0, 2, 2, 1, 1, 1, 2, 2, 2, 2, 2, 2]])
+        markers = np.zeros((1, 12), np.int64)
+        markers[0, 0] = 1
+        markers[0, 11] = 2
+        orc = ond.watershed(img, markers)
+        base = np.asarray(watershed(jnp.asarray(img), jnp.asarray(markers)))
+        tun, conv = watershed(
+            jnp.asarray(img), jnp.asarray(markers),
+            tunnel_basins=True, with_flag=True,
+        )
+        assert bool(conv)
+        np.testing.assert_array_equal(np.asarray(tun), orc)
+        assert not (base == orc).all()  # the golden separates the keys
+
+    def test_sparse_quantized_parity_lift(self):
+        """Unconfined sparse point seeds on an 8-level-quantized noise
+        relief — the regime documented out-of-contract for the default
+        key (docs/PERF.md: IoU ~0.4).  Basin contraction must converge
+        AND lift boundary IoU vs the oracle by a wide margin
+        (measured 0.41 → 0.83 at this exact fixture)."""
+        from particle_col_image_segmentation_tpu.oracle import ndimage as ond
+        from particle_col_image_segmentation_tpu.ops.watershed import watershed
+        from particle_col_image_segmentation_tpu.utils.metrics import (
+            boundary_iou,
+        )
+
+        n, k = 128, 8
+        rng = np.random.default_rng(0)
+        prob = rng.random((n, n)).astype(np.float32)
+        q = (np.round(prob * (k - 1)) / (k - 1)).astype(np.float32)
+        markers = np.zeros((n, n), np.int32)
+        pts = sorted(
+            {(int(y), int(x)) for y, x in
+             np.random.default_rng(2).integers(0, n, (20, 2))}
+        )
+        for i, (cy, cx) in enumerate(pts):
+            markers[cy, cx] = i + 1
+        orc = ond.watershed(q, markers)
+        base = np.asarray(
+            watershed(jnp.asarray(q), jnp.asarray(markers), max_iters=4096)
+        )
+        tun, conv = watershed(
+            jnp.asarray(q), jnp.asarray(markers), max_iters=4096,
+            tunnel_basins=True, with_flag=True,
+        )
+        assert bool(conv)
+        iou_base = boundary_iou(base, orc)
+        iou_tun = boundary_iou(np.asarray(tun), orc)
+        assert iou_tun >= iou_base + 0.2, (iou_base, iou_tun)
+        assert iou_tun >= 0.7, iou_tun  # measured 0.73 (base 0.41)
+
+    def test_pipeline_regime_unperturbed(self):
+        """In the pipeline regime (EDT-seeded markers confined to the
+        object mask) basins contain their own markers, so contraction
+        must not move parity at all — base and tunnel keys measure the
+        same boundary IoU vs the oracle (the ≥0.99 contract itself is
+        pinned on the 256² fixture in
+        test_watershed_quantized_realistic_regime)."""
+        from scipy import ndimage as ndi
+
+        from particle_col_image_segmentation_tpu.oracle import ndimage as ond
+        from particle_col_image_segmentation_tpu.ops.watershed import watershed
+        from particle_col_image_segmentation_tpu.utils.metrics import (
+            boundary_iou,
+        )
+
+        n, k = 128, 8
+        rng = np.random.default_rng(1)
+        m = np.zeros((n, n), bool)
+        yy, xx = np.mgrid[:n, :n]
+        for _ in range(6):
+            cy, cx = rng.integers(25, n - 25, 2)
+            r2 = int(rng.integers(80, 200))
+            m |= (yy - cy) ** 2 + (xx - cx) ** 2 <= r2
+            m |= (yy - cy) ** 2 + (xx - cx - int(1.5 * np.sqrt(r2))) ** 2 <= r2
+        dist = ndi.distance_transform_edt(m)
+        prob = (1.0 - dist / max(1.0, dist.max())).astype(np.float32)
+        q = (np.round(prob * (k - 1)) / (k - 1)).astype(np.float32)
+        binary = q < 0.5
+        markers = ond.label(
+            ond.local_maxima(ndi.distance_transform_edt(binary)).astype(
+                np.uint8
+            )
+        )
+        tun, conv = watershed(
+            jnp.asarray(q), jnp.asarray(markers), jnp.asarray(binary),
+            max_iters=4096, tunnel_basins=True, with_flag=True,
+        )
+        assert bool(conv)
+        base = np.asarray(
+            watershed(
+                jnp.asarray(q), jnp.asarray(markers), jnp.asarray(binary),
+                max_iters=4096,
+            )
+        )
+        orc = ond.watershed(q, markers, mask=binary)
+        iou_base = boundary_iou(base, orc)
+        iou_tun = boundary_iou(np.asarray(tun), orc)
+        assert iou_tun == pytest.approx(iou_base), (iou_base, iou_tun)
+        assert iou_tun >= 0.96, iou_tun  # measured 0.9707 for both keys
+
+    def test_batched_planes_match_oracle(self):
+        """A [2, H, W] batch floods both planes in one fixpoint with
+        globally-unique basin segments; per-plane flags."""
+        from particle_col_image_segmentation_tpu.oracle import ndimage as ond
+        from particle_col_image_segmentation_tpu.ops.watershed import watershed
+
+        markers = np.zeros((1, 12), np.int64)
+        markers[0, 0] = 1
+        markers[0, 11] = 2
+        img_a = np.array([[2.0, 2, 2, 1, 1, 1, 2, 2, 2, 2, 2, 2]])
+        img_b = np.array([[2.0, 2, 2, 2, 2, 2, 2, 2, 1, 1, 1, 2]])
+        out, conv = watershed(
+            jnp.asarray(np.stack([img_a, img_b])),
+            jnp.asarray(np.stack([markers, markers])),
+            tunnel_basins=True, with_flag=True,
+        )
+        out = np.asarray(out)
+        assert conv.shape == (2,) and bool(np.asarray(conv).all())
+        np.testing.assert_array_equal(out[0], ond.watershed(img_a, markers))
+        np.testing.assert_array_equal(out[1], ond.watershed(img_b, markers))
+
+
 class TestPallasMedian:
     @pytest.mark.parametrize("shape", [(64, 128), (96, 256)])
     def test_matches_scipy(self, shape):

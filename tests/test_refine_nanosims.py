@@ -42,6 +42,24 @@ class TestRefine:
         res = refine_boundaries(stack, RefineConfig(boundary_channel=3))
         assert res.num_cells == 2
 
+    def test_tunnel_basins_config(self):
+        """cfg.tunnel_basins routes through the basin-contraction
+        watershed (ops.watershed docstring): same two-cell split on the
+        pipeline fixture, and the sharded path rejects the flag loudly
+        (no cross-shard segment broadcast exists)."""
+        from particle_col_image_segmentation_tpu.models.refine import (
+            refine_boundaries_sharded,
+        )
+
+        mask, prob = _touching_cells_probability()
+        res = refine_boundaries(prob, RefineConfig(tunnel_basins=True))
+        assert res.num_cells == 2
+        assert res.labels[48, 40] != res.labels[48, 80]
+        with pytest.raises(ValueError, match="tunnel_basins"):
+            refine_boundaries_sharded(
+                prob, RefineConfig(tunnel_basins=True)
+            )
+
     def test_channel_selection_channel_last(self):
         # Ilastik's usual hdf5 export order is [H, W, C]
         mask, prob = _touching_cells_probability()
