@@ -160,8 +160,8 @@ def watershed_boundary_iou() -> Tuple[float, float, float]:
     )
     from particle_col_image_segmentation_tpu.config import RefineConfig
 
-    # B=16: same wall time as B=8 on v5e (fixed dispatch + loop overhead
-    # dominates small batches), 2× the MP/s; B=32 measured worse
+    # B=16 is the post-rebuild sweet spot (162 vs 136 MP/s at B=8 and
+    # 132 at B=32 on v5e; docs/PERF.md "Refine pipeline rebuild")
     B = 2 if FALLBACK else 16
     stack = jnp.asarray(np.stack(
         [np.roll(prob, 17 * b, axis=1) for b in range(B)]
@@ -171,11 +171,14 @@ def watershed_boundary_iou() -> Tuple[float, float, float]:
     assert bool(np.asarray(out[-1]).all())
     reps = 3
     best = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(reps):
             out = refine_plane_device(stack, rcfg, 4096)
-        _ = np.asarray(out[0]).ravel()[:1]
+        # sync on the tiny num-cells output — reading ANY output blocks on
+        # the whole executable; pulling the full 16 MB labels buffer here
+        # billed a ~47 ms relay transfer (0.34 GB/s) to device throughput
+        _ = np.asarray(out[2])[:1]
         best = min(best, (time.perf_counter() - t0) / reps)
     refine_mps = (B * n * n / 1e6) / best
 

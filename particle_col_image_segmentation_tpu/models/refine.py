@@ -27,13 +27,12 @@ from particle_col_image_segmentation_tpu.ops import (
     centroids_f64,
     compact_labels_auto,
     connected_components_auto,
-    edt,
-    local_maxima,
+    local_maxima_auto,
     region_props_auto,
     watershed,
     watershed_auto,
 )
-from particle_col_image_segmentation_tpu.ops.edt import edt_exact
+from particle_col_image_segmentation_tpu.ops.edt import edt_sq, edt_sq_exact
 from particle_col_image_segmentation_tpu.ops.pairwise import (
     min_dist_to_set,
     nearest_neighbor_dists,
@@ -58,10 +57,15 @@ def refine_plane_device(
     # would merge into a single giant marker (cfg.edt_cap opts into the
     # cheaper capped path for provably-shallow planes).
     if cfg.edt_cap is None:
-        distance = edt_exact(~binary_mask)
+        dsq = edt_sq_exact(~binary_mask)
     else:
-        distance = edt(~binary_mask, cap=cfg.edt_cap)
-    maxima, conv_max = local_maxima(distance, with_flag=True)
+        dsq = edt_sq(~binary_mask, cap=cfg.edt_cap)
+    distance = jnp.sqrt(dsq.astype(jnp.float32))
+    # maxima of d² == maxima of d (sqrt is monotone), but int32 d² compares
+    # are cheaper AND exact: once d exceeds ~2900 px (d² ≈ 8.4M, reachable
+    # on the reference's 2048² planes), ADJACENT squared distances round to
+    # the SAME f32 sqrt, merging plateaus scipy's f64 keeps distinct
+    maxima, conv_max = local_maxima_auto(dsq, with_flag=True)
     raw, conv_ccl = connected_components_auto(
         maxima.astype(jnp.uint8), background=0, num_classes=2, with_flag=True
     )

@@ -28,6 +28,7 @@ from particle_col_image_segmentation_tpu.ops.morphology import (  # noqa: F401
     erode_disk,
     fill_holes,
     local_maxima,
+    local_maxima_auto,
     open_disk,
 )
 from particle_col_image_segmentation_tpu.ops.regionprops_tiles import (  # noqa: F401

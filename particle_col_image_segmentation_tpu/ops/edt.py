@@ -137,7 +137,7 @@ def minplus_rows(
 
 
 @partial(jax.jit, static_argnames=("rows_per_step",))
-def edt_sq_exact(feature: jnp.ndarray, rows_per_step: int = 8) -> jnp.ndarray:
+def edt_sq_exact(feature: jnp.ndarray, rows_per_step: int = 128) -> jnp.ndarray:
     """Exact (uncapped) squared EDT of [..., H, W] — scipy parity everywhere.
 
     Phase 1: exact per-row distances via the log-depth directional scans.

@@ -27,6 +27,7 @@ __all__ = [
     "close_disk",
     "fill_holes",
     "local_maxima",
+    "local_maxima_auto",
     "boundary_mask",
 ]
 
@@ -160,8 +161,8 @@ def local_maxima(
     offsets4 = [(-1, 0), (1, 0), (0, -1), (0, 1)]
     offsets8 = offsets4 + [(-1, -1), (-1, 1), (1, -1), (1, 1)]
     offsets = offsets8 if connectivity == 2 else offsets4
-    has_higher = jnp.zeros(img.shape, bool)
-    for dy, dx in offsets:
+
+    def _slices(dy, dx):
         sl_src = (
             Ellipsis,
             slice(max(0, -dy), H - max(0, dy)),
@@ -172,9 +173,22 @@ def local_maxima(
             slice(max(0, dy), H - max(0, -dy)),
             slice(max(0, dx), W - max(0, -dx)),
         )
-        neigh = jnp.full(img.shape, -jnp.inf, img.dtype if jnp.issubdtype(img.dtype, jnp.floating) else jnp.float32)
-        neigh = neigh.at[sl_dst].set(img[sl_src].astype(neigh.dtype))
-        has_higher = has_higher | (neigh > img.astype(neigh.dtype))
+        return sl_src, sl_dst
+
+    # has_higher and the per-offset plateau-equality masks are computed ONCE
+    # (value comparisons are loop invariant; recomputing the 8 full-plane
+    # masks inside the flood body was ~20 ms/iteration of pure re-read
+    # traffic at [8,512,512] f32).  Comparisons run on the overlap windows
+    # directly — no -inf-padded full-plane neighbor materialization, so any
+    # input dtype works unchanged.
+    has_higher = jnp.zeros(img.shape, bool)
+    eq_masks = []
+    for dy, dx in offsets:
+        sl_src, sl_dst = _slices(dy, dx)
+        src, dst = img[sl_src], img[sl_dst]
+        has_higher = has_higher.at[sl_dst].set(has_higher[sl_dst] | (src > dst))
+        eq = jnp.zeros(img.shape, bool).at[sl_dst].set(src == dst)
+        eq_masks.append(eq)
 
     # Propagate "bad" through equal-value plateaus (8-conn within plateau).
     same_row = jnp.concatenate(
@@ -224,6 +238,104 @@ def local_maxima(
         cond, body, (has_higher, jnp.ones(img.shape[:-2], bool), 0)
     )
     return (~bad, ~changed) if with_flag else ~bad
+
+
+@partial(
+    jax.jit,
+    static_argnames=("connectivity", "with_flag", "tile", "max_sweeps", "interpret"),
+)
+def _local_maxima_sweeps(
+    img: jnp.ndarray,
+    connectivity: int,
+    with_flag: bool,
+    tile: int,
+    max_sweeps: int,
+    interpret: bool = False,
+):
+    """Plateau-aware local maxima on the Pallas band-sweep machinery.
+
+    "Has a strictly higher neighbor" is one fused windowed max; flooding
+    that bad status through equal-value plateaus is a min-propagation of
+    (0 = bad, 1 = good) within equal-``img`` components — exactly
+    ``ccl_tiles.min_propagate``, whose Gauss-Seidel band sweeps converge in
+    a couple of passes where the XLA scan flood pays ~5 ms per segmented
+    scan call at [8, 512, 512].  Same semilattice fixpoint ⇒ bit-identical
+    to ``local_maxima``.
+    """
+    from particle_col_image_segmentation_tpu.ops.ccl_tiles import min_propagate
+
+    n = img.ndim
+    conn = 8 if connectivity == 2 else 4
+    low = jnp.iinfo(img.dtype).min if jnp.issubdtype(img.dtype, jnp.integer) \
+        else -jnp.inf
+    if conn == 8:
+        mx = jax.lax.reduce_window(
+            img, img.dtype.type(low), jax.lax.max,
+            window_dimensions=(1,) * (n - 2) + (3, 3),
+            window_strides=(1,) * n, padding="SAME",
+        )
+    else:
+        mr = jax.lax.reduce_window(
+            img, img.dtype.type(low), jax.lax.max,
+            window_dimensions=(1,) * (n - 2) + (1, 3),
+            window_strides=(1,) * n, padding="SAME",
+        )
+        mc = jax.lax.reduce_window(
+            img, img.dtype.type(low), jax.lax.max,
+            window_dimensions=(1,) * (n - 2) + (3, 1),
+            window_strides=(1,) * n, padding="SAME",
+        )
+        mx = jnp.maximum(mr, mc)
+    # the window includes self, which is never > itself
+    lab0 = jnp.where(mx > img, 0, 1).astype(jnp.int32)
+    # uint8 values ride HBM at ¼ the sweep read traffic (min_propagate
+    # casts in VMEM); everything else goes int32
+    val = img if img.dtype == jnp.uint8 else img.astype(jnp.int32)
+    out = min_propagate(
+        lab0, val, connectivity=conn, tile=tile,
+        max_sweeps=max_sweeps, with_flag=with_flag, interpret=interpret,
+    )
+    if with_flag:
+        prop, conv = out
+        return prop == 1, conv
+    return out == 1
+
+
+def local_maxima_auto(
+    img: jnp.ndarray,
+    connectivity: int = 2,
+    max_iters: int = 256,
+    with_flag: bool = False,
+    max_sweeps: int = 16,
+):
+    """local_maxima with automatic kernel selection.
+
+    On TPU backends, INTEGER planes with band-divisible heights and
+    lane-aligned widths ride the Pallas band sweeps (min-propagation of
+    bad status through plateaus — the CCL machinery, ~10× faster at
+    [8, 512²]); everything else falls back to the XLA scan flood.  Both
+    produce identical maxima (the fixpoint is order independent).
+
+    Pallas-path precondition: int32 inputs must be > -2**30 (the band
+    halo sentinel).  Non-negative images — EDT squared distances, counts,
+    uint8/uint16 exports — always qualify; narrower signed dtypes cannot
+    reach it.  Arbitrary-valued int32 callers must use ``local_maxima``.
+    """
+    from particle_col_image_segmentation_tpu.ops.ccl import _pick_band_tile
+
+    H, W = img.shape[-2:]
+    tile = _pick_band_tile(H)
+    on_tpu = jax.default_backend() not in ("cpu", "gpu")
+    if (
+        tile is None
+        or W % 128 != 0
+        or not on_tpu
+        or not jnp.issubdtype(img.dtype, jnp.integer)
+    ):
+        return local_maxima(img, connectivity, max_iters, with_flag)
+    return _local_maxima_sweeps(
+        img, connectivity, with_flag, tile, max_sweeps
+    )
 
 
 def boundary_mask(mask: jnp.ndarray) -> jnp.ndarray:

@@ -352,18 +352,19 @@ def watershed_auto(
     with_flag: bool = False,
 ) -> jnp.ndarray:
     """watershed with automatic kernel selection: the Pallas band sweeps on
-    TPU backends (band-divisible heights) for single planes, the XLA
-    fixpoint elsewhere.  Batched [B, H, W] inputs always take the XLA
-    fixpoint — one batched Jacobi loop beats B sequential Pallas launches
-    (measured 8.25 vs 0.75 MP/s at [8, 512²] on v5e) and every schedule is
-    bit-identical (two-phase confluence).  ``with_flag=True`` appends a
+    TPU backends (band-divisible heights, lane-aligned widths), the XLA
+    fixpoint elsewhere.  Batched [B, H, W] inputs pack contiguously into
+    ONE pallas launch (watershed_tiles plane masking) — 3.6× the batched
+    XLA Jacobi at [8, 512²] on v5e (26.3 → 7.3 ms), and every schedule is
+    bit-identical
+    (two-phase confluence).  ``with_flag=True`` appends a batch-shaped
     bool ``converged``."""
     backend = jax.default_backend()
     H, W = image.shape[-2:]
     tile = next((t for t in (64, 32, 16, 8) if H % t == 0), None)
     # band DMAs need lane-aligned widths (Mosaic memref slicing), same
     # gating as connected_components_auto
-    if (image.ndim != 2 or tile is None or W % 128 != 0
+    if (tile is None or W % 128 != 0
             or backend in ("cpu", "gpu")):
         return watershed(
             image, markers, mask, connectivity=connectivity, with_flag=with_flag

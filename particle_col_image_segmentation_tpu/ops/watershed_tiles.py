@@ -134,8 +134,23 @@ def _relax_label(lab, dist, eimg, cost, img, flags, connectivity: int,
     return lab, dist, eimg
 
 
+def _plane_valid(band, start, T, W, bands_per_plane):
+    """Window rows belonging to the band's own plane (planes pack
+    contiguously on the row axis; T | H so bands never straddle planes).
+    Halo rows reaching into a NEIGHBORING plane must read as sentinels —
+    otherwise costs/claims would flood across plane boundaries.  With one
+    plane the mask only covers the global pad rows (already sentinels), so
+    single-plane output is unchanged."""
+    win = 2 * _HALO + T
+    H = bands_per_plane * T
+    plane = band // bands_per_plane
+    row_g = jax.lax.broadcasted_iota(jnp.int32, (win, W), 0) + start - _HALO
+    return (row_g >= plane * H) & (row_g < (plane + 1) * H)
+
+
 def _cost_kernel(cost_in, img_hbm, flags_hbm, cost_io,
-                 *, T, n_bands, downward, connectivity, inner_iters):
+                 *, T, n_bands, bands_per_plane, downward, connectivity,
+                 inner_iters):
     del cost_in
     i = pl.program_id(0)
     band = i if downward else (n_bands - 1) - i
@@ -147,8 +162,12 @@ def _cost_kernel(cost_in, img_hbm, flags_hbm, cost_io,
             cp = pltpu.make_async_copy(src.at[pl.ds(start, win), :], dst, sem)
             cp.start()
             cp.wait()
+        valid = _plane_valid(band, start, T, img_hbm.shape[-1], bands_per_plane)
         cost_s[:, :] = _relax_cost(
-            cost_s[:, :], img_s[:, :], flags_s[:, :], connectivity, inner_iters
+            jnp.where(valid, cost_s[:, :], _INF),
+            jnp.where(valid, img_s[:, :], _INF),
+            jnp.where(valid, flags_s[:, :], 0),
+            connectivity, inner_iters,
         )
         wb = pltpu.make_async_copy(
             cost_s.at[pl.ds(_HALO, T), :],
@@ -170,8 +189,8 @@ def _cost_kernel(cost_in, img_hbm, flags_hbm, cost_io,
 
 
 def _label_kernel(lab_in, dist_in, eimg_in, cost_hbm, img_hbm, flags_hbm,
-                  lab_io, dist_io, eimg_io, *, T, n_bands, downward,
-                  connectivity, inner_iters):
+                  lab_io, dist_io, eimg_io, *, T, n_bands, bands_per_plane,
+                  downward, connectivity, inner_iters):
     del lab_in, dist_in, eimg_in
     i = pl.program_id(0)
     band = i if downward else (n_bands - 1) - i
@@ -186,9 +205,15 @@ def _label_kernel(lab_in, dist_in, eimg_in, cost_hbm, img_hbm, flags_hbm,
             cp = pltpu.make_async_copy(src.at[pl.ds(start, win), :], dst, sem)
             cp.start()
             cp.wait()
+        valid = _plane_valid(band, start, T, img_hbm.shape[-1], bands_per_plane)
         new_l, new_d, new_e = _relax_label(
-            lab_s[:, :], dist_s[:, :], eimg_s[:, :], cost_s[:, :],
-            img_s[:, :], flags_s[:, :], connectivity, inner_iters, T,
+            jnp.where(valid, lab_s[:, :], _BIG_LAB),
+            jnp.where(valid, dist_s[:, :], _BIG_LAB),
+            jnp.where(valid, eimg_s[:, :], _INF),
+            jnp.where(valid, cost_s[:, :], _INF),
+            jnp.where(valid, img_s[:, :], _INF),
+            jnp.where(valid, flags_s[:, :], 0),
+            connectivity, inner_iters, T,
         )
         lab_s[:, :] = new_l
         dist_s[:, :] = new_d
@@ -216,14 +241,15 @@ def _label_kernel(lab_in, dist_in, eimg_in, cost_hbm, img_hbm, flags_hbm,
     )
 
 
-def _make_sweep(kernel_fn, n_in, T, n_bands, Hp, W, out_dtype, downward,
-                connectivity, inner_iters, interpret, n_state: int = 1):
+def _make_sweep(kernel_fn, n_in, T, n_bands, bands_per_plane, Hp, W,
+                out_dtype, downward, connectivity, inner_iters, interpret,
+                n_state: int = 1):
     """``n_state`` leading operands are carried in place (aliased outputs):
     1 for the cost sweeps, 3 for the (label, dist, entry-img) sweeps.
     ``out_dtype`` is one dtype or a per-state tuple."""
     kernel = partial(
-        kernel_fn, T=T, n_bands=n_bands, downward=downward,
-        connectivity=connectivity, inner_iters=inner_iters,
+        kernel_fn, T=T, n_bands=n_bands, bands_per_plane=bands_per_plane,
+        downward=downward, connectivity=connectivity, inner_iters=inner_iters,
     )
     if n_state == 1:
         out_specs = pl.BlockSpec(memory_space=pl.ANY)
@@ -269,28 +295,47 @@ def watershed_sweeps(
     interpret: bool = False,
     with_flag: bool = False,
 ) -> jnp.ndarray:
-    """Band-sweep watershed for one [H, W] plane; same contract (and
-    bit-identical output) as ops.watershed.watershed.  ``with_flag=True``
-    appends a bool ``converged`` (False ⇔ a phase hit ``max_sweeps``)."""
-    H, W = image.shape
+    """Band-sweep watershed for [..., H, W] planes; same contract (and
+    bit-identical output) as ops.watershed.watershed.  Batched planes pack
+    contiguously on the row axis (one pallas launch floods the whole
+    stack); halo rows reaching a neighboring plane are masked to sentinels
+    in-kernel, so planes stay isolated.  ``with_flag=True`` appends a
+    batch-shaped bool ``converged`` (scalar for one plane; False ⇔ a phase
+    ran out of ``max_sweeps`` with THAT plane still changing)."""
+    batch_shape = image.shape[:-2]
+    H, W = image.shape[-2:]
+    B = 1
+    for d in batch_shape:
+        B *= d
     T = tile
     assert H % T == 0, (H, T)
-    n_bands = H // T
+    bands_per_plane = H // T
+    n_bands = B * bands_per_plane
 
     img = image.astype(jnp.float32)
     lab0 = markers.astype(jnp.int32)
-    m = jnp.ones((H, W), bool) if mask is None else mask.astype(bool)
+    m = jnp.ones(image.shape, bool) if mask is None else mask.astype(bool)
     seeded = (lab0 > 0) & m
     cost0 = jnp.where(seeded, img, jnp.float32(_INF))
     flags = m.astype(jnp.int32) * _MASK_BIT + seeded.astype(jnp.int32) * _SEED_BIT
 
     pad = ((_HALO, _HALO), (0, 0))
-    cost_p = jnp.pad(cost0, pad, constant_values=_INF)
-    img_p = jnp.pad(img, pad, constant_values=_INF)
-    flags_p = jnp.pad(flags, pad, constant_values=0)
-    Hp = H + 2 * _HALO
 
-    args = (T, n_bands, Hp, W)
+    def _pack(x, fill):
+        return jnp.pad(x.reshape(B * H, W), pad, constant_values=fill)
+
+    cost_p = _pack(cost0, _INF)
+    img_p = _pack(img, _INF)
+    flags_p = _pack(flags, 0)
+    Hp = B * H + 2 * _HALO
+
+    def _per_plane_any(neq):
+        """[Hp, W] elementwise != → per-plane any [B] (strip global pads)."""
+        return jnp.any(
+            neq[_HALO : _HALO + B * H].reshape(B, H, W), axis=(-2, -1)
+        )
+
+    args = (T, n_bands, bands_per_plane, Hp, W)
     cd = _make_sweep(_cost_kernel, 3, *args, jnp.float32, True, connectivity,
                      inner_iters, interpret)
     cu = _make_sweep(_cost_kernel, 3, *args, jnp.float32, False, connectivity,
@@ -302,15 +347,15 @@ def watershed_sweeps(
     def cost_body(state):
         c, _, i = state
         nc = cost_pair(c)
-        return nc, jnp.any(nc != c), i + 1
+        return nc, _per_plane_any(nc != c), i + 1
 
     def cond(state):
         _, changed, i = state
-        return changed & (i < max_sweeps)
+        return jnp.any(changed) & (i < max_sweeps)
 
     c1 = cost_pair(cost_p)
     cost_p, c_changed, _ = jax.lax.while_loop(
-        cond, cost_body, (c1, jnp.any(c1 != cost_p), 1)
+        cond, cost_body, (c1, _per_plane_any(c1 != cost_p), 1)
     )
 
     state_dtypes = (jnp.int32, jnp.int32, jnp.float32)
@@ -318,15 +363,10 @@ def watershed_sweeps(
                      inner_iters, interpret, n_state=3)
     lu = _make_sweep(_label_kernel, 6, *args, state_dtypes, False, connectivity,
                      inner_iters, interpret, n_state=3)
-    lab_p0 = jnp.pad(
-        jnp.where(seeded, lab0, _BIG_LAB), pad, constant_values=_BIG_LAB
-    )
-    dist_p0 = jnp.pad(
-        jnp.where(seeded, 0, _BIG_LAB), pad, constant_values=_BIG_LAB
-    )
-    eimg_p0 = jnp.pad(
-        jnp.where(seeded, jnp.float32(-_INF), jnp.float32(_INF)),
-        pad, constant_values=_INF,
+    lab_p0 = _pack(jnp.where(seeded, lab0, _BIG_LAB), _BIG_LAB)
+    dist_p0 = _pack(jnp.where(seeded, 0, _BIG_LAB), _BIG_LAB)
+    eimg_p0 = _pack(
+        jnp.where(seeded, jnp.float32(-_INF), jnp.float32(_INF)), _INF
     )
 
     def lab_pair(l, d, e):
@@ -336,25 +376,25 @@ def watershed_sweeps(
     def lab_body(state):
         l, d, e, _, i = state
         nl, nd, ne = lab_pair(l, d, e)
-        ch = jnp.any(nl != l) | jnp.any(nd != d) | jnp.any(ne != e)
+        ch = _per_plane_any((nl != l) | (nd != d) | (ne != e))
         return nl, nd, ne, ch, i + 1
 
     def lab_cond(state):
         _, _, _, changed, i = state
-        return changed & (i < max_sweeps)
+        return jnp.any(changed) & (i < max_sweeps)
 
     l1, d1, e1 = lab_pair(lab_p0, dist_p0, eimg_p0)
-    ch1 = (
-        jnp.any(l1 != lab_p0) | jnp.any(d1 != dist_p0) | jnp.any(e1 != eimg_p0)
+    ch1 = _per_plane_any(
+        (l1 != lab_p0) | (d1 != dist_p0) | (e1 != eimg_p0)
     )
     lab_p, _, _, l_changed, _ = jax.lax.while_loop(
         lab_cond, lab_body, (l1, d1, e1, ch1, 1)
     )
 
-    lab = lab_p[_HALO : _HALO + H, :]
-    cost = cost_p[_HALO : _HALO + H, :]
+    lab = lab_p[_HALO : _HALO + B * H, :].reshape(image.shape)
+    cost = cost_p[_HALO : _HALO + B * H, :].reshape(image.shape)
     reached = m & (cost < _INF) & (lab != _BIG_LAB)
     out = jnp.where(reached, lab, 0)
     if with_flag:
-        return out, ~(c_changed | l_changed)
+        return out, (~(c_changed | l_changed)).reshape(batch_shape)
     return out

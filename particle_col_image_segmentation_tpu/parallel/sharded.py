@@ -787,7 +787,7 @@ def _watershed_shard(image, markers, mask, connectivity: int, max_iters: int):
 # ---------------------------------------------------------------------------
 
 
-def _edt_sq_exact_shard(feature, rows_per_step: int = 8):
+def _edt_sq_exact_shard(feature, rows_per_step: int = 128):
     """Distributed exact squared EDT (ops.edt.edt_sq_exact semantics,
     bit-identical).
 
@@ -816,10 +816,13 @@ def _local_maxima_shard(img, max_iters: int):
     floods through equal-value plateaus via in-band segmented OR scans +
     per-iteration 1-px halo exchange (a plateau spanning k bands converges
     in ~k iterations); psum convergence, per-plane flags."""
-    img = img.astype(jnp.float32)
     shape = img.shape
     h_loc, W = shape[-2:]
-    img_p = _ws_pad(img, jnp.float32(-_FINF))  # -inf: borders never "higher"
+    if jnp.issubdtype(img.dtype, jnp.floating):
+        low = img.dtype.type(-jnp.inf)
+    else:
+        low = jnp.iinfo(img.dtype).min
+    img_p = _ws_pad(img, low)  # below-everything: borders never "higher"
 
     def _sl(xp, dy, dx):
         return xp[..., 1 + dy : 1 + dy + h_loc, 1 + dx : 1 + dx + W]
@@ -875,8 +878,11 @@ def _local_maxima_shard(img, max_iters: int):
 def _refine_shard(bm, threshold: float, connectivity: int, max_regions: int,
                   max_iters: int, with_tables: bool = False):
     binary = bm < threshold  # reference :44-45
-    dist = jnp.sqrt(_edt_sq_exact_shard(~binary).astype(jnp.float32))
-    maxima, conv_max = _local_maxima_shard(dist, max_iters)
+    # int32 d² feeds the maxima (monotone-equivalent to d, exact — matches
+    # models/refine.refine_plane_device for bit-parity)
+    maxima, conv_max = _local_maxima_shard(
+        _edt_sq_exact_shard(~binary), max_iters
+    )
     lin, base, _ = _linear_ids(bm)
     lab, ch = _dist_ccl(maxima.astype(jnp.uint8), base, lin, max_iters)
     markers, _, _, conv_cmp, _ = _compact_and_tables_shard(

@@ -22,12 +22,12 @@ import jax.numpy as jnp
 from particle_col_image_segmentation_tpu.config import RefineConfig
 from particle_col_image_segmentation_tpu.ops import (
     connected_components_auto,
-    local_maxima,
+    local_maxima_auto,
     region_props_auto,
     watershed_auto,
 )
 from particle_col_image_segmentation_tpu.ops.ccl import compact_labels_auto
-from particle_col_image_segmentation_tpu.ops.edt import edt_exact
+from particle_col_image_segmentation_tpu.ops.edt import edt_sq_exact
 from refine_profile import make_stack
 
 ITERS = 6
@@ -37,12 +37,12 @@ cfg = RefineConfig()
 
 def stage_edt(p):
     binary = p < cfg.boundary_threshold
-    return edt_exact(~binary)
+    return edt_sq_exact(~binary)
 
 
 def stage_max(p):
     d = stage_edt(p)
-    mx, _ = local_maxima(d, with_flag=True)
+    mx, _ = local_maxima_auto(d, with_flag=True)
     return mx
 
 
@@ -84,6 +84,11 @@ def main():
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     print("backend:", jax.default_backend())
     probs = make_stack(B)
+    # burn the first-timed-loop relay artifact (~130 ms once per process)
+    bf = jax.jit(lambda p: p + 1)
+    _ = float(jnp.sum(bf(probs)))
+    for _ in range(ITERS):
+        _ = float(jnp.sum(bf(probs)))
     prev = 0.0
     for name, fn in (
         ("edt", stage_edt),

@@ -138,6 +138,39 @@ class TestLocalMaxima:
         ref = ond.local_maxima(img)
         np.testing.assert_array_equal(ours, ref)
 
+    @pytest.mark.parametrize("seed", [0, 3])
+    @pytest.mark.parametrize("connectivity", [1, 2])
+    def test_sweeps_path_matches_flood(self, seed, connectivity):
+        """The Pallas band-sweep path (min_propagate plateau resolve) must
+        be bit-identical to the XLA scan flood AND the oracle — interpret
+        mode on CPU, batched, on an EDT-like integer image with plateaus."""
+        from particle_col_image_segmentation_tpu.ops.morphology import (
+            _local_maxima_sweeps,
+        )
+
+        planes = []
+        for b in range(2):
+            m = random_binary((128, 128), p=0.03, seed=seed + 7 * b)
+            m = ond.binary_dilation(m, ond.disk(5))
+            planes.append(
+                np.round(ndi.distance_transform_edt(m) ** 2).astype(np.int32)
+            )
+        dsq = jnp.asarray(np.stack(planes))
+        flood = np.asarray(local_maxima(dsq, connectivity=connectivity))
+        sweeps, conv = _local_maxima_sweeps(
+            dsq, connectivity, True, tile=32, max_sweeps=16, interpret=True
+        )
+        assert bool(np.asarray(conv).all())
+        np.testing.assert_array_equal(np.asarray(sweeps), flood)
+        for b in range(2):
+            np.testing.assert_array_equal(
+                np.asarray(sweeps)[b],
+                ond.local_maxima(
+                    planes[b].astype(np.float64),
+                    connectivity=connectivity,
+                ),
+            )
+
 
 class TestBoundaryMask:
     def test_matches_oracle(self):
@@ -209,6 +242,55 @@ class TestWatershedBandSweeps:
         )
         np.testing.assert_array_equal(got, ref)
         assert (got[~m] == 0).all() and (got[m] > 0).all()
+
+    def test_batched_planes_stay_isolated(self):
+        """Batched planes pack contiguously into one pallas launch; the
+        plane-boundary masking must keep every plane bit-identical to its
+        OWN single-plane run — including a plane whose basin touches the
+        packing boundary, which would flood into the neighbor if halo rows
+        weren't masked to sentinels."""
+        from particle_col_image_segmentation_tpu.ops.watershed_tiles import (
+            watershed_sweeps,
+        )
+
+        rng = np.random.default_rng(7)
+        planes, marks, masks = [], [], []
+        for b in range(3):
+            img = rng.random((64, 128)).astype(np.float32)
+            # plane 1: a flat low-cost corridor along the bottom edge —
+            # maximally tempting to leak into plane 2's top rows
+            if b == 1:
+                img[-12:, :] = 0.01
+            mk = np.zeros((64, 128), np.int32)
+            mk[8, 8 + 11 * b] = 1 + b
+            mk[55, 100 - 9 * b] = 4 + b
+            m = np.ones((64, 128), bool)
+            if b == 2:
+                m[:4, :] = False  # masked-out strip at a packing boundary
+            planes.append(img)
+            marks.append(mk)
+            masks.append(m)
+        got, conv = watershed_sweeps(
+            jnp.asarray(np.stack(planes)), jnp.asarray(np.stack(marks)),
+            jnp.asarray(np.stack(masks)), tile=32, interpret=True,
+            with_flag=True,
+        )
+        assert conv.shape == (3,) and bool(np.asarray(conv).all())
+        for b in range(3):
+            single = np.asarray(
+                watershed_sweeps(
+                    jnp.asarray(planes[b]), jnp.asarray(marks[b]),
+                    jnp.asarray(masks[b]), tile=32, interpret=True,
+                )
+            )
+            np.testing.assert_array_equal(np.asarray(got)[b], single)
+            xla = np.asarray(
+                watershed(
+                    jnp.asarray(planes[b]), jnp.asarray(marks[b]),
+                    jnp.asarray(masks[b]),
+                )
+            )
+            np.testing.assert_array_equal(np.asarray(got)[b], xla)
 
 
 class TestWatershed:
