@@ -140,6 +140,14 @@ class RefineConfig:
     # markers, where it lifts parity from ~0.5 to ≥0.93 (docs/PERF.md).
     # Single-chip only: the space-sharded refine path rejects it.
     tunnel_basins: bool = False
+    # Watershed fixpoint budgets.  ``watershed_max_iters`` bounds the XLA
+    # Jacobi loops; ``watershed_max_sweeps`` bounds the Pallas down+up
+    # band-sweep pairs (each sweep relaxes up to 256 px per band visit, so
+    # 16 sweeps is a far larger budget than 16 Jacobi iterations).  A
+    # plane that exhausts its budget surfaces converged=False (the stack
+    # refine raises) — raise the matching knob to recover, never silently.
+    watershed_max_iters: int = 1024
+    watershed_max_sweeps: int = 16
 
 
 @dataclasses.dataclass(frozen=True)

@@ -77,12 +77,14 @@ def refine_plane_device(
         # schedule only; segment-min broadcasts have no band-sweep analogue
         labels, conv_ws = watershed(
             boundary_map.astype(jnp.float32), markers, binary_mask,
+            max_iters=cfg.watershed_max_iters,
             with_flag=True, tunnel_basins=True,
         )
     else:
         labels, conv_ws = watershed_auto(
             boundary_map.astype(jnp.float32), markers, binary_mask,
-            with_flag=True,
+            with_flag=True, max_iters=cfg.watershed_max_iters,
+            max_sweeps=cfg.watershed_max_sweeps,
         )
     table = region_props_auto(
         labels, jnp.ones_like(labels, jnp.uint8), max_regions, val_bound=1

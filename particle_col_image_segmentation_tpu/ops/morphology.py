@@ -209,20 +209,9 @@ def local_maxima(
     def body(state):
         bad, _, i = state
         new = bad
-        for dy, dx in offsets:
-            sl_src = (
-                Ellipsis,
-                slice(max(0, -dy), H - max(0, dy)),
-                slice(max(0, -dx), W - max(0, dx)),
-            )
-            sl_dst = (
-                Ellipsis,
-                slice(max(0, dy), H - max(0, -dy)),
-                slice(max(0, dx), W - max(0, -dx)),
-            )
+        for (dy, dx), eq in zip(offsets, eq_masks):
+            sl_src, sl_dst = _slices(dy, dx)
             shifted_bad = jnp.zeros_like(bad).at[sl_dst].set(bad[sl_src])
-            # equality between the neighbor (src) and this pixel (dst position)
-            eq = jnp.zeros(img.shape, bool).at[sl_dst].set(img[sl_src] == img[sl_dst])
             new = new | (shifted_bad & eq)
         new = new | seg_or_scan_bidi(new, same_row, axis=-1)
         new = new | seg_or_scan_bidi(new, same_col, axis=-2)
@@ -320,18 +309,18 @@ def local_maxima_auto(
     halo sentinel).  Non-negative images — EDT squared distances, counts,
     uint8/uint16 exports — always qualify; narrower signed dtypes cannot
     reach it.  Arbitrary-valued int32 callers must use ``local_maxima``.
+    Dtypes wider than int32 (uint32/int64/uint64) fall back to the XLA
+    flood — the sweeps cast values to int32, which would truncate.
     """
     from particle_col_image_segmentation_tpu.ops.ccl import _pick_band_tile
 
     H, W = img.shape[-2:]
     tile = _pick_band_tile(H)
     on_tpu = jax.default_backend() not in ("cpu", "gpu")
-    if (
-        tile is None
-        or W % 128 != 0
-        or not on_tpu
-        or not jnp.issubdtype(img.dtype, jnp.integer)
-    ):
+    fits_i32 = jnp.issubdtype(img.dtype, jnp.integer) and (
+        jnp.iinfo(img.dtype).bits < 32 or img.dtype == jnp.int32
+    )
+    if tile is None or W % 128 != 0 or not on_tpu or not fits_i32:
         return local_maxima(img, connectivity, max_iters, with_flag)
     return _local_maxima_sweeps(
         img, connectivity, with_flag, tile, max_sweeps

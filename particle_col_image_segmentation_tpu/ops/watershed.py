@@ -98,12 +98,17 @@ def _shifted(x, dy, dx, fill):
     return jnp.full(x.shape, fill, x.dtype).at[sl_dst].set(x[sl_src])
 
 
-def claim_candidates(cost, img, lab, dist, eimg, dy, dx, shifted):
+def claim_candidates(cost, img, lab, dist, eimg, dy, dx, shifted,
+                     inc=1, seg=None):
     """One optimal-edge candidate set for the phase-2 claim relaxation.
 
     Shared by every schedule (XLA Jacobi, Pallas band sweeps, sharded halo
-    exchange) so the lexicographic key is defined in exactly one place.
-    ``shifted(x, dy, dx, fill)`` supplies the neighbor view.  Returns
+    exchange) AND the tunnel-basins quotient graph, so the lexicographic
+    key is defined in exactly one place.  ``shifted(x, dy, dx, fill)``
+    supplies the neighbor view.  ``inc`` is the per-hop level-distance
+    increment (1 for the pixel graph; ``at_level`` for the basin quotient,
+    where intra-basin hops are free).  ``seg`` restricts candidates to
+    external edges of a segment image (quotient graph).  Returns
     (cd, ce, cs, cl): level distance, entry img, claimer img, label.
     """
     nc = shifted(cost, dy, dx, jnp.float32(_INF))
@@ -112,10 +117,13 @@ def claim_candidates(cost, img, lab, dist, eimg, dy, dx, shifted):
     nd = shifted(dist, dy, dx, _BIG_LAB)
     ne = shifted(eimg, dy, dx, jnp.float32(_INF))
     valid = (jnp.maximum(nc, img) == cost) & (nl != _BIG_LAB)
+    if seg is not None:
+        nseg = shifted(seg, dy, dx, jnp.int32(-1))
+        valid &= nseg != seg  # quotient graph: external edges only
     reset = nc < cost  # strictly-uphill crossing: new flooding level
     cd = jnp.where(
         valid,
-        jnp.where(reset, 0, jnp.where(nd < _BIG_LAB, nd + 1, _BIG_LAB)),
+        jnp.where(reset, 0, jnp.where(nd < _BIG_LAB, nd + inc, _BIG_LAB)),
         _BIG_LAB,
     )
     ce = jnp.where(
@@ -230,6 +238,7 @@ def watershed(
             below.astype(jnp.int32),
             background=0,
             connectivity=4 if connectivity == 1 else 8,
+            num_classes=2,  # binary mask: 4× less _neighbor_min volume
             with_flag=True,
         )
         lin = (
@@ -247,31 +256,6 @@ def watershed(
         ).reshape((-1, 1, 1))
         seg = (seg.reshape((-1, H, W)) + plane_off).reshape(image.shape)
         inc = at_level.astype(jnp.int32)
-
-        def basin_candidates(lab, dist, eimg, dy, dx):
-            nc = _shifted(cost, dy, dx, jnp.float32(_INF))
-            nim = _shifted(img, dy, dx, jnp.float32(_INF))
-            nl = _shifted(lab, dy, dx, _BIG_LAB)
-            nd = _shifted(dist, dy, dx, _BIG_LAB)
-            ne = _shifted(eimg, dy, dx, jnp.float32(_INF))
-            nseg = _shifted(seg, dy, dx, jnp.int32(-1))
-            valid = (
-                (jnp.maximum(nc, img) == cost)
-                & (nl != _BIG_LAB)
-                & (nseg != seg)  # quotient graph: external edges only
-            )
-            reset = nc < cost
-            cd = jnp.where(
-                valid,
-                jnp.where(
-                    reset, 0, jnp.where(nd < _BIG_LAB, nd + inc, _BIG_LAB)
-                ),
-                _BIG_LAB,
-            )
-            ce = jnp.where(valid, jnp.where(reset, nim, ne), jnp.float32(_INF))
-            cs = jnp.where(valid, nim, jnp.float32(_INF))
-            cl = jnp.where(valid, nl, _BIG_LAB)
-            return cd, ce, cs, cl
 
         seg_flat = seg.reshape(-1)
 
@@ -311,7 +295,10 @@ def watershed(
         )
         for dy, dx in offsets:
             if tunnel_basins:
-                cand = basin_candidates(lab, dist, eimg, dy, dx)
+                cand = claim_candidates(
+                    cost, img, lab, dist, eimg, dy, dx, _shifted,
+                    inc=inc, seg=seg,
+                )
             else:
                 cand = claim_candidates(
                     cost, img, lab, dist, eimg, dy, dx, _shifted
@@ -350,15 +337,23 @@ def watershed_auto(
     mask: Optional[jnp.ndarray] = None,
     connectivity: int = 1,
     with_flag: bool = False,
+    max_iters: int = 1024,
+    max_sweeps: int = 16,
 ) -> jnp.ndarray:
     """watershed with automatic kernel selection: the Pallas band sweeps on
     TPU backends (band-divisible heights, lane-aligned widths), the XLA
     fixpoint elsewhere.  Batched [B, H, W] inputs pack contiguously into
     ONE pallas launch (watershed_tiles plane masking) — 3.6× the batched
     XLA Jacobi at [8, 512²] on v5e (26.3 → 7.3 ms), and every schedule is
-    bit-identical
-    (two-phase confluence).  ``with_flag=True`` appends a batch-shaped
-    bool ``converged``."""
+    bit-identical (two-phase confluence).  ``with_flag=True`` appends a
+    batch-shaped bool ``converged``.
+
+    Budgets: ``max_iters`` bounds the XLA Jacobi loops, ``max_sweeps`` the
+    Pallas down+up band-sweep pairs (one sweep relaxes up to
+    ``inner_iters``=256 px per band visit, so 16 sweeps ≫ 16 Jacobi
+    iterations).  A plane that exhausts its budget reports
+    ``converged=False`` — raise the corresponding knob to recover.
+    """
     backend = jax.default_backend()
     H, W = image.shape[-2:]
     tile = next((t for t in (64, 32, 16, 8) if H % t == 0), None)
@@ -367,7 +362,8 @@ def watershed_auto(
     if (tile is None or W % 128 != 0
             or backend in ("cpu", "gpu")):
         return watershed(
-            image, markers, mask, connectivity=connectivity, with_flag=with_flag
+            image, markers, mask, connectivity=connectivity,
+            max_iters=max_iters, with_flag=with_flag
         )
     from particle_col_image_segmentation_tpu.ops.watershed_tiles import (
         watershed_sweeps,
@@ -375,5 +371,5 @@ def watershed_auto(
 
     return watershed_sweeps(
         image, markers, mask, connectivity=connectivity, tile=tile,
-        with_flag=with_flag,
+        max_sweeps=max_sweeps, with_flag=with_flag,
     )

@@ -606,6 +606,33 @@ class TestBandSweepConvergence:
                             jnp.asarray(m), max_iters=2, with_flag=True)
         assert not bool(conv)
 
+    def test_watershed_auto_budget_passthrough(self):
+        """watershed_auto exposes both schedule budgets; an exhausted
+        budget surfaces converged=False instead of a wrong answer."""
+        from scipy import ndimage as ndi
+
+        from particle_col_image_segmentation_tpu.ops.watershed import (
+            watershed_auto,
+        )
+
+        n = 64
+        m = np.zeros((n, n), bool)
+        m[8:56, 8:56] = True
+        dist = ndi.distance_transform_edt(m)
+        prob = (1.0 - dist / max(1.0, dist.max())).astype(np.float32)
+        mk = np.zeros((n, n), np.int32)
+        mk[32, 32] = 1
+        lab, conv = watershed_auto(
+            jnp.asarray(prob), jnp.asarray(mk), jnp.asarray(m),
+            with_flag=True, max_iters=1024, max_sweeps=32,
+        )
+        assert bool(conv)
+        _, conv = watershed_auto(
+            jnp.asarray(prob), jnp.asarray(mk), jnp.asarray(m),
+            with_flag=True, max_iters=2, max_sweeps=1,
+        )
+        assert not bool(conv)
+
     @pytest.mark.parametrize("k", [8, 64])
     def test_watershed_quantized_realistic_regime(self, k):
         """Ilastik probability maps arrive uint8-quantized (plateaued); in
