@@ -615,13 +615,18 @@ class TestBandSweepConvergence:
             watershed_auto,
         )
 
-        n = 64
-        m = np.zeros((n, n), bool)
-        m[8:56, 8:56] = True
+        # (64, 128): W=128 passes watershed_auto's lane-alignment gate, so
+        # on TPU the max_sweeps budget reaches the Pallas watershed_sweeps
+        # path (a 64-wide plane would silently fall back to XLA on every
+        # backend and never exercise the sweep-budget plumbing)
+        hgt, wid = 64, 128
+        m = np.zeros((hgt, wid), bool)
+        m[8:56, 8:120] = True
         dist = ndi.distance_transform_edt(m)
         prob = (1.0 - dist / max(1.0, dist.max())).astype(np.float32)
-        mk = np.zeros((n, n), np.int32)
+        mk = np.zeros((hgt, wid), np.int32)
         mk[32, 32] = 1
+        mk[32, 96] = 2
         lab, conv = watershed_auto(
             jnp.asarray(prob), jnp.asarray(mk), jnp.asarray(m),
             with_flag=True, max_iters=1024, max_sweeps=32,
