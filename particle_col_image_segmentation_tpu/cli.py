@@ -124,7 +124,8 @@ def main(argv=None) -> int:
         "--tunnel-basins", action="store_true",
         help="model priority-flood basin tunneling (basin-component "
         "contraction) in the watershed — for plateaued/quantized "
-        "probability maps with sparse markers; single-chip only",
+        "probability maps with sparse markers; with --space-parallel "
+        "planes distribute data-parallel (each plane floods on one chip)",
     )
 
     p = sub.add_parser("nanosims", help="NanoSIMS 5-isotope ROI analysis")

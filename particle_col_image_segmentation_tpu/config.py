@@ -132,13 +132,24 @@ class RefineConfig:
     # giant marker on any region deeper than the cap — only set this on
     # planes known to be shallower than the cap, for speed.
     edt_cap: int | None = None
+    # Probe cap for the certified-exact EDT fast path (ops.edt.
+    # edt_sq_exact_auto): the capped transform runs first, and a runtime
+    # certificate (no distance exceeded the probe) proves it equals the
+    # exact transform — only on failure does the O(H²·W) min-plus run.
+    # Results are bit-identical to the exact EDT at ANY setting; the probe
+    # only trades fast-path coverage (raise it if your cells are deeper
+    # than 32 px and the fallback shows up in profiles).
+    edt_probe_cap: int = 32
     # Model priority-flood basin tunneling in the watershed via
     # basin-component contraction (ops.watershed docstring).  The default
     # claim key already holds ≥0.99 boundary IoU on the pipeline regime
     # (EDT-seeded markers inside their own basins); enable this for
     # plateaued/quantized probability maps with sparse or hand-placed
     # markers, where it lifts parity from ~0.5 to ≥0.93 (docs/PERF.md).
-    # Single-chip only: the space-sharded refine path rejects it.
+    # Composes with --space-parallel as DATA parallelism only: planes
+    # distribute across devices, each flooding single-device (the tunneled
+    # key's per-sweep basin segment-min broadcasts have no halo-exchange
+    # schedule), so each plane must fit one chip.
     tunnel_basins: bool = False
     # Watershed fixpoint budgets.  ``watershed_max_iters`` bounds the XLA
     # Jacobi loops; ``watershed_max_sweeps`` bounds the Pallas down+up

@@ -28,11 +28,13 @@ from particle_col_image_segmentation_tpu.ops import (
     compact_labels_auto,
     connected_components_auto,
     local_maxima_auto,
-    region_props_auto,
     watershed,
     watershed_auto,
 )
-from particle_col_image_segmentation_tpu.ops.edt import edt_sq, edt_sq_exact
+from particle_col_image_segmentation_tpu.ops.edt import edt_sq, edt_sq_exact_auto
+from particle_col_image_segmentation_tpu.ops.regionprops_tiles import (
+    centroid_sums_auto,
+)
 from particle_col_image_segmentation_tpu.ops.pairwise import (
     min_dist_to_set,
     nearest_neighbor_dists,
@@ -57,7 +59,9 @@ def refine_plane_device(
     # would merge into a single giant marker (cfg.edt_cap opts into the
     # cheaper capped path for provably-shallow planes).
     if cfg.edt_cap is None:
-        dsq = edt_sq_exact(~binary_mask)
+        # certified-exact: capped fast path + runtime exactness certificate,
+        # lax.cond fallback to the full min-plus (bit-identical either way)
+        dsq = edt_sq_exact_auto(~binary_mask, probe_cap=cfg.edt_probe_cap)
     else:
         dsq = edt_sq(~binary_mask, cap=cfg.edt_cap)
     distance = jnp.sqrt(dsq.astype(jnp.float32))
@@ -86,9 +90,10 @@ def refine_plane_device(
             with_flag=True, max_iters=cfg.watershed_max_iters,
             max_sweeps=cfg.watershed_max_sweeps,
         )
-    table = region_props_auto(
-        labels, jnp.ones_like(labels, jnp.uint8), max_regions, val_bound=1
-    )
+    # the refine outputs read only area + centroid sums (cells are all
+    # class 1) — the 5-column CentroidTable skips the value channel, bbox
+    # extremes, and the transposed pass of the full RegionTable
+    table = centroid_sums_auto(labels, max_regions)
     converged = conv_max & conv_ccl & conv_cmp & conv_ws
     return labels, markers, num, table, distance, converged
 
@@ -274,6 +279,11 @@ def refine_boundaries_sharded(
     EDT is always exact on this path (``cfg.edt_cap`` does not apply).
     Per-plane labels are bit-identical to ``refine_plane_device`` (tested
     on the 8-virtual-device CPU mesh).
+
+    ``cfg.tunnel_basins`` composes as DATA parallelism only: the tunneled
+    claim key has no halo-exchange schedule, so planes distribute over all
+    mesh devices and each floods single-device (each plane must fit one
+    chip; see ``_refine_tunnel_data_parallel``).
     """
     from particle_col_image_segmentation_tpu.parallel.mesh import (
         DATA_AXIS,
@@ -283,12 +293,6 @@ def refine_boundaries_sharded(
         make_sharded_refine_fn,
     )
 
-    if cfg.tunnel_basins:
-        raise ValueError(
-            "tunnel_basins is single-chip only: the sharded refine's "
-            "halo-exchange watershed has no cross-shard segment broadcast. "
-            "Run without --space-parallel (or disable tunnel_basins)."
-        )
     probs = np.asarray(probabilities)
     if stack is None:
         stack = probs.ndim == 4
@@ -299,6 +303,19 @@ def refine_boundaries_sharded(
         arr = _extract_boundary_channel(probs, cfg, ndim=2)[None]
     if mesh is None:
         mesh = make_mesh()
+    if cfg.tunnel_basins:
+        # The tunneled claim key has no halo-exchange schedule: each sweep
+        # contracts the below-level basin components and broadcasts a
+        # 4-pass segment-min over them, which sharded would need a global
+        # CCL + cross-shard segment reduction per sweep.  Documented
+        # contract instead: planes distribute over ALL mesh devices
+        # DATA-parallel, each plane flooding on one device through the
+        # single-chip tunneled graph (bit-identical to refine_boundaries
+        # per plane, tested on the 8-virtual-device mesh).  Each plane
+        # must therefore fit one chip — for a plateau-heavy export too
+        # large for that, quantize-aware single-chip tiling does not
+        # exist yet; raise the honest limit rather than silently degrade.
+        return _refine_tunnel_data_parallel(arr, cfg, max_regions, mesh)
     n_data = mesh.shape[DATA_AXIS]
     Z = arr.shape[0]
     pad = (-Z) % n_data
@@ -321,6 +338,40 @@ def refine_boundaries_sharded(
 
     return _assemble_stack_results(
         np.asarray(labels)[:Z], np.asarray(num)[:Z], _Sums, max_regions
+    )
+
+
+def _refine_tunnel_data_parallel(
+    arr: np.ndarray, cfg: RefineConfig, max_regions: int, mesh
+) -> "list[RefineResult]":
+    """``refine --space-parallel --tunnel-basins``: plane chunks dispatch
+    to each mesh device explicitly and run the single-chip tunneled graph
+    there (the stages are plane-local, so this needs no collectives; JAX's
+    async dispatch overlaps the per-device executions).  Z pads to a
+    device-count multiple by repeating the last plane (results dropped)."""
+    devs = list(mesh.devices.reshape(-1))
+    n_dev = len(devs)
+    Z = arr.shape[0]
+    pad = (-Z) % n_dev
+    if pad:
+        arr = np.concatenate([arr, np.repeat(arr[-1:], pad, axis=0)])
+    per = arr.shape[0] // n_dev
+    outs = []
+    for i, dev in enumerate(devs):
+        chunk = jax.device_put(
+            jnp.asarray(arr[i * per : (i + 1) * per], jnp.float32), dev
+        )
+        outs.append(refine_plane_device(chunk, cfg, max_regions))
+    labels = np.concatenate([np.asarray(o[0]) for o in outs])
+    num = np.concatenate([np.asarray(o[2]) for o in outs])
+    table_np = jax.tree.map(
+        lambda *ts: np.concatenate([np.asarray(t) for t in ts])[:Z],
+        *(o[3] for o in outs),
+    )
+    converged = np.concatenate([np.atleast_1d(np.asarray(o[5])) for o in outs])
+    _check_stack_converged(converged[:Z])
+    return _assemble_stack_results(
+        labels[:Z], num[:Z], table_np, max_regions
     )
 
 

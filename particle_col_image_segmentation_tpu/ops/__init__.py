@@ -10,7 +10,9 @@ from particle_col_image_segmentation_tpu.ops.ccl import (  # noqa: F401
     label_image,
 )
 from particle_col_image_segmentation_tpu.ops.regionprops import (  # noqa: F401
+    CentroidTable,
     RegionTable,
+    centroid_sums,
     centroids_f64,
     centroids_int,
     region_props,
@@ -20,6 +22,7 @@ from particle_col_image_segmentation_tpu.ops.edt import (  # noqa: F401
     edt_exact,
     edt_sq,
     edt_sq_exact,
+    edt_sq_exact_auto,
 )
 from particle_col_image_segmentation_tpu.ops.morphology import (  # noqa: F401
     boundary_mask,
@@ -32,6 +35,8 @@ from particle_col_image_segmentation_tpu.ops.morphology import (  # noqa: F401
     open_disk,
 )
 from particle_col_image_segmentation_tpu.ops.regionprops_tiles import (  # noqa: F401
+    centroid_sums_auto,
+    centroid_sums_mxu,
     region_counts_auto,
     region_counts_mxu,
     region_props_auto,

@@ -30,7 +30,9 @@ import numpy as np
 __all__ = [
     "HILO_BASE",
     "RegionTable",
+    "CentroidTable",
     "region_props",
+    "centroid_sums",
     "centroids_int",
     "centroids_f64",
 ]
@@ -49,6 +51,43 @@ class RegionTable(NamedTuple):
     bbox: jnp.ndarray  # [R+1, 4] int32 (minr, minc, maxr, maxc) half-open
     class_id: jnp.ndarray  # [R+1] int32 pixel value of the component
     valid: jnp.ndarray  # [R+1] bool (area>0 and not background row)
+
+
+class CentroidTable(NamedTuple):
+    """Area + exact (hi, lo) centroid sums only — the 5 columns the refine
+    pipeline consumes (``centroids_f64`` duck-types on these fields).  A
+    full ``RegionTable`` also carries bbox extremes and the class channel,
+    which cost a second (transposed) table pass the refine graph never
+    reads (refine cells are all class 1)."""
+
+    area: jnp.ndarray  # [..., R+1] int32
+    sr_hi: jnp.ndarray  # [..., R+1] int32   Σrow = HILO_BASE*sr_hi + sr_lo
+    sr_lo: jnp.ndarray  # [..., R+1] int32
+    sc_hi: jnp.ndarray  # [..., R+1] int32   Σcol = HILO_BASE*sc_hi + sc_lo
+    sc_lo: jnp.ndarray  # [..., R+1] int32
+
+
+@partial(jax.jit, static_argnames=("max_regions",))
+def centroid_sums(seg: jnp.ndarray, max_regions: int) -> CentroidTable:
+    """CentroidTable from compact ids ``seg`` [H, W] (0 = background) — the
+    scatter path (one fused 5-column segment_sum; non-TPU backends)."""
+    H, W = seg.shape
+    R = max_regions + 1
+    ids = seg.ravel()
+    rows = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0).ravel()
+    cols = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1).ravel()
+    add_cols = jnp.stack(
+        [
+            jnp.ones_like(ids),
+            rows // HILO_BASE,
+            rows % HILO_BASE,
+            cols // HILO_BASE,
+            cols % HILO_BASE,
+        ],
+        axis=-1,
+    )
+    sums = jax.ops.segment_sum(add_cols, ids, num_segments=R)
+    return CentroidTable(*(sums[:, k] for k in range(5)))
 
 
 def _exact_floor_div(hi: jnp.ndarray, lo: jnp.ndarray, d: jnp.ndarray):

@@ -44,7 +44,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from particle_col_image_segmentation_tpu.ops.regionprops import HILO_BASE as _HL
 
-__all__ = ["region_counts_mxu", "region_counts_auto"]
+__all__ = [
+    "region_counts_mxu",
+    "region_counts_auto",
+    "centroid_sums_mxu",
+    "centroid_sums_auto",
+]
 
 _M = 128  # lane width of the m = id % 128 axis
 
@@ -425,6 +430,113 @@ def region_props_auto(seg: jnp.ndarray, img: jnp.ndarray, max_regions: int,
     if seg.ndim == 3:
         return jax.vmap(lambda s, d: region_props(s, d, max_regions))(seg, img)
     return region_props(seg, img, max_regions)
+
+
+def _centroid_kernel(seg_ref, out_ref, *, T: int, Qp: int):
+    """One [T, W] chunk of the centroid-sums pass.
+
+    Output columns (blocks of 128): area | sc_hi | sc_lo | sr_hi | sr_lo.
+    Column sums ride two one-hot digit channels in the matmul (base-128
+    split, int8-exact for W ≤ 16383); row sums ride the tiny [Qp, 128]
+    count table (the row index is constant within a row).  No value
+    channel, no bbox extremes, no transposed pass — this is the minimal
+    table the refine graph consumes (models/refine.py)."""
+    chunk = pl.program_id(1)
+
+    @pl.when(chunk == 0)
+    def _init():
+        out_ref[0, :, :] = jnp.zeros_like(out_ref[0])
+
+    W = seg_ref.shape[-1]
+    q_iota = jax.lax.broadcasted_iota(jnp.int32, (Qp, W), 0)
+    c_iota = jax.lax.broadcasted_iota(jnp.int32, (3 * _M, W), 0)
+    blk = c_iota // _M
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+
+    acc = out_ref[0, :, :]
+    for r in range(T):
+        r_glob = chunk * T + r
+        ids = seg_ref[0, r : r + 1, :]
+        q = ids // _M
+        m = ids % _M
+        a = (q_iota == q).astype(jnp.int8)  # [Qp, W] one-hot of q
+        hit = (c_iota % _M) == m
+        scale = jnp.where(
+            blk == 0, 1, jnp.where(blk == 1, col // _HL, col % _HL)
+        )
+        b = jnp.where(hit, scale, 0).astype(jnp.int8)  # [3M, W]
+        sums = jax.lax.dot_general(
+            a,
+            b,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # [Qp, 3M]: counts | sc_hi | sc_lo
+        counts = sums[:, :_M]
+        acc = acc + jnp.concatenate(
+            [sums, (r_glob // _HL) * counts, (r_glob % _HL) * counts],
+            axis=-1,
+        )
+    out_ref[0, :, :] = acc
+
+
+@partial(jax.jit, static_argnames=("max_regions", "rows_per_chunk", "interpret"))
+def centroid_sums_mxu(
+    seg: jnp.ndarray,
+    max_regions: int,
+    rows_per_chunk: int = 32,
+    interpret: bool = False,
+):
+    """CentroidTable (area + exact (hi, lo) centroid sums) via the MXU.
+
+    The 5-column subset of ``region_table_mxu`` the refine pipeline reads —
+    drops the value channel, bbox extremes, and the whole transposed pass
+    (~2.5× the table work at max_regions=4096).  Identical columns to
+    ``ops.regionprops.centroid_sums`` on every row (parity-tested)."""
+    from particle_col_image_segmentation_tpu.ops.regionprops import (
+        CentroidTable,
+    )
+
+    R = max_regions + 1
+    batched = seg.ndim == 3
+    seg3 = seg if batched else seg[None]
+    B, H, W = seg3.shape
+    T = rows_per_chunk
+    assert H % T == 0, (H, T)
+    Qp = _round_up(-(-R // _M), 16)
+    kernel = partial(_centroid_kernel, T=T, Qp=Qp)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, H // T),
+        in_specs=[pl.BlockSpec((1, T, W), lambda b, c: (b, c, 0))],
+        out_specs=pl.BlockSpec((1, Qp, 5 * _M), lambda b, c: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, Qp, 5 * _M), jnp.int32),
+        interpret=interpret,
+    )(seg3.astype(jnp.int32))
+
+    def tab(k):
+        cols = out[:, :, k * _M : (k + 1) * _M].reshape(B, Qp * _M)[:, :R]
+        return cols if batched else cols[0]
+
+    return CentroidTable(
+        area=tab(0), sc_hi=tab(1), sc_lo=tab(2), sr_hi=tab(3), sr_lo=tab(4)
+    )
+
+
+def centroid_sums_auto(seg: jnp.ndarray, max_regions: int):
+    """Backend dispatch for the centroid-sums table: MXU on TPU, the fused
+    5-column scatter elsewhere."""
+    from particle_col_image_segmentation_tpu.ops.regionprops import (
+        centroid_sums,
+    )
+
+    on_tpu = jax.default_backend() not in ("cpu", "gpu")
+    H, W = seg.shape[-2:]
+    if on_tpu and H % 8 == 0 and W % 8 == 0:
+        rpc = 32 if (H % 32 == 0 and W % 32 == 0) else 8
+        return centroid_sums_mxu(seg, max_regions, rows_per_chunk=rpc)
+    if seg.ndim == 3:
+        return jax.vmap(lambda s: centroid_sums(s, max_regions))(seg)
+    return centroid_sums(seg, max_regions)
 
 
 def _lookup_kernel(seg_ref, tab_ref, out_ref, *, T: int, Qp: int):

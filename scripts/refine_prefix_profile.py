@@ -23,11 +23,13 @@ from particle_col_image_segmentation_tpu.config import RefineConfig
 from particle_col_image_segmentation_tpu.ops import (
     connected_components_auto,
     local_maxima_auto,
-    region_props_auto,
     watershed_auto,
 )
 from particle_col_image_segmentation_tpu.ops.ccl import compact_labels_auto
-from particle_col_image_segmentation_tpu.ops.edt import edt_sq_exact
+from particle_col_image_segmentation_tpu.ops.edt import edt_sq_exact_auto
+from particle_col_image_segmentation_tpu.ops.regionprops_tiles import (
+    centroid_sums_auto,
+)
 from refine_profile import make_stack
 
 ITERS = 6
@@ -37,7 +39,7 @@ cfg = RefineConfig()
 
 def stage_edt(p):
     binary = p < cfg.boundary_threshold
-    return edt_sq_exact(~binary)
+    return edt_sq_exact_auto(~binary, probe_cap=cfg.edt_probe_cap)
 
 
 def stage_max(p):
@@ -74,9 +76,7 @@ def stage_ws(p):
 
 def stage_tab(p):
     labels = stage_ws(p)
-    t = region_props_auto(
-        labels, jnp.ones_like(labels, jnp.uint8), MAX_REGIONS, val_bound=1
-    )
+    t = centroid_sums_auto(labels, MAX_REGIONS)
     return labels + t.area.astype(jnp.int32).sum()
 
 
@@ -87,8 +87,15 @@ def main():
     # burn the first-timed-loop relay artifact (~130 ms once per process)
     bf = jax.jit(lambda p: p + 1)
     _ = float(jnp.sum(bf(probs)))
-    for _ in range(ITERS):
-        _ = float(jnp.sum(bf(probs)))
+    # the FIRST *timed-pattern* loop in a process reads ~130 ms regardless
+    # of workload on the relay — burn one full timed loop, not just calls
+    for _ in range(2):
+        t0 = time.perf_counter()
+        acc = 0.0
+        for _ in range(ITERS):
+            acc += jnp.sum(bf(probs))
+        _ = float(acc)
+        print(f"burn loop: {(time.perf_counter() - t0) / ITERS * 1e3:.2f} ms")
     prev = 0.0
     for name, fn in (
         ("edt", stage_edt),

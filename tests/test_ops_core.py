@@ -501,6 +501,49 @@ class TestScatterFreeTables:
         np.testing.assert_array_equal(np.asarray(area), np.asarray(ref_area))
         np.testing.assert_array_equal(np.asarray(vsum), np.asarray(ref_sum))
 
+    def test_centroid_sums_matches_region_props(self):
+        """The 5-column CentroidTable (refine's table) must equal the same
+        columns of the full scatter table — scatter path, MXU kernel
+        (interpret), and the batched MXU variant."""
+        from particle_col_image_segmentation_tpu.ops.regionprops import (
+            centroid_sums,
+            region_props,
+        )
+        from particle_col_image_segmentation_tpu.ops.regionprops_tiles import (
+            centroid_sums_mxu,
+        )
+
+        cols = ("area", "sr_hi", "sr_lo", "sc_hi", "sc_lo")
+        rng = np.random.default_rng(7)
+        seg = rng.integers(0, 300, (64, 128)).astype(np.int32)
+        full = region_props(
+            jnp.asarray(seg), jnp.ones((64, 128), jnp.int32), 512
+        )
+        ct = centroid_sums(jnp.asarray(seg), 512)
+        ctm = centroid_sums_mxu(
+            jnp.asarray(seg), 512, rows_per_chunk=8, interpret=True
+        )
+        for f in cols:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(full, f)), np.asarray(getattr(ct, f)),
+                err_msg=f,
+            )
+            np.testing.assert_array_equal(
+                np.asarray(getattr(ct, f)), np.asarray(getattr(ctm, f)),
+                err_msg=f,
+            )
+        segb = rng.integers(0, 300, (3, 64, 128)).astype(np.int32)
+        ctb = centroid_sums_mxu(
+            jnp.asarray(segb), 512, rows_per_chunk=8, interpret=True
+        )
+        for z in range(3):
+            ref = centroid_sums(jnp.asarray(segb[z]), 512)
+            for f in cols:
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(ref, f)),
+                    np.asarray(getattr(ctb, f))[z], err_msg=f"{z}:{f}",
+                )
+
     def test_table_lookup_mxu(self):
         from particle_col_image_segmentation_tpu.ops.regionprops_tiles import (
             table_lookup_mxu,

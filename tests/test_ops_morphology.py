@@ -80,6 +80,55 @@ class TestEDT:
         np.testing.assert_allclose(ours, np.round(ref))
 
 
+class TestCertifiedExactEDT:
+    """edt_sq_exact_auto must be bit-identical to edt_sq_exact on BOTH sides
+    of its runtime certificate: shallow planes (capped fast path taken) and
+    deep planes (lax.cond fallback to the full min-plus)."""
+
+    @pytest.mark.parametrize("probe_cap", [4, 32])
+    def test_shallow_takes_fast_path_exactly(self, probe_cap):
+        from particle_col_image_segmentation_tpu.ops.edt import (
+            edt_sq_exact,
+            edt_sq_exact_auto,
+        )
+
+        m = random_binary((64, 96), p=0.3, seed=11)  # dense → shallow
+        a = np.asarray(edt_sq_exact(jnp.asarray(m)))
+        b = np.asarray(edt_sq_exact_auto(jnp.asarray(m), probe_cap=probe_cap))
+        np.testing.assert_array_equal(a, b)
+
+    def test_deep_triggers_fallback_exactly(self):
+        from particle_col_image_segmentation_tpu.ops.edt import (
+            edt_sq_exact,
+            edt_sq_exact_auto,
+        )
+
+        m = np.zeros((64, 96), bool)
+        m[0, 0] = True  # distances up to ~115 ≫ probe_cap
+        a = np.asarray(edt_sq_exact(jnp.asarray(m)))
+        b = np.asarray(edt_sq_exact_auto(jnp.asarray(m), probe_cap=32))
+        np.testing.assert_array_equal(a, b)
+        ref = ndi.distance_transform_edt(~m) ** 2
+        np.testing.assert_allclose(b, np.round(ref))
+
+    def test_batched_mixed_depth(self):
+        """One shallow plane + one deep plane in a stack: the scalar
+        certificate covers the whole batch, so the deep plane must force
+        the exact path for both (bit-identical everywhere)."""
+        from particle_col_image_segmentation_tpu.ops.edt import (
+            edt_sq_exact,
+            edt_sq_exact_auto,
+        )
+
+        shallow = random_binary((64, 96), p=0.3, seed=12)
+        deep = np.zeros((64, 96), bool)
+        deep[0, 0] = True
+        mb = np.stack([shallow, deep])
+        a = np.asarray(edt_sq_exact(jnp.asarray(mb)))
+        b = np.asarray(edt_sq_exact_auto(jnp.asarray(mb), probe_cap=32))
+        np.testing.assert_array_equal(a, b)
+
+
 class TestDilation:
     @pytest.mark.parametrize("r", [1, 2, 5, 20])
     def test_matches_oracle_disk(self, r):

@@ -45,8 +45,8 @@ class TestRefine:
     def test_tunnel_basins_config(self):
         """cfg.tunnel_basins routes through the basin-contraction
         watershed (ops.watershed docstring): same two-cell split on the
-        pipeline fixture, and the sharded path rejects the flag loudly
-        (no cross-shard segment broadcast exists)."""
+        pipeline fixture, and the sharded path composes as data
+        parallelism (each plane floods single-device, bit-identical)."""
         from particle_col_image_segmentation_tpu.models.refine import (
             refine_boundaries_sharded,
         )
@@ -55,10 +55,14 @@ class TestRefine:
         res = refine_boundaries(prob, RefineConfig(tunnel_basins=True))
         assert res.num_cells == 2
         assert res.labels[48, 40] != res.labels[48, 80]
-        with pytest.raises(ValueError, match="tunnel_basins"):
-            refine_boundaries_sharded(
-                prob, RefineConfig(tunnel_basins=True)
-            )
+        res_sh = refine_boundaries_sharded(
+            prob, RefineConfig(tunnel_basins=True)
+        )
+        assert len(res_sh) == 1
+        np.testing.assert_array_equal(res_sh[0].labels, res.labels)
+        assert res_sh[0].num_cells == res.num_cells
+        np.testing.assert_array_equal(res_sh[0].areas, res.areas)
+        np.testing.assert_allclose(res_sh[0].centroids, res.centroids)
 
     def test_channel_selection_channel_last(self):
         # Ilastik's usual hdf5 export order is [H, W, C]
