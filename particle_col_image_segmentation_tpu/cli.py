@@ -85,6 +85,12 @@ def main(argv=None) -> int:
         "the single-chip plane-size ceiling — plane height must be a "
         "multiple of this",
     )
+    p.add_argument(
+        "--batch-planes", type=int, default=1,
+        help="batch same-shape planes from the whole tree into single "
+        "device dispatches of up to this many planes (byte-identical "
+        "CSVs; mutually exclusive with --space-parallel)",
+    )
 
     p = sub.add_parser("split", help="split z-stack TIFFs per plane/channel")
     p.add_argument("folder")
@@ -195,7 +201,8 @@ def main(argv=None) -> int:
 
             mesh = make_mesh(n_data=1, n_space=args.space_parallel)
         run_analysis(args.folder, _cfg_from_args(args),
-                     make_figures=not args.no_figures, mesh=mesh)
+                     make_figures=not args.no_figures, mesh=mesh,
+                     batch_planes=args.batch_planes)
         if args.profile:
             from particle_col_image_segmentation_tpu.utils.profiling import (
                 STAGE_TOTALS,

@@ -38,8 +38,10 @@ from particle_col_image_segmentation_tpu.ops.regionprops_tiles import (
 __all__ = [
     "PlaneDeviceOut",
     "analyze_plane_device",
+    "analyze_planes_device",
     "analyze_plane_device_sharded",
     "dapi_dedup_device",
+    "split_plane_device_out",
     "strain_values_of",
 ]
 
@@ -89,7 +91,9 @@ def _stage_segment(img, cfg: AnalysisConfig, denoise: bool, particle_val: int):
     table = region_props_auto(
         seg, den, cfg.max_regions, val_bound=cfg.num_classes - 1
     )
-    particle_area = jnp.sum((den == particle_val).astype(jnp.int32))
+    # per-plane sum so the stage is batch-polymorphic ([H,W] and [B,H,W])
+    particle_area = jnp.sum((den == particle_val).astype(jnp.int32),
+                            axis=(-2, -1))
     return den, seg, num, table, particle_area, conv_ccl & conv_cmp
 
 
@@ -112,8 +116,11 @@ def _stage_fill(den, cfg: AnalysisConfig, particle_val: int, strain_vals):
             filled, particle_val, sval, cap, dt2, dr2
         )
         overlaps.append(ov)
+    # [n_strains] for [H,W] input, [n_strains, B] for [B,H,W]
     overlap_counts = (
-        jnp.stack(overlaps) if overlaps else jnp.zeros((0,), jnp.int32)
+        jnp.stack(overlaps)
+        if overlaps
+        else jnp.zeros((0,) + den.shape[:-2], jnp.int32)
     )
     return filled, overlap_counts
 
@@ -150,6 +157,41 @@ def _stage_merge(den, table: RegionTable, cfg: AnalysisConfig, strain_vals):
         dil.reshape(S, H * W).astype(jnp.int32), flat_idx, axis=-1
     )
     return jnp.where(on_mask > 0, g, -1), jnp.all(conv)
+
+
+@partial(jax.jit, static_argnames=("cfg", "strain_vals"))
+def _stage_merge_batch(den, table: RegionTable, cfg: AnalysisConfig,
+                       strain_vals):
+    """_stage_merge for a [B, H, W] stack: the S·B context planes label in
+    ONE flattened CCL launch; gathers are per (context, plane).  Returns
+    (g_ctx [S, B, R+1], converged [B])."""
+    B, H, W = den.shape
+    icy, icx = centroids_int(table)  # [B, R+1] each
+    icy = jnp.clip(icy, 0, H - 1)
+    icx = jnp.clip(icx, 0, W - 1)
+    masks = [den == sval for sval in strain_vals]  # each [B, H, W]
+    union = jnp.zeros((B, H, W), bool)
+    for m in masks:
+        union = union | m
+    ctx_masks = jnp.stack(masks + [union])  # [S, B, H, W]
+    S = ctx_masks.shape[0]
+    flat = ctx_masks.reshape(S * B, H, W)
+    dil = dilate_disk(flat, cfg.merge_disk_radius)
+    ctx_raw, conv = connected_components_auto(
+        dil.astype(jnp.uint8), background=None, num_classes=2, with_flag=True,
+        max_iters=cfg.ccl_max_iters, max_sweeps=cfg.ccl_max_sweeps,
+    )
+    R1 = icy.shape[-1]
+    flat_idx = jnp.broadcast_to(
+        (icy * W + icx)[None], (S, B, R1)
+    ).reshape(S * B, R1)
+    g = jnp.take_along_axis(ctx_raw.reshape(S * B, H * W), flat_idx, axis=-1)
+    on_mask = jnp.take_along_axis(
+        dil.reshape(S * B, H * W).astype(jnp.int32), flat_idx, axis=-1
+    )
+    g_ctx = jnp.where(on_mask > 0, g, -1).reshape(S, B, R1)
+    conv_b = jnp.reshape(conv, (S, B)).all(axis=0)
+    return g_ctx, conv_b
 
 
 def analyze_plane_device(
@@ -208,6 +250,72 @@ def analyze_plane_device(
         overlap_counts=overlap_counts,
         g_ctx=g_ctx,
         converged=conv,
+    )
+
+
+def analyze_planes_device(
+    imgs: jnp.ndarray,
+    cell_types: Tuple[Tuple[int, str], ...],
+    cfg: AnalysisConfig,
+    compute_merge: bool = True,
+    denoise: bool = True,
+) -> PlaneDeviceOut:
+    """``analyze_plane_device`` for a same-shape plane STACK [B, H, W] —
+    the reference's outermost parallel axis (its folder loop,
+    tiff_analysis.py:1126-1134) batched into single device dispatches.
+
+    Every stage is the same batch-polymorphic kernel family the batched
+    refine graph uses, so per-plane results are bit-identical to B
+    separate ``analyze_plane_device`` calls (byte-identical folder CSVs,
+    tested); only dispatch count and device utilization change.  Leaves of
+    the returned PlaneDeviceOut carry a leading batch axis (overlap_counts
+    is [n_strains, B], g_ctx is [S, B, R+1]); slice per plane with
+    ``split_plane_device_out``.
+    """
+    strain_pairs = strain_values_of(cell_types)
+    strain_vals = tuple(v for v, _ in strain_pairs)
+    particle_val = _particle_value(cell_types)
+
+    imgs = jnp.asarray(imgs)
+    if imgs.ndim != 3:
+        raise ValueError(f"expected [B, H, W], got {imgs.shape}")
+    den, seg, num, table, particle_area, conv = _stage_segment(
+        imgs, cfg=cfg, denoise=denoise, particle_val=particle_val
+    )
+    filled, overlap_counts = _stage_fill(
+        den, cfg=cfg, particle_val=particle_val, strain_vals=strain_vals
+    )
+    if compute_merge:
+        g_ctx, conv_merge = _stage_merge_batch(
+            den, table, cfg=cfg, strain_vals=strain_vals
+        )
+        conv = conv & conv_merge
+    else:
+        g_ctx = jnp.full(
+            (len(strain_vals) + 1, imgs.shape[0], cfg.max_regions + 1),
+            -1, jnp.int32,
+        )
+
+    return PlaneDeviceOut(
+        den=den, seg=seg, num=num, table=table,
+        particle_area=particle_area, filled=filled,
+        overlap_counts=overlap_counts, g_ctx=g_ctx, converged=conv,
+    )
+
+
+def split_plane_device_out(out: PlaneDeviceOut, b: int) -> PlaneDeviceOut:
+    """Plane ``b`` of a batched ``analyze_planes_device`` result, in the
+    single-plane layout ``analyze_plane`` consumes."""
+    return PlaneDeviceOut(
+        den=out.den[b],
+        seg=out.seg[b],
+        num=out.num[b],
+        table=RegionTable(*(leaf[b] for leaf in out.table)),
+        particle_area=out.particle_area[b],
+        filled=out.filled[b],
+        overlap_counts=out.overlap_counts[:, b],
+        g_ctx=out.g_ctx[:, b],
+        converged=out.converged[b],
     )
 
 

@@ -55,16 +55,29 @@ def process_h5_folder(
     cfg: AnalysisConfig = DEFAULT_CONFIG,
     make_figures: bool = True,
     mesh=None,
+    device_outs: Optional[dict] = None,
 ) -> None:
     """Dispatch single vs multi-channel (reference :85-89).  ``mesh``
     shards every plane's rows over the mesh "space" axis (planes too large
-    for one chip); results are identical to the single-device run."""
+    for one chip); results are identical to the single-device run.
+    ``device_outs`` maps full file paths to precomputed
+    ``(PlaneDeviceOut, ds_arr)`` pairs from a batched run
+    (``run_analysis(batch_planes=N)``)."""
     if len(h5_files) == 1:
         process_single_h5_file(cur_folder, h5_files[0], cfg, make_figures,
-                               mesh=mesh)
+                               mesh=mesh, device_outs=device_outs)
     else:
         process_multiple_h5_files(cur_folder, h5_files, cfg, make_figures,
-                                  mesh=mesh)
+                                  mesh=mesh, device_outs=device_outs)
+
+
+def _load_or_precomputed(full_file_path, cfg, device_outs):
+    """(ds_arr, device_out-or-None) — consume a batched precompute when one
+    exists for this file, else load + normalize from disk."""
+    pre = (device_outs or {}).get(full_file_path)
+    if pre is not None:
+        return pre[1], pre[0]
+    return normalize_ds_arr(load_h5_plane(full_file_path), cfg), None
 
 
 def process_single_h5_file(
@@ -73,6 +86,7 @@ def process_single_h5_file(
     cfg: AnalysisConfig = DEFAULT_CONFIG,
     make_figures: bool = True,
     mesh=None,
+    device_outs: Optional[dict] = None,
 ) -> PlaneAnalysis:
     """Single-file flow (reference :627-671)."""
     full_file_path = os.path.join(cur_folder, file_path)
@@ -83,9 +97,10 @@ def process_single_h5_file(
     processed_folder = os.path.basename(os.path.abspath(cur_folder))
 
     cell_types = classmaps.get_cell_type_map(file_path)
-    ds_arr = normalize_ds_arr(load_h5_plane(full_file_path), cfg)
+    ds_arr, device_out = _load_or_precomputed(full_file_path, cfg, device_outs)
     with stage("analyze_plane"):
-        res = analyze_plane(ds_arr, cell_types, cfg, merged=True, mesh=mesh)
+        res = analyze_plane(ds_arr, cell_types, cfg, merged=True, mesh=mesh,
+                            device_out=device_out)
 
     # counts/densities use the PRE-fill particle area (reference :647-648)
     cell_count, cell_density, cell_area_ratio = get_cell_counts_and_densities(
@@ -129,6 +144,7 @@ def process_multiple_h5_files(
     cfg: AnalysisConfig = DEFAULT_CONFIG,
     make_figures: bool = True,
     mesh=None,
+    device_outs: Optional[dict] = None,
 ) -> Dict[str, PlaneAnalysis]:
     """Multi-channel fusion flow (reference :92-222)."""
     density_path, cell_pos_path = get_pos_and_density_file_names(cur_folder)
@@ -151,10 +167,12 @@ def process_multiple_h5_files(
         cell_types = classmaps.get_cell_type_map_from_channel(cell_strains, channel)
         strain_type = cell_types[1]
         base_name = full_file_path.replace(".h5", "")
-        ds_arr = normalize_ds_arr(load_h5_plane(full_file_path), cfg)
+        ds_arr, device_out = _load_or_precomputed(
+            full_file_path, cfg, device_outs
+        )
         with stage("analyze_plane"):
             res = analyze_plane(ds_arr, cell_types, cfg, merged=False,
-                                mesh=mesh)
+                                mesh=mesh, device_out=device_out)
         results[channel] = res
         # keep the device array — fusion/dedup consume it on device; figures
         # trigger the host transfer lazily via res.denoised
@@ -322,13 +340,91 @@ def process_multiple_h5_files(
     return results
 
 
+def _batch_device_outs(
+    folders: Dict[str, List[str]], cfg: AnalysisConfig, batch_planes: int
+) -> dict:
+    """Precompute device analyses for a folder tree in same-graph batches.
+
+    The reference's outermost parallel axis is its folder loop
+    (tiff_analysis.py:1126-1134) — one plane per dispatch leaves the chip
+    mostly idle between launches.  This pass groups every h5 plane in the
+    tree by (cell-type map, merge mode, shape), stacks each group into
+    [B ≤ batch_planes, H, W] batches, and runs ``analyze_planes_device``
+    once per batch; the folder flows then consume the per-plane slices
+    (bit-identical to their own single-plane dispatch, so CSVs stay
+    byte-identical — tested).  Decoded planes stay in RAM until their
+    folder is processed (~4 MB per 2048² plane).
+
+    Only the plain single-device analyses batch: the per-folder deduped-
+    DAPI and fused re-analyses depend on earlier results and stay inline.
+    """
+    from particle_col_image_segmentation_tpu.labels.analysis import (
+        analyze_planes_device,
+        split_plane_device_out,
+    )
+    from particle_col_image_segmentation_tpu.models.single_channel import (
+        _as_static,
+    )
+
+    tasks = []  # (full_path, static cell_types, compute_merge)
+    for folder, files in folders.items():
+        if len(files) == 1:
+            ct = _as_static(classmaps.get_cell_type_map(files[0]))
+            tasks.append((os.path.join(folder, files[0]), ct, True))
+        else:
+            strains = classmaps.get_strains_from_path(folder)
+            for f in files:
+                channel = classmaps.get_channel_from_path(f)
+                ct = _as_static(
+                    classmaps.get_cell_type_map_from_channel(strains, channel)
+                )
+                tasks.append((os.path.join(folder, f), ct, False))
+
+    groups: Dict[tuple, list] = {}
+    arrs: Dict[str, np.ndarray] = {}
+    for fp, ct, merged in tasks:
+        arr = normalize_ds_arr(load_h5_plane(fp), cfg)
+        arrs[fp] = arr
+        groups.setdefault((ct, merged, arr.shape), []).append(fp)
+
+    outs: dict = {}
+    for (ct, merged, _shape), fps in groups.items():
+        for i in range(0, len(fps), batch_planes):
+            chunk = fps[i : i + batch_planes]
+            if len(chunk) == 1:
+                # a 1-plane batch saves nothing and would compile a second
+                # (B=1) graph variant; let the folder flow dispatch it
+                continue
+            stack = jnp.asarray(np.stack([arrs[fp] for fp in chunk]))
+            with stage("analyze_planes_batch"):
+                out = analyze_planes_device(stack, ct, cfg,
+                                            compute_merge=merged)
+            for b, fp in enumerate(chunk):
+                outs[fp] = (split_plane_device_out(out, b), arrs[fp])
+    return outs
+
+
 def run_analysis(
     top_level_folder: str,
     cfg: AnalysisConfig = DEFAULT_CONFIG,
     make_figures: bool = True,
     mesh=None,
+    batch_planes: int = 1,
 ) -> None:
     """Top-level driver (reference main, :1126-1134).  ``mesh`` shards
-    plane rows over the mesh "space" axis (CLI ``analyze --space-parallel``)."""
-    for folder, files in get_h5_files_recursively(top_level_folder).items():
-        process_h5_folder(folder, files, cfg, make_figures, mesh=mesh)
+    plane rows over the mesh "space" axis (CLI ``analyze --space-parallel``).
+    ``batch_planes`` > 1 batches same-shape planes from the whole tree into
+    single device dispatches (CLI ``analyze --batch-planes``; byte-identical
+    CSVs, mutually exclusive with ``mesh``)."""
+    folders = get_h5_files_recursively(top_level_folder)
+    device_outs = None
+    if batch_planes > 1:
+        if mesh is not None:
+            raise ValueError(
+                "batch_planes batches whole planes per device and cannot "
+                "combine with space sharding — pass one or the other"
+            )
+        device_outs = _batch_device_outs(folders, cfg, batch_planes)
+    for folder, files in folders.items():
+        process_h5_folder(folder, files, cfg, make_figures, mesh=mesh,
+                          device_outs=device_outs)

@@ -87,6 +87,81 @@ class TestSingleFileFlow:
         assert len(lines) == 2
 
 
+class TestBatchedAnalyze:
+    def test_batched_tree_csvs_byte_identical(self, tmp_path):
+        """``run_analysis(batch_planes=N)`` (CLI ``analyze --batch-planes``)
+        must produce byte-identical CSVs to the sequential per-plane run on
+        a multi-folder tree mixing single-file folders (batched with
+        compute_merge) and a multi-channel folder (per-channel planes
+        batched, dedup/fusion inline)."""
+
+        def build_tree(root):
+            # 3 single-file 3D05 folders (same cell-type map + shape →
+            # one batch group)
+            for i in range(3):
+                folder = root / "exp" / "24h" / f"Tp_3D05_{i}_24h_60X"
+                folder.mkdir(parents=True)
+                cell_types = {1: "3D05", 2: "Particle", 3: "Background"}
+                img = synthetic_label_plane(
+                    seed=60 + i, cell_types=cell_types, shape=(160, 160)
+                )
+                save_h5_plane(
+                    str(folder / f"Tp_3D05_{i}_24h_60X_labels.h5"), img
+                )
+            # one multi-channel 6B07+C3M10 folder (RFP particle-only +
+            # GFP + DAPI; module docstring rules)
+            mf = root / "exp" / "24h" / "Tp_6B07_C3M10_1_24h_60X"
+            mf.mkdir(parents=True)
+            rfp_types = {1: "Particle", 2: "Background"}
+            ch_types = {1: "C3M10", 2: "Particle", 3: "Background"}
+            dapi_types = {1: "6B07", 2: "Particle", 3: "Background"}
+            save_h5_plane(
+                str(mf / "Tp_6B07_C3M10_1_24h_60X_RFP.h5"),
+                synthetic_label_plane(seed=70, cell_types=rfp_types,
+                                      shape=(160, 160)),
+            )
+            save_h5_plane(
+                str(mf / "Tp_6B07_C3M10_1_24h_60X_GFP.h5"),
+                synthetic_label_plane(seed=71, cell_types=ch_types,
+                                      shape=(160, 160)),
+            )
+            save_h5_plane(
+                str(mf / "Tp_6B07_C3M10_1_24h_60X_DAPI.h5"),
+                synthetic_label_plane(seed=72, cell_types=dapi_types,
+                                      shape=(160, 160)),
+            )
+            return root / "exp"
+
+        seq_root = build_tree(tmp_path / "seq")
+        bat_root = build_tree(tmp_path / "bat")
+        experiment.run_analysis(str(seq_root), CFG, make_figures=False)
+        experiment.run_analysis(str(bat_root), CFG, make_figures=False,
+                                batch_planes=8)
+
+        seq_csvs = sorted(
+            os.path.relpath(os.path.join(d, f), seq_root)
+            for d, _, fs in os.walk(seq_root) for f in fs
+            if f.endswith(".csv")
+        )
+        bat_csvs = sorted(
+            os.path.relpath(os.path.join(d, f), bat_root)
+            for d, _, fs in os.walk(bat_root) for f in fs
+            if f.endswith(".csv")
+        )
+        assert seq_csvs == bat_csvs and len(seq_csvs) >= 7
+        for rel in seq_csvs:
+            assert _read(os.path.join(seq_root, rel)) == _read(
+                os.path.join(bat_root, rel)
+            ), rel
+
+    def test_batch_planes_rejects_mesh(self, tmp_path):
+        with pytest.raises(ValueError, match="batch_planes"):
+            experiment.run_analysis(
+                str(tmp_path), CFG, make_figures=False, mesh=object(),
+                batch_planes=4,
+            )
+
+
 class TestMultiChannelFlow:
     def test_three_channel_6b07_c3m10(self, tmp_path):
         """The 6B07+C3M10 condition: RFP carries no cell class (module
