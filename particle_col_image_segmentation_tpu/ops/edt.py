@@ -40,8 +40,11 @@ def edt_sq(feature: jnp.ndarray, cap: int) -> jnp.ndarray:
     feature = feature.astype(bool)
     c1 = cap + 1
     # phase 1: per-ROW distance to the nearest feature in the same row.
-    # Small caps: 2·cap+1 direct lane taps beat the log-depth scans (only
-    # distances ≤ cap matter, and each scan step is a lane relayout).
+    # Small caps: 2·cap+1 direct lane taps beat anything (only distances
+    # ≤ cap matter, and each lane shift is a relayout).  Larger caps:
+    # bounded log-DOUBLING min-plus — ⌈log2 c1⌉ single-shift rounds per
+    # direction, vs the exact transform's full-width associative scans
+    # (whose per-level tuple combines dominate the capped EDT's cost).
     if cap <= 8:
         W = feature.shape[-1]
         padw = [(0, 0)] * (feature.ndim - 1) + [(cap, cap)]
@@ -51,11 +54,11 @@ def edt_sq(feature: jnp.ndarray, cap: int) -> jnp.ndarray:
             sl = (Ellipsis, slice(cap + dx, cap + dx + W))
             dh = jnp.where(fpad[sl], jnp.minimum(dh, abs(dx)), dh)
     else:
-        right = directional_distance(feature, axis=-1, cap=c1)
-        left = jnp.flip(
-            directional_distance(jnp.flip(feature, -1), axis=-1, cap=c1), -1
+        d0 = jnp.where(feature, 0, c1).astype(jnp.int32)
+        dh = jnp.minimum(
+            _doubling_dist(d0, c1, backward=False),
+            _doubling_dist(d0, c1, backward=True),
         )
-        dh = jnp.minimum(right, left)
     dh2 = (dh * dh).astype(jnp.int32)
 
     # phase 2: min-plus over row offsets.  Shifting along the SUBLANE axis
@@ -70,6 +73,26 @@ def edt_sq(feature: jnp.ndarray, cap: int) -> jnp.ndarray:
         sl = (Ellipsis, slice(cap + dy, cap + dy + H), slice(None))
         out = jnp.minimum(out, dp[sl] + dy * dy)
     return jnp.minimum(out, inf)
+
+
+def _doubling_dist(d0: jnp.ndarray, c1: int, backward: bool) -> jnp.ndarray:
+    """Bounded 1-D distance along the lane axis by log-doubling min-plus:
+    after round k, ``d[i] = min_{0 ≤ s < 2^(k+1)} d0[i∓s] + s`` (the classic
+    two-window recurrence ``d ← min(d, shift(d, 2^k) + 2^k)``), so
+    ``⌈log2 c1⌉`` rounds cover every offset < c1; clamp handles the rest."""
+    W = d0.shape[-1]
+    d = d0
+    s = 1
+    while s < c1:
+        pad = [(0, 0)] * (d.ndim - 1) + [(s, 0) if not backward else (0, s)]
+        sl = (
+            (Ellipsis, slice(0, W))
+            if not backward
+            else (Ellipsis, slice(s, W + s))
+        )
+        d = jnp.minimum(d, jnp.pad(d, pad, constant_values=c1)[sl] + s)
+        s *= 2
+    return jnp.minimum(d, c1)
 
 
 def edt(feature: jnp.ndarray, cap: int) -> jnp.ndarray:

@@ -433,14 +433,18 @@ def region_props_auto(seg: jnp.ndarray, img: jnp.ndarray, max_regions: int,
 
 
 def _centroid_kernel(seg_ref, out_ref, *, T: int, Qp: int):
-    """One [T, W] chunk of the centroid-sums pass.
+    """One [T, W] chunk of the centroid-sums pass — ONE dot per chunk.
 
     Output columns (blocks of 128): area | sc_hi | sc_lo | sr_hi | sr_lo.
-    Column sums ride two one-hot digit channels in the matmul (base-128
-    split, int8-exact for W ≤ 16383); row sums ride the tiny [Qp, 128]
-    count table (the row index is constant within a row).  No value
-    channel, no bbox extremes, no transposed pass — this is the minimal
-    table the refine graph consumes (models/refine.py)."""
+    The T rows flatten into a single K = T·W contraction (per-ROW dots at
+    W ≤ 512 waste the MXU on tiny K tiles — 512 dispatches/plane measured
+    ~4× the matmul floor at [16, 512²]).  Per-pixel column digits and the
+    row LO digit ride matmul channels (base-128 split, int8-exact for
+    W ≤ 16383); the row HI digit is CONSTANT within a chunk (T divides
+    128 and chunks are T-aligned, so a chunk never crosses a 128-row
+    boundary) and scales the count block after the dot.  No value
+    channel, no bbox extremes, no transposed pass — the minimal table the
+    refine graph consumes (models/refine.py)."""
     chunk = pl.program_id(1)
 
     @pl.when(chunk == 0)
@@ -448,35 +452,36 @@ def _centroid_kernel(seg_ref, out_ref, *, T: int, Qp: int):
         out_ref[0, :, :] = jnp.zeros_like(out_ref[0])
 
     W = seg_ref.shape[-1]
-    q_iota = jax.lax.broadcasted_iota(jnp.int32, (Qp, W), 0)
-    c_iota = jax.lax.broadcasted_iota(jnp.int32, (3 * _M, W), 0)
+    K = T * W
+    ids = seg_ref[0].reshape(1, K)
+    q = ids // _M
+    m = ids % _M
+    q_iota = jax.lax.broadcasted_iota(jnp.int32, (Qp, K), 0)
+    c_iota = jax.lax.broadcasted_iota(jnp.int32, (4 * _M, K), 0)
     blk = c_iota // _M
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
-
-    acc = out_ref[0, :, :]
-    for r in range(T):
-        r_glob = chunk * T + r
-        ids = seg_ref[0, r : r + 1, :]
-        q = ids // _M
-        m = ids % _M
-        a = (q_iota == q).astype(jnp.int8)  # [Qp, W] one-hot of q
-        hit = (c_iota % _M) == m
-        scale = jnp.where(
-            blk == 0, 1, jnp.where(blk == 1, col // _HL, col % _HL)
-        )
-        b = jnp.where(hit, scale, 0).astype(jnp.int8)  # [3M, W]
-        sums = jax.lax.dot_general(
-            a,
-            b,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )  # [Qp, 3M]: counts | sc_hi | sc_lo
-        counts = sums[:, :_M]
-        acc = acc + jnp.concatenate(
-            [sums, (r_glob // _HL) * counts, (r_glob % _HL) * counts],
-            axis=-1,
-        )
-    out_ref[0, :, :] = acc
+    pos = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
+    col = pos % W
+    row_lo = (chunk * T + pos // W) % _HL  # per-pixel r % 128
+    a = (q_iota == q).astype(jnp.int8)  # [Qp, K] one-hot of q
+    hit = (c_iota % _M) == m
+    scale = jnp.where(
+        blk == 0,
+        1,
+        jnp.where(blk == 1, col // _HL, jnp.where(blk == 2, col % _HL,
+                                                  row_lo)),
+    )
+    b = jnp.where(hit, scale, 0).astype(jnp.int8)  # [4M, K]
+    sums = jax.lax.dot_general(
+        a,
+        b,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # [Qp, 4M]: counts | sc_hi | sc_lo | sr_lo
+    counts = sums[:, :_M]
+    r_hi = (chunk * T) // _HL  # constant across the chunk (T | 128)
+    out_ref[0, :, :] += jnp.concatenate(
+        [sums[:, : 3 * _M], r_hi * counts, sums[:, 3 * _M :]], axis=-1
+    )
 
 
 @partial(jax.jit, static_argnames=("max_regions", "rows_per_chunk", "interpret"))
@@ -502,6 +507,9 @@ def centroid_sums_mxu(
     B, H, W = seg3.shape
     T = rows_per_chunk
     assert H % T == 0, (H, T)
+    # the kernel hoists the row HI digit out of the dot, which needs every
+    # chunk inside one 128-row block: T must divide 128
+    assert 128 % T == 0, T
     Qp = _round_up(-(-R // _M), 16)
     kernel = partial(_centroid_kernel, T=T, Qp=Qp)
     out = pl.pallas_call(
@@ -532,7 +540,13 @@ def centroid_sums_auto(seg: jnp.ndarray, max_regions: int):
     on_tpu = jax.default_backend() not in ("cpu", "gpu")
     H, W = seg.shape[-2:]
     if on_tpu and H % 8 == 0 and W % 8 == 0:
-        rpc = 32 if (H % 32 == 0 and W % 32 == 0) else 8
+        # largest 128-divisor chunk that divides H, capped so one chunk's
+        # flattened contraction stays VMEM-friendly (b is [4·128, T·W] int8)
+        rpc = 8
+        for t in (32, 16, 8):
+            if H % t == 0 and t * W <= 32768:
+                rpc = t
+                break
         return centroid_sums_mxu(seg, max_regions, rows_per_chunk=rpc)
     if seg.ndim == 3:
         return jax.vmap(lambda s: centroid_sums(s, max_regions))(seg)
