@@ -160,9 +160,11 @@ def watershed_boundary_iou() -> Tuple[float, float, float]:
     )
     from particle_col_image_segmentation_tpu.config import RefineConfig
 
-    # B=16 is the post-rebuild sweet spot (162 vs 136 MP/s at B=8 and
-    # 132 at B=32 on v5e; docs/PERF.md "Refine pipeline rebuild")
-    B = 2 if FALLBACK else 16
+    # round-4 v5e sweep with the certified-exact EDT + 5-col table +
+    # log-doubling capped EDT + one-dot centroid chunks: B=16: 189,
+    # B=32: 224, B=48: 232 MP/s — B=32 is the knee (B=48 +3.6% for 2×
+    # the compile); docs/PERF.md "Refine pipeline round 4"
+    B = 2 if FALLBACK else 32
     stack = jnp.asarray(np.stack(
         [np.roll(prob, 17 * b, axis=1) for b in range(B)]
     ))
