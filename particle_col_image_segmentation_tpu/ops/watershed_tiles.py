@@ -148,13 +148,31 @@ def _plane_valid(band, start, T, W, bands_per_plane):
     return (row_g >= plane * H) & (row_g < (plane + 1) * H)
 
 
-def _cost_kernel(cost_in, img_hbm, flags_hbm, cost_io,
+def _need(prev_ref, band, n_bands):
+    """Band skipping (the ccl_tiles rule): a band must re-solve only if its
+    own center or a neighbor band's center changed last sweep — otherwise
+    its window inputs are unchanged since it last reached a local fixpoint,
+    so its output is too (both phases' relaxations are deterministic
+    recomputes, so re-running them on unchanged inputs is a no-op).  A
+    skipped band reports flag 0, which keeps the invariant inductive across
+    consecutive skips."""
+    lo = jnp.maximum(band - 1, 0)
+    hi = jnp.minimum(band + 1, n_bands - 1)
+    return prev_ref[band] | prev_ref[lo] | prev_ref[hi]
+
+
+def _cost_kernel(cost_in, img_hbm, flags_hbm, prev_ref, cost_io, flag_ref,
                  *, T, n_bands, bands_per_plane, downward, connectivity,
                  inner_iters):
     del cost_in
     i = pl.program_id(0)
     band = i if downward else (n_bands - 1) - i
     start = band * T
+    need = _need(prev_ref, band, n_bands)
+
+    @pl.when(need == 0)
+    def _skip():
+        flag_ref[0, :, :] = jnp.zeros(flag_ref.shape[-2:], jnp.int32)
 
     def run(cost_s, img_s, flags_s, sem):
         win = 2 * _HALO + T
@@ -163,11 +181,16 @@ def _cost_kernel(cost_in, img_hbm, flags_hbm, cost_io,
             cp.start()
             cp.wait()
         valid = _plane_valid(band, start, T, img_hbm.shape[-1], bands_per_plane)
+        c0 = cost_s[_HALO : _HALO + T, :]
         cost_s[:, :] = _relax_cost(
             jnp.where(valid, cost_s[:, :], _INF),
             jnp.where(valid, img_s[:, :], _INF),
             jnp.where(valid, flags_s[:, :], 0),
             connectivity, inner_iters,
+        )
+        flag_ref[0, :, :] = jnp.broadcast_to(
+            jnp.any(cost_s[_HALO : _HALO + T, :] != c0).astype(jnp.int32),
+            flag_ref.shape[-2:],
         )
         wb = pltpu.make_async_copy(
             cost_s.at[pl.ds(_HALO, T), :],
@@ -179,22 +202,30 @@ def _cost_kernel(cost_in, img_hbm, flags_hbm, cost_io,
 
     W = img_hbm.shape[-1]
     win = 2 * _HALO + T
-    pl.run_scoped(
-        run,
-        pltpu.VMEM((win, W), jnp.float32),
-        pltpu.VMEM((win, W), jnp.float32),
-        pltpu.VMEM((win, W), jnp.int32),
-        pltpu.SemaphoreType.DMA,
-    )
+
+    @pl.when(need != 0)
+    def _solve():
+        pl.run_scoped(
+            run,
+            pltpu.VMEM((win, W), jnp.float32),
+            pltpu.VMEM((win, W), jnp.float32),
+            pltpu.VMEM((win, W), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        )
 
 
 def _label_kernel(lab_in, dist_in, eimg_in, cost_hbm, img_hbm, flags_hbm,
-                  lab_io, dist_io, eimg_io, *, T, n_bands, bands_per_plane,
-                  downward, connectivity, inner_iters):
+                  prev_ref, lab_io, dist_io, eimg_io, flag_ref, *, T, n_bands,
+                  bands_per_plane, downward, connectivity, inner_iters):
     del lab_in, dist_in, eimg_in
     i = pl.program_id(0)
     band = i if downward else (n_bands - 1) - i
     start = band * T
+    need = _need(prev_ref, band, n_bands)
+
+    @pl.when(need == 0)
+    def _skip():
+        flag_ref[0, :, :] = jnp.zeros(flag_ref.shape[-2:], jnp.int32)
 
     def run(lab_s, dist_s, eimg_s, cost_s, img_s, flags_s, sem):
         win = 2 * _HALO + T
@@ -206,6 +237,9 @@ def _label_kernel(lab_in, dist_in, eimg_in, cost_hbm, img_hbm, flags_hbm,
             cp.start()
             cp.wait()
         valid = _plane_valid(band, start, T, img_hbm.shape[-1], bands_per_plane)
+        l0 = lab_s[_HALO : _HALO + T, :]
+        d0 = dist_s[_HALO : _HALO + T, :]
+        e0 = eimg_s[_HALO : _HALO + T, :]
         new_l, new_d, new_e = _relax_label(
             jnp.where(valid, lab_s[:, :], _BIG_LAB),
             jnp.where(valid, dist_s[:, :], _BIG_LAB),
@@ -218,6 +252,14 @@ def _label_kernel(lab_in, dist_in, eimg_in, cost_hbm, img_hbm, flags_hbm,
         lab_s[:, :] = new_l
         dist_s[:, :] = new_d
         eimg_s[:, :] = new_e
+        changed = (
+            jnp.any(new_l[_HALO : _HALO + T, :] != l0)
+            | jnp.any(new_d[_HALO : _HALO + T, :] != d0)
+            | jnp.any(new_e[_HALO : _HALO + T, :] != e0)
+        )
+        flag_ref[0, :, :] = jnp.broadcast_to(
+            changed.astype(jnp.int32), flag_ref.shape[-2:]
+        )
         for buf, io in ((lab_s, lab_io), (dist_s, dist_io), (eimg_s, eimg_io)):
             wb = pltpu.make_async_copy(
                 buf.at[pl.ds(_HALO, T), :],
@@ -229,16 +271,19 @@ def _label_kernel(lab_in, dist_in, eimg_in, cost_hbm, img_hbm, flags_hbm,
 
     W = img_hbm.shape[-1]
     win = 2 * _HALO + T
-    pl.run_scoped(
-        run,
-        pltpu.VMEM((win, W), jnp.int32),
-        pltpu.VMEM((win, W), jnp.int32),
-        pltpu.VMEM((win, W), jnp.float32),
-        pltpu.VMEM((win, W), jnp.float32),
-        pltpu.VMEM((win, W), jnp.float32),
-        pltpu.VMEM((win, W), jnp.int32),
-        pltpu.SemaphoreType.DMA,
-    )
+
+    @pl.when(need != 0)
+    def _solve():
+        pl.run_scoped(
+            run,
+            pltpu.VMEM((win, W), jnp.int32),
+            pltpu.VMEM((win, W), jnp.int32),
+            pltpu.VMEM((win, W), jnp.float32),
+            pltpu.VMEM((win, W), jnp.float32),
+            pltpu.VMEM((win, W), jnp.float32),
+            pltpu.VMEM((win, W), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        )
 
 
 def _make_sweep(kernel_fn, n_in, T, n_bands, bands_per_plane, Hp, W,
@@ -251,24 +296,30 @@ def _make_sweep(kernel_fn, n_in, T, n_bands, bands_per_plane, Hp, W,
         kernel_fn, T=T, n_bands=n_bands, bands_per_plane=bands_per_plane,
         downward=downward, connectivity=connectivity, inner_iters=inner_iters,
     )
-    if n_state == 1:
-        out_specs = pl.BlockSpec(memory_space=pl.ANY)
-        out_shape = jax.ShapeDtypeStruct((Hp, W), out_dtype)
-    else:
-        dtypes = (
-            out_dtype if isinstance(out_dtype, tuple)
-            else (out_dtype,) * n_state
-        )
-        out_specs = tuple(
-            pl.BlockSpec(memory_space=pl.ANY) for _ in range(n_state)
-        )
-        out_shape = tuple(
-            jax.ShapeDtypeStruct((Hp, W), dt) for dt in dtypes
-        )
+    # per-band change flags ride a block-indexed output consumed (band-
+    # indexed, SMEM) by the NEXT sweep's skip logic; up sweeps run the grid
+    # reversed, so the index map converts grid step → band
+    flag_index = (
+        (lambda i: (i, 0, 0)) if downward
+        else (lambda i: (n_bands - 1 - i, 0, 0))
+    )
+    flag_spec = pl.BlockSpec((1, 8, 128), flag_index)
+    flag_shape = jax.ShapeDtypeStruct((n_bands, 8, 128), jnp.int32)
+    dtypes = (
+        out_dtype if isinstance(out_dtype, tuple)
+        else (out_dtype,) * n_state
+    )
+    out_specs = tuple(
+        pl.BlockSpec(memory_space=pl.ANY) for _ in range(n_state)
+    ) + (flag_spec,)
+    out_shape = tuple(
+        jax.ShapeDtypeStruct((Hp, W), dt) for dt in dtypes
+    ) + (flag_shape,)
     return pl.pallas_call(
         kernel,
         grid=(n_bands,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_in,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_in
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=out_specs,
         out_shape=out_shape,
         input_output_aliases={k: k for k in range(n_state)},
@@ -281,7 +332,7 @@ def _make_sweep(kernel_fn, n_in, T, n_bands, bands_per_plane, Hp, W,
     jax.jit,
     static_argnames=(
         "connectivity", "tile", "max_sweeps", "inner_iters", "interpret",
-        "with_flag",
+        "with_flag", "skip_bands",
     ),
 )
 def watershed_sweeps(
@@ -294,6 +345,7 @@ def watershed_sweeps(
     inner_iters: int = 256,
     interpret: bool = False,
     with_flag: bool = False,
+    skip_bands: bool = True,
 ) -> jnp.ndarray:
     """Band-sweep watershed for [..., H, W] planes; same contract (and
     bit-identical output) as ops.watershed.watershed.  Batched planes pack
@@ -301,7 +353,9 @@ def watershed_sweeps(
     stack); halo rows reaching a neighboring plane are masked to sentinels
     in-kernel, so planes stay isolated.  ``with_flag=True`` appends a
     batch-shaped bool ``converged`` (scalar for one plane; False ⇔ a phase
-    ran out of ``max_sweeps`` with THAT plane still changing)."""
+    ran out of ``max_sweeps`` with THAT plane still changing).
+    ``skip_bands=False`` disables per-band dirty-flag skipping (every sweep
+    re-solves every band) — an A/B lever only; output is identical."""
     batch_shape = image.shape[:-2]
     H, W = image.shape[-2:]
     B = 1
@@ -329,33 +383,36 @@ def watershed_sweeps(
     flags_p = _pack(flags, 0)
     Hp = B * H + 2 * _HALO
 
-    def _per_plane_any(neq):
-        """[Hp, W] elementwise != → per-plane any [B] (strip global pads)."""
-        return jnp.any(
-            neq[_HALO : _HALO + B * H].reshape(B, H, W), axis=(-2, -1)
-        )
-
+    # Per-band change flags drive BOTH the convergence check (free — no
+    # whole-plane comparisons) and band skipping: each sweep re-solves only
+    # bands whose neighborhood changed last sweep, so near-converged sweeps
+    # cost almost nothing (the ccl_tiles rule; see _need).
     args = (T, n_bands, bands_per_plane, Hp, W)
     cd = _make_sweep(_cost_kernel, 3, *args, jnp.float32, True, connectivity,
                      inner_iters, interpret)
     cu = _make_sweep(_cost_kernel, 3, *args, jnp.float32, False, connectivity,
                      inner_iters, interpret)
 
-    def cost_pair(c):
-        return cu(cd(c, img_p, flags_p), img_p, flags_p)
+    ones = jnp.ones((n_bands,), jnp.int32)
 
     def cost_body(state):
-        c, _, i = state
-        nc = cost_pair(c)
-        return nc, _per_plane_any(nc != c), i + 1
+        c, flags, i = state
+        prev = flags if skip_bands else ones
+        c, f = jax.lax.cond(
+            i % 2 == 0,
+            lambda cc: cd(cc, img_p, flags_p, prev),
+            lambda cc: cu(cc, img_p, flags_p, prev),
+            c,
+        )
+        return c, f[:, 0, 0], i + 1
 
-    def cond(state):
-        _, changed, i = state
-        return jnp.any(changed) & (i < max_sweeps)
+    def cost_cond(state):
+        _, flags, i = state
+        return jnp.any(flags != 0) & (i < 2 * max_sweeps)
 
-    c1 = cost_pair(cost_p)
-    cost_p, c_changed, _ = jax.lax.while_loop(
-        cond, cost_body, (c1, _per_plane_any(c1 != cost_p), 1)
+    cost_p, cf0 = cd(cost_p, img_p, flags_p, ones)
+    cost_p, c_flags, _ = jax.lax.while_loop(
+        cost_cond, cost_body, (cost_p, cf0[:, 0, 0], 1)
     )
 
     state_dtypes = (jnp.int32, jnp.int32, jnp.float32)
@@ -369,26 +426,25 @@ def watershed_sweeps(
         jnp.where(seeded, jnp.float32(-_INF), jnp.float32(_INF)), _INF
     )
 
-    def lab_pair(l, d, e):
-        l, d, e = ld(l, d, e, cost_p, img_p, flags_p)
-        return lu(l, d, e, cost_p, img_p, flags_p)
-
     def lab_body(state):
-        l, d, e, _, i = state
-        nl, nd, ne = lab_pair(l, d, e)
-        ch = _per_plane_any((nl != l) | (nd != d) | (ne != e))
-        return nl, nd, ne, ch, i + 1
+        l, d, e, flags, i = state
+        prev = flags if skip_bands else ones
+        l, d, e, f = jax.lax.cond(
+            i % 2 == 0,
+            lambda ll, dd, ee: ld(ll, dd, ee, cost_p, img_p, flags_p, prev),
+            lambda ll, dd, ee: lu(ll, dd, ee, cost_p, img_p, flags_p, prev),
+            l, d, e,
+        )
+        return l, d, e, f[:, 0, 0], i + 1
 
     def lab_cond(state):
-        _, _, _, changed, i = state
-        return jnp.any(changed) & (i < max_sweeps)
+        _, _, _, flags, i = state
+        return jnp.any(flags != 0) & (i < 2 * max_sweeps)
 
-    l1, d1, e1 = lab_pair(lab_p0, dist_p0, eimg_p0)
-    ch1 = _per_plane_any(
-        (l1 != lab_p0) | (d1 != dist_p0) | (e1 != eimg_p0)
-    )
-    lab_p, _, _, l_changed, _ = jax.lax.while_loop(
-        lab_cond, lab_body, (l1, d1, e1, ch1, 1)
+    l1, d1, e1, lf0 = ld(lab_p0, dist_p0, eimg_p0, cost_p, img_p, flags_p,
+                         ones)
+    lab_p, _, _, l_flags, _ = jax.lax.while_loop(
+        lab_cond, lab_body, (l1, d1, e1, lf0[:, 0, 0], 1)
     )
 
     lab = lab_p[_HALO : _HALO + B * H, :].reshape(image.shape)
@@ -396,5 +452,11 @@ def watershed_sweeps(
     reached = m & (cost < _INF) & (lab != _BIG_LAB)
     out = jnp.where(reached, lab, 0)
     if with_flag:
-        return out, (~(c_changed | l_changed)).reshape(batch_shape)
+        # final sweep's per-band flags: all zero ⇔ that plane's phase is at
+        # the fixpoint (the loop exits fully clean or at the sweep cap)
+        conv = (
+            jnp.all(c_flags.reshape(B, bands_per_plane) == 0, axis=-1)
+            & jnp.all(l_flags.reshape(B, bands_per_plane) == 0, axis=-1)
+        )
+        return out, conv.reshape(batch_shape)
     return out
