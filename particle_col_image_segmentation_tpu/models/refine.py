@@ -341,6 +341,44 @@ def refine_boundaries_sharded(
     )
 
 
+# Tunneled-graph working set, bytes per pixel per plane: ~9 persistent
+# full-plane f32/i32 buffers (img, cost, lab, dist, eimg, seg, inc, masks)
+# plus the claim fold's 4-tuple candidates ×2 and the 4-pass segment-min
+# flats live concurrently inside the relaxation body — ~30 buffers × 4 B,
+# rounded up to 128 to absorb XLA temporaries.  Deliberately generous:
+# tripping early costs a clearer error; tripping late costs a device OOM.
+_TUNNEL_BYTES_PER_PX = 128
+
+
+def _check_tunnel_chunk_fits(plane_shape, planes_per_device, device) -> None:
+    """Targeted size guard for the tunneled data-parallel refine: a plateau-
+    heavy export too large for one chip would otherwise head straight for a
+    device OOM (the tunneled claim key is single-device only — see
+    refine_boundaries_sharded's docstring).  Raises with the documented
+    alternatives instead."""
+    H, W = plane_shape
+    need = H * W * planes_per_device * _TUNNEL_BYTES_PER_PX
+    limit = None
+    try:
+        stats = device.memory_stats()
+        if stats:
+            limit = stats.get("bytes_limit")
+    except Exception:
+        pass
+    if limit is None:
+        limit = 16 * 1024**3  # v5e HBM
+    if need > limit:
+        raise ValueError(
+            f"tunnel_basins chunk ({planes_per_device} plane(s) of {H}x{W}, "
+            f"~{need / 1e9:.1f} GB working set) exceeds one device's memory "
+            f"(~{limit / 1e9:.1f} GB); the tunneled claim key runs single-"
+            "device only.  Alternatives: (a) untunneled sharded refine "
+            "(tunnel_basins=False — rows shard across the mesh; the default "
+            "key is >=0.99 IoU in the pipeline regime), or (b) tile the "
+            "plane and refine tiles independently if its basins are local."
+        )
+
+
 def _refine_tunnel_data_parallel(
     arr: np.ndarray, cfg: RefineConfig, max_regions: int, mesh
 ) -> "list[RefineResult]":
@@ -356,6 +394,7 @@ def _refine_tunnel_data_parallel(
     if pad:
         arr = np.concatenate([arr, np.repeat(arr[-1:], pad, axis=0)])
     per = arr.shape[0] // n_dev
+    _check_tunnel_chunk_fits(arr.shape[-2:], per, devs[0])
     outs = []
     for i, dev in enumerate(devs):
         chunk = jax.device_put(

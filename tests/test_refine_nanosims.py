@@ -64,6 +64,32 @@ class TestRefine:
         np.testing.assert_array_equal(res_sh[0].areas, res.areas)
         np.testing.assert_allclose(res_sh[0].centroids, res.centroids)
 
+    def test_tunnel_size_guard(self):
+        """An over-size plane through the tunneled data-parallel path must
+        raise the targeted limit error (naming the alternatives) BEFORE
+        dispatching — not OOM the device (VERDICT r4 #8)."""
+        from particle_col_image_segmentation_tpu.models.refine import (
+            _check_tunnel_chunk_fits,
+        )
+
+        class _TinyDev:
+            def memory_stats(self):
+                return {"bytes_limit": 1 * 1024**2}  # 1 MiB "chip"
+
+        class _NoStatsDev:
+            def memory_stats(self):
+                return None
+
+        with pytest.raises(ValueError, match="tunnel_basins.*Alternatives"):
+            _check_tunnel_chunk_fits((512, 512), 1, _TinyDev())
+        # fits: small plane against the same tiny limit
+        _check_tunnel_chunk_fits((64, 64), 1, _TinyDev())
+        # no stats available -> 16 GiB fallback: a 2048(2) plane fits,
+        # a 16-plane 16384(2) chunk (~549 GB at 128 B/px) does not
+        _check_tunnel_chunk_fits((2048, 2048), 1, _NoStatsDev())
+        with pytest.raises(ValueError, match="exceeds one device"):
+            _check_tunnel_chunk_fits((16384, 16384), 16, _NoStatsDev())
+
     def test_channel_selection_channel_last(self):
         # Ilastik's usual hdf5 export order is [H, W, C]
         mask, prob = _touching_cells_probability()
