@@ -73,8 +73,10 @@ def process_h5_folder(
 
 def _load_or_precomputed(full_file_path, cfg, device_outs):
     """(ds_arr, device_out-or-None) — consume a batched precompute when one
-    exists for this file, else load + normalize from disk."""
-    pre = (device_outs or {}).get(full_file_path)
+    exists for this file, else load + normalize from disk.  Consumption is
+    one-shot: the provider drops its reference so device buffers free as
+    folders complete (see _BatchedDeviceOuts)."""
+    pre = device_outs.get(full_file_path) if device_outs is not None else None
     if pre is not None:
         return pre[1], pre[0]
     return normalize_ds_arr(load_h5_plane(full_file_path), cfg), None
@@ -340,68 +342,129 @@ def process_multiple_h5_files(
     return results
 
 
-def _batch_device_outs(
-    folders: Dict[str, List[str]], cfg: AnalysisConfig, batch_planes: int
-) -> dict:
-    """Precompute device analyses for a folder tree in same-graph batches.
+class _BatchedDeviceOuts:
+    """Streaming provider of batched device analyses for a folder tree.
 
     The reference's outermost parallel axis is its folder loop
     (tiff_analysis.py:1126-1134) — one plane per dispatch leaves the chip
-    mostly idle between launches.  This pass groups every h5 plane in the
-    tree by (cell-type map, merge mode, shape), stacks each group into
-    [B ≤ batch_planes, H, W] batches, and runs ``analyze_planes_device``
-    once per batch; the folder flows then consume the per-plane slices
-    (bit-identical to their own single-plane dispatch, so CSVs stay
-    byte-identical — tested).  Decoded planes stay in RAM until their
-    folder is processed (~4 MB per 2048² plane).
+    mostly idle between launches.  This provider groups the tree's h5
+    planes by (cell-type map, merge mode) IN FOLDER ORDER into chunks of
+    ``batch_planes``, and runs ``analyze_planes_device`` once per chunk —
+    but only when the folder flow first asks for a plane of that chunk
+    (lazy), and each ``get`` hands the plane's device out away for good
+    (consume-once), so finished folders' buffers free immediately.  A
+    whole-tree precompute held every batched ``PlaneDeviceOut`` (den +
+    seg + filled + table ≈ 25 MB HBM per 2048² plane) live until its
+    folder was consumed — a few hundred planes exhausted a v5e's HBM.
 
-    Only the plain single-device analyses batch: the per-folder deduped-
-    DAPI and fused re-analyses depend on earlier results and stay inline.
+    Memory bound: at most ONE chunk is computed per ``get`` miss and
+    entries drop as folders consume them, so live planes ≤ ``batch_planes``
+    plus stragglers of earlier chunks whose folders haven't run yet; with
+    chunks built in folder order that is < 2·batch_planes in total
+    (``peak_live`` is tracked and pinned by a test).  Decoded host arrays
+    stream the same way (~4 MB per 2048² plane).
+
+    Per-plane slices are bit-identical to the folder flow's own
+    single-plane dispatch, so CSVs stay byte-identical — tested.  Only the
+    plain single-device analyses batch: the per-folder deduped-DAPI and
+    fused re-analyses depend on earlier results and stay inline.
     """
-    from particle_col_image_segmentation_tpu.labels.analysis import (
-        analyze_planes_device,
-        split_plane_device_out,
-    )
-    from particle_col_image_segmentation_tpu.models.single_channel import (
-        _as_static,
-    )
 
-    tasks = []  # (full_path, static cell_types, compute_merge)
-    for folder, files in folders.items():
-        if len(files) == 1:
-            ct = _as_static(classmaps.get_cell_type_map(files[0]))
-            tasks.append((os.path.join(folder, files[0]), ct, True))
-        else:
-            strains = classmaps.get_strains_from_path(folder)
-            for f in files:
-                channel = classmaps.get_channel_from_path(f)
-                ct = _as_static(
-                    classmaps.get_cell_type_map_from_channel(strains, channel)
-                )
-                tasks.append((os.path.join(folder, f), ct, False))
+    def __init__(self, folders: Dict[str, List[str]], cfg: AnalysisConfig,
+                 batch_planes: int):
+        from particle_col_image_segmentation_tpu.models.single_channel import (
+            _as_static,
+        )
 
-    groups: Dict[tuple, list] = {}
-    arrs: Dict[str, np.ndarray] = {}
-    for fp, ct, merged in tasks:
-        arr = normalize_ds_arr(load_h5_plane(fp), cfg)
-        arrs[fp] = arr
-        groups.setdefault((ct, merged, arr.shape), []).append(fp)
+        self._cfg = cfg
+        tasks = []  # (full_path, static cell_types, compute_merge)
+        for folder, files in folders.items():
+            if len(files) == 1:
+                ct = _as_static(classmaps.get_cell_type_map(files[0]))
+                tasks.append((os.path.join(folder, files[0]), ct, True))
+            else:
+                strains = classmaps.get_strains_from_path(folder)
+                for f in files:
+                    channel = classmaps.get_channel_from_path(f)
+                    ct = _as_static(
+                        classmaps.get_cell_type_map_from_channel(
+                            strains, channel
+                        )
+                    )
+                    tasks.append((os.path.join(folder, f), ct, False))
 
-    outs: dict = {}
-    for (ct, merged, _shape), fps in groups.items():
-        for i in range(0, len(fps), batch_planes):
-            chunk = fps[i : i + batch_planes]
-            if len(chunk) == 1:
-                # a 1-plane batch saves nothing and would compile a second
-                # (B=1) graph variant; let the folder flow dispatch it
-                continue
-            stack = jnp.asarray(np.stack([arrs[fp] for fp in chunk]))
+        self._chunks: List[tuple] = []  # (fps tuple, ct, merged)
+        self._chunk_of: Dict[str, int] = {}
+        pending: Dict[tuple, list] = {}  # (ct, merged) -> fps
+        for fp, ct, merged in tasks:
+            key = (ct, merged)
+            pending.setdefault(key, []).append(fp)
+            if len(pending[key]) == batch_planes:
+                self._flush(pending.pop(key), key)
+        for key, fps in pending.items():
+            self._flush(fps, key)
+
+        self._done: set = set()
+        self._ready: dict = {}
+        self.live = 0
+        self.peak_live = 0
+
+    def _flush(self, fps, key):
+        if len(fps) == 1:
+            # a 1-plane batch saves nothing and would compile a second
+            # (B=1) graph variant; let the folder flow dispatch it
+            return
+        ci = len(self._chunks)
+        self._chunks.append((tuple(fps), *key))
+        for fp in fps:
+            self._chunk_of[fp] = ci
+
+    def _compute(self, ci: int) -> None:
+        from particle_col_image_segmentation_tpu.labels.analysis import (
+            analyze_planes_device,
+            split_plane_device_out,
+        )
+
+        self._done.add(ci)
+        fps, ct, merged = self._chunks[ci]
+        arrs = {
+            fp: normalize_ds_arr(load_h5_plane(fp), self._cfg) for fp in fps
+        }
+        by_shape: Dict[tuple, list] = {}
+        for fp in fps:
+            by_shape.setdefault(arrs[fp].shape, []).append(fp)
+        for sfps in by_shape.values():
+            if len(sfps) == 1:
+                continue  # odd-shaped straggler: folder flow dispatches it
+            stack = jnp.asarray(np.stack([arrs[fp] for fp in sfps]))
             with stage("analyze_planes_batch"):
-                out = analyze_planes_device(stack, ct, cfg,
+                out = analyze_planes_device(stack, ct, self._cfg,
                                             compute_merge=merged)
-            for b, fp in enumerate(chunk):
-                outs[fp] = (split_plane_device_out(out, b), arrs[fp])
-    return outs
+            for b, fp in enumerate(sfps):
+                self._ready[fp] = (split_plane_device_out(out, b), arrs[fp])
+                self.live += 1
+        self.peak_live = max(self.peak_live, self.live)
+
+    def get(self, fp: str):
+        """Pop this plane's (device_out, ds_arr) — computing its chunk on
+        first touch — or None if it was never batched (singletons)."""
+        if fp not in self._ready:
+            ci = self._chunk_of.get(fp)
+            if ci is None or ci in self._done:
+                return None
+            self._compute(ci)
+            if fp not in self._ready:
+                return None
+        self.live -= 1
+        return self._ready.pop(fp)
+
+
+def _batch_device_outs(
+    folders: Dict[str, List[str]], cfg: AnalysisConfig, batch_planes: int
+) -> "_BatchedDeviceOuts":
+    """Streaming batched-analysis provider for ``run_analysis`` (see
+    _BatchedDeviceOuts)."""
+    return _BatchedDeviceOuts(folders, cfg, batch_planes)
 
 
 def run_analysis(

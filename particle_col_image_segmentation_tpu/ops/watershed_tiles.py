@@ -78,8 +78,15 @@ def _relax_label(lab, dist, eimg, cost, img, flags, connectivity: int,
                  inner_iters: int, T: int):
     """Claim relaxation over optimal edges with the lexicographic
     (level distance, entry img, claimer img, marker id) key — the same
-    recompute-from-scratch step as ops/watershed.py phase 2 (one shared
-    candidate/fold definition).
+    math as ops/watershed.py's shared claim_candidates/fold_claim step
+    (bit-identical; parity pinned by the schedule-equivalence tests), with
+    the phase-invariant halves hoisted out of the inner loop: ``cost`` and
+    ``img`` are FIXED throughout phase 2, so each offset's shifted cost /
+    shifted img / optimal-edge geometry / reset mask is computed ONCE per
+    band visit instead of once per relaxation iteration (Mosaic does not
+    LICM across the while_loop).  Only the claimed-neighbor conjunct of
+    ``valid`` (nl != _BIG_LAB) and the (nl, nd, ne) state shifts remain in
+    the loop.
 
     Only the band's interior rows [HALO, HALO+T) are recomputed: the level
     reset makes recomputation non-monotone, so recomputing a window-edge
@@ -88,16 +95,24 @@ def _relax_label(lab, dist, eimg, cost, img, flags, connectivity: int,
     rows stay frozen at their sweep-start values — stale-but-valid neighbor
     reads, under which the chaotic relaxation still reaches the unique
     fixpoint."""
-    from particle_col_image_segmentation_tpu.ops.watershed import (
-        claim_candidates,
-        fold_claim,
-    )
+    from particle_col_image_segmentation_tpu.ops.watershed import fold_claim
 
     in_mask = (flags & _MASK_BIT) != 0
     is_seed = (flags & _SEED_BIT) != 0
     rows = jax.lax.broadcasted_iota(jnp.int32, lab.shape, 0)
     interior = (rows >= _HALO) & (rows < _HALO + T)
     updatable = in_mask & ~is_seed & interior
+
+    # hoisted per-offset invariants (see docstring): geometry-valid mask,
+    # strictly-uphill reset mask, and the neighbor relief (= both the
+    # claimer img candidate and the entry img on reset edges)
+    inv = []
+    for dy, dx in _offsets(connectivity):
+        nc = _shift(cost, dy, dx, jnp.float32(_INF))
+        nim = _shift(img, dy, dx, jnp.float32(_INF))
+        valid_geom = jnp.maximum(nc, img) == cost
+        reset = nc < cost
+        inv.append((dy, dx, valid_geom, reset, nim))
 
     def body(state):
         lab, dist, eimg, _, i = state
@@ -108,11 +123,24 @@ def _relax_label(lab, dist, eimg, cost, img, flags, connectivity: int,
             jnp.full(shape, _INF, jnp.float32),
             jnp.full(shape, _BIG_LAB, jnp.int32),
         )
-        for dy, dx in _offsets(connectivity):
-            best = fold_claim(
-                best,
-                claim_candidates(cost, img, lab, dist, eimg, dy, dx, _shift),
+        for dy, dx, valid_geom, reset, nim in inv:
+            nl = _shift(lab, dy, dx, _BIG_LAB)
+            nd = _shift(dist, dy, dx, _BIG_LAB)
+            ne = _shift(eimg, dy, dx, jnp.float32(_INF))
+            valid = valid_geom & (nl != _BIG_LAB)
+            cd = jnp.where(
+                valid,
+                jnp.where(
+                    reset, 0, jnp.where(nd < _BIG_LAB, nd + 1, _BIG_LAB)
+                ),
+                _BIG_LAB,
             )
+            ce = jnp.where(
+                valid, jnp.where(reset, nim, ne), jnp.float32(_INF)
+            )
+            cs = jnp.where(valid, nim, jnp.float32(_INF))
+            cl = jnp.where(valid, nl, _BIG_LAB)
+            best = fold_claim(best, (cd, ce, cs, cl))
         bd, be, _, bl = best
         new_l = jnp.where(updatable, bl, lab)
         new_d = jnp.where(updatable, bd, dist)
