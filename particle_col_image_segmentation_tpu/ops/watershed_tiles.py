@@ -145,10 +145,9 @@ def _relax_label(lab, dist, eimg, cost, img, flags, connectivity: int,
         new_l = jnp.where(updatable, bl, lab)
         new_d = jnp.where(updatable, bd, dist)
         new_e = jnp.where(updatable, be, eimg)
-        ch = (
-            jnp.any(new_l != lab)
-            | jnp.any(new_d != dist)
-            | jnp.any(new_e != eimg)
+        # one fused reduction instead of three full-window jnp.any's
+        ch = jnp.any(
+            (new_l != lab) | (new_d != dist) | (new_e != eimg)
         )
         return new_l, new_d, new_e, ch, i + 1
 
@@ -280,10 +279,10 @@ def _label_kernel(lab_in, dist_in, eimg_in, cost_hbm, img_hbm, flags_hbm,
         lab_s[:, :] = new_l
         dist_s[:, :] = new_d
         eimg_s[:, :] = new_e
-        changed = (
-            jnp.any(new_l[_HALO : _HALO + T, :] != l0)
-            | jnp.any(new_d[_HALO : _HALO + T, :] != d0)
-            | jnp.any(new_e[_HALO : _HALO + T, :] != e0)
+        changed = jnp.any(
+            (new_l[_HALO : _HALO + T, :] != l0)
+            | (new_d[_HALO : _HALO + T, :] != d0)
+            | (new_e[_HALO : _HALO + T, :] != e0)
         )
         flag_ref[0, :, :] = jnp.broadcast_to(
             changed.astype(jnp.int32), flag_ref.shape[-2:]
@@ -351,7 +350,12 @@ def _make_sweep(kernel_fn, n_in, T, n_bands, bands_per_plane, Hp, W,
         out_specs=out_specs,
         out_shape=out_shape,
         input_output_aliases={k: k for k in range(n_state)},
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        # 64 MB scoped-vmem cap (ccl_tiles._VMEM_LIMIT rationale): tile=128
+        # band windows (win=144) exceed Mosaic's conservative 16 MB default
+        # at 2048-wide planes
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=64 * 1024 * 1024
+        ),
         interpret=interpret,
     )
 

@@ -267,6 +267,8 @@ class TestMultiChannelFlow:
     @pytest.mark.skipif(
         len(__import__("jax").devices()) < 8, reason="needs 8 devices"
     )
+    @pytest.mark.slow  # ~43 s CPU compile; fast-lane sharded parity:
+    # test_sharded_merge/refine/tables_match_* (test_parallel.py)
     def test_three_channel_space_sharded_matches_single_device(self, tmp_path):
         """The FULL multi-channel flow (per-channel analysis, sharded DAPI
         dedup, fusion re-analysis, merge) on a 1×8 space mesh must write

@@ -326,6 +326,8 @@ def test_sharded_refine_matches_single_chip(n_data, n_space):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+@pytest.mark.slow  # ~41 s CPU compile; fast-lane sharded-refine parity:
+# test_sharded_refine_matches_single_chip + test_cli_refine_space_parallel
 def test_refine_boundaries_sharded_matches_stack(tmp_path):
     """The user-reachable sharded refine (models.refine.refine_boundaries_
     sharded + CLI --space-parallel) must reproduce refine_boundaries_stack

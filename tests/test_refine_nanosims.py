@@ -42,11 +42,17 @@ class TestRefine:
         res = refine_boundaries(stack, RefineConfig(boundary_channel=3))
         assert res.num_cells == 2
 
+    @pytest.mark.slow
     def test_tunnel_basins_config(self):
         """cfg.tunnel_basins routes through the basin-contraction
         watershed (ops.watershed docstring): same two-cell split on the
         pipeline fixture, and the sharded path composes as data
-        parallelism (each plane floods single-device, bit-identical)."""
+        parallelism (each plane floods single-device, bit-identical).
+
+        slow: ~97 s of CPU compile for the tunnel + sharded graph pair
+        (suite-trim, VERDICT r4 #6); the tunnel KEY semantics stay in the
+        fast lane via the ops-level tunnel goldens and quantized-regime
+        tests."""
         from particle_col_image_segmentation_tpu.models.refine import (
             refine_boundaries_sharded,
         )
