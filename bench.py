@@ -174,14 +174,14 @@ def watershed_boundary_iou() -> Tuple[float, float, float]:
         [np.roll(prob, 17 * b, axis=1) for b in range(B)]
     ))
     rcfg = RefineConfig()
-    out = refine_plane_device(stack, rcfg, 4096)  # warm/compile
+    out = refine_plane_device(stack, rcfg, 4095)  # warm/compile
     assert bool(np.asarray(out[-1]).all())
     reps = 3
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(reps):
-            out = refine_plane_device(stack, rcfg, 4096)
+            out = refine_plane_device(stack, rcfg, 4095)
         # sync on the tiny num-cells output — reading ANY output blocks on
         # the whole executable; pulling the full 16 MB labels buffer here
         # billed a ~47 ms relay transfer (0.34 GB/s) to device throughput

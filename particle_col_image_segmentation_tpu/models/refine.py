@@ -43,8 +43,13 @@ from particle_col_image_segmentation_tpu.ops.pairwise import (
 
 @partial(jax.jit, static_argnames=("cfg", "max_regions"))
 def refine_plane_device(
-    boundary_map: jnp.ndarray, cfg: RefineConfig, max_regions: int = 4096
+    boundary_map: jnp.ndarray, cfg: RefineConfig, max_regions: int = 4095
 ):
+    # default 4095 (not 4096): region tables hold max_regions+1 rows, and
+    # 4096 rows fill exactly 32 one-hot blocks of 128 in the MXU table
+    # kernels — 4097 would round the q one-hot up to 48 (64 after int8
+    # sublane tiling), ~1.5-2× the table matmul work for one unusable row
+    # (the same convention bench.py configs #1/#2 already use)
     """probability map [..., H, W] → (labels, markers, num_cells, table,
     distance).  Every stage is batch-polymorphic, so a [Z, H, W] stack
     floods all planes in ONE jit graph — the BASELINE config #3
@@ -110,7 +115,7 @@ class RefineResult:
 def refine_boundaries(
     probabilities: np.ndarray,
     cfg: RefineConfig = RefineConfig(),
-    max_regions: int = 4096,
+    max_regions: int = 4095,
 ) -> RefineResult:
     """Full refinement of an Ilastik probability export.
 
@@ -187,7 +192,7 @@ def _extract_boundary_channel(arr: np.ndarray, cfg: RefineConfig, ndim: int):
 def refine_boundaries_stack(
     probabilities: np.ndarray,
     cfg: RefineConfig = RefineConfig(),
-    max_regions: int = 4096,
+    max_regions: int = 4095,
 ) -> "list[RefineResult]":
     """Refine a whole probability STACK in one device graph.
 
@@ -262,7 +267,7 @@ def _assemble_stack_results(
 def refine_boundaries_sharded(
     probabilities: np.ndarray,
     cfg: RefineConfig = RefineConfig(),
-    max_regions: int = 4096,
+    max_regions: int = 4095,
     mesh=None,
     stack: "bool | None" = None,
 ) -> "list[RefineResult]":

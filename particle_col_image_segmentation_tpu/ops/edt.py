@@ -198,8 +198,10 @@ def edt_sq_exact_auto(
     ``edt_sq_exact`` from scratch.  Output is bit-identical to
     ``edt_sq_exact`` either way (6.8 → ~1.5 ms at [16, 512²] on v5e).
     """
+    from particle_col_image_segmentation_tpu.ops.edt_tiles import edt_sq_auto
+
     feature = feature.astype(bool)
-    capped = edt_sq(feature, cap=probe_cap)
+    capped = edt_sq_auto(feature, cap=probe_cap)
     deep = jnp.any(capped > probe_cap * probe_cap)
     return jax.lax.cond(
         deep,

@@ -33,8 +33,12 @@ __all__ = [
 
 
 def dilate_disk(mask: jnp.ndarray, radius: int) -> jnp.ndarray:
-    """binary_dilation(mask, disk(radius)) — exact via EDT(¬mask) ≤ r."""
-    return edt_sq(mask, cap=radius) <= radius * radius
+    """binary_dilation(mask, disk(radius)) — exact via EDT(¬mask) ≤ r.
+    Large radii ride the single-pass Pallas band EDT on TPU (identical
+    values — both transforms are exact up to the cap)."""
+    from particle_col_image_segmentation_tpu.ops.edt_tiles import edt_sq_auto
+
+    return edt_sq_auto(mask, cap=radius) <= radius * radius
 
 
 def erode_disk(mask: jnp.ndarray, radius: int) -> jnp.ndarray:

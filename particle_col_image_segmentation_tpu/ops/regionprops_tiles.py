@@ -457,20 +457,22 @@ def _centroid_kernel(seg_ref, out_ref, *, T: int, Qp: int):
     q = ids // _M
     m = ids % _M
     q_iota = jax.lax.broadcasted_iota(jnp.int32, (Qp, K), 0)
-    c_iota = jax.lax.broadcasted_iota(jnp.int32, (4 * _M, K), 0)
-    blk = c_iota // _M
     pos = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
     col = pos % W
     row_lo = (chunk * T + pos // W) % _HL  # per-pixel r % 128
     a = (q_iota == q).astype(jnp.int8)  # [Qp, K] one-hot of q
-    hit = (c_iota % _M) == m
-    scale = jnp.where(
-        blk == 0,
-        1,
-        jnp.where(blk == 1, col // _HL, jnp.where(blk == 2, col % _HL,
-                                                  row_lo)),
-    )
-    b = jnp.where(hit, scale, 0).astype(jnp.int8)  # [4M, K]
+    # b = the four column blocks [m-one-hot | ·col_hi | ·col_lo | ·row_lo]:
+    # ONE [128, K] compare + three [1, K]-broadcast scalings, instead of the
+    # iota/compare/3-deep-where cascade over the full [4·128, K] — ~5× less
+    # VPU build work per chunk (the build, not the dot, dominates this
+    # kernel; chip A/B in docs/PERF.md, outputs bit-identical).  Scaling
+    # rides int32 (8-bit vector ops are restricted in Mosaic) and casts to
+    # int8 at the end — every factor is < 128 so the cast is exact.
+    m_iota = jax.lax.broadcasted_iota(jnp.int32, (_M, K), 0)
+    m1h = (m_iota == m).astype(jnp.int32)  # [128, K]
+    b = jnp.concatenate(
+        [m1h, m1h * (col // _HL), m1h * (col % _HL), m1h * row_lo], axis=0
+    ).astype(jnp.int8)  # [4M, K]
     sums = jax.lax.dot_general(
         a,
         b,

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 __all__ = [
     "histogram",
     "otsu_threshold",
+    "otsu_threshold_batch",
     "threshold_and_count",
     "threshold_and_count_batch",
 ]
@@ -55,6 +56,68 @@ def otsu_threshold(img: jnp.ndarray, bins: int = 256) -> jnp.ndarray:
     return centers[jnp.argmax(var_b)]
 
 
+def _histogram_batch(x3: jnp.ndarray, bins: int):
+    """Per-plane histograms of [B, H, W] over each plane's [min, max] range
+    (skimage.threshold_otsu binning — same idx/edges as ``histogram``).
+
+    The round-4 config #1 profile attributed the 512² "small-plane compute
+    plateau" (~40 of 44 ms/batch at B=16) to THIS histogram's scatter-add —
+    the op family docs/PERF.md already measured at 20-40× matmul cost — not
+    to CCL as round 4 guessed.  On TPU the bincount rides the MXU one-hot
+    histogram kernel instead (bin indices as region ids): bit-identical
+    counts, no scatter anywhere.
+    """
+    lo = jnp.min(x3, axis=(-2, -1), keepdims=True)
+    hi = jnp.max(x3, axis=(-2, -1), keepdims=True)
+    span = jnp.maximum(hi - lo, 1e-12)
+    idx = jnp.clip(((x3 - lo) / span * bins).astype(jnp.int32), 0, bins - 1)
+    on_tpu = jax.default_backend() not in ("cpu", "gpu")
+    H = x3.shape[-2]
+    if on_tpu and H % 8 == 0 and bins - 1 <= 16383:
+        from particle_col_image_segmentation_tpu.ops.regionprops_tiles import (
+            region_counts_auto,
+        )
+
+        counts, _ = region_counts_auto(
+            idx, jnp.zeros(x3.shape, jnp.uint8), bins - 1, val_bound=1
+        )
+        counts = counts.astype(jnp.int32)
+    else:
+        counts = jax.vmap(
+            lambda i: jnp.zeros((bins,), jnp.int32).at[i.ravel()].add(1)
+        )(idx)
+    centers = (
+        lo[..., 0]
+        + (jnp.arange(bins, dtype=jnp.float32) + 0.5) * span[..., 0] / bins
+    )
+    return counts, centers
+
+
+def _otsu_from_hist(counts: jnp.ndarray, centers: jnp.ndarray) -> jnp.ndarray:
+    """Vectorized Otsu reduction over [..., bins] histograms — the same
+    math (and dtype policy) as ``otsu_threshold``, batched along leading
+    axes; thresholds are bit-identical to the per-plane call."""
+    c = counts.astype(jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
+    w0 = jnp.cumsum(c, axis=-1)
+    w1 = w0[..., -1:] - w0
+    m = jnp.cumsum(c * centers, axis=-1)
+    mu0 = m / jnp.maximum(w0, 1e-12)
+    mu1 = (m[..., -1:] - m) / jnp.maximum(w1, 1e-12)
+    var_b = w0 * w1 * (mu0 - mu1) ** 2
+    var_b = jnp.where((w0 > 0) & (w1 > 0), var_b, -1.0)
+    best = jnp.argmax(var_b, axis=-1)
+    return jnp.take_along_axis(centers, best[..., None], axis=-1)[..., 0]
+
+
+@partial(jax.jit, static_argnames=("bins",))
+def otsu_threshold_batch(imgs: jnp.ndarray, bins: int = 256) -> jnp.ndarray:
+    """Per-plane Otsu thresholds for a [B, H, W] stack, scatter-free on TPU
+    (see ``_histogram_batch``); bit-identical to ``otsu_threshold`` on each
+    plane."""
+    counts, centers = _histogram_batch(imgs.astype(jnp.float32), bins)
+    return _otsu_from_hist(counts, centers)
+
+
 @partial(jax.jit, static_argnames=("max_regions", "min_area"))
 def threshold_and_count(
     img: jnp.ndarray, max_regions: int = 4096, min_area: int = 1
@@ -73,7 +136,7 @@ def threshold_and_count(
     )
     from particle_col_image_segmentation_tpu.ops.regionprops import region_counts
 
-    t = otsu_threshold(img)
+    t = otsu_threshold_batch(img[None])[0]
     mask = img.astype(jnp.float32) > t
     raw = connected_components(mask.astype(jnp.uint8), background=0, num_classes=2)
     seg, num = compact_labels(raw, max_regions)
@@ -112,7 +175,7 @@ def threshold_and_count_batch(
     )
 
     x = imgs.astype(jnp.float32)
-    t = jax.vmap(otsu_threshold)(x)  # [B]
+    t = otsu_threshold_batch(x)  # [B], scatter-free on TPU
     mask = x > t[:, None, None]
     m8 = mask.astype(jnp.uint8)
     raw, conv_ccl = connected_components_auto(

@@ -929,7 +929,7 @@ def _refine_shard(bm, threshold: float, connectivity: int, max_regions: int,
 
 @lru_cache(maxsize=None)
 def make_sharded_refine_fn(mesh, threshold: float = 0.5,
-                           connectivity: int = 1, max_regions: int = 4096,
+                           connectivity: int = 1, max_regions: int = 4095,
                            max_iters: int = 4096, with_tables: bool = False):
     """The FULL refine pipeline on a mesh: probability maps [B, H, W] →
     (labels [B,H,W], markers [B,H,W], num_cells [B], converged [B]).

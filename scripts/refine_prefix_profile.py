@@ -33,7 +33,7 @@ from particle_col_image_segmentation_tpu.ops.regionprops_tiles import (
 from refine_profile import make_stack
 
 ITERS = 6
-MAX_REGIONS = 4096
+MAX_REGIONS = 4095  # matches the shipped refine default (zero-pad-row tables)
 cfg = RefineConfig()
 
 

@@ -80,6 +80,69 @@ class TestEDT:
         np.testing.assert_allclose(ours, np.round(ref))
 
 
+class TestPallasCappedEDT:
+    """edt_sq_pallas (single-pass VMEM band kernel) must be bit-identical to
+    edt_sq — both compute the exact capped transform (interpret mode here;
+    the chip probe re-checked bit-parity on hardware, docs/PERF.md)."""
+
+    @pytest.mark.parametrize("seed,shape,cap,tile", [
+        (0, (64, 128), 32, 16),
+        (1, (2, 64, 128), 20, 8),
+        (2, (128, 256), 9, 64),
+        (3, (3, 48, 128), 32, 16),
+    ])
+    def test_bit_equal_to_xla(self, seed, shape, cap, tile):
+        from particle_col_image_segmentation_tpu.ops.edt_tiles import (
+            edt_sq_pallas,
+        )
+
+        rng = np.random.default_rng(seed)
+        m = rng.random(shape) < 0.02
+        a = np.asarray(edt_sq(jnp.asarray(m), cap=cap))
+        b = np.asarray(
+            edt_sq_pallas(jnp.asarray(m), cap=cap, tile=tile, interpret=True)
+        )
+        np.testing.assert_array_equal(a, b)
+
+    @pytest.mark.parametrize("dens", [0.0, 1.0, 0.5])
+    def test_degenerate_densities(self, dens):
+        from particle_col_image_segmentation_tpu.ops.edt_tiles import (
+            edt_sq_pallas,
+        )
+
+        rng = np.random.default_rng(7)
+        m = rng.random((64, 128)) < dens
+        a = np.asarray(edt_sq(jnp.asarray(m), cap=20))
+        b = np.asarray(
+            edt_sq_pallas(jnp.asarray(m), cap=20, tile=16, interpret=True)
+        )
+        np.testing.assert_array_equal(a, b)
+
+    def test_plane_isolation(self):
+        """A feature-dense plane must not leak distances into its batch
+        neighbors (per-plane slot pads carry feature=0)."""
+        from particle_col_image_segmentation_tpu.ops.edt_tiles import (
+            edt_sq_pallas,
+        )
+
+        m = np.zeros((2, 64, 128), bool)
+        m[0] = True  # plane 0 all-feature; plane 1 empty
+        b = np.asarray(edt_sq_pallas(jnp.asarray(m), cap=20, tile=16,
+                                     interpret=True))
+        assert (b[0] == 0).all()
+        assert (b[1] == 21 * 21).all()  # saturated, no leak from plane 0
+
+    def test_auto_dispatch_cpu_matches(self):
+        from particle_col_image_segmentation_tpu.ops.edt_tiles import (
+            edt_sq_auto,
+        )
+
+        m = random_binary((80, 80), p=0.04, seed=5)
+        a = np.asarray(edt_sq(jnp.asarray(m), cap=20))
+        b = np.asarray(edt_sq_auto(jnp.asarray(m), cap=20))
+        np.testing.assert_array_equal(a, b)
+
+
 class TestCertifiedExactEDT:
     """edt_sq_exact_auto must be bit-identical to edt_sq_exact on BOTH sides
     of its runtime certificate: shallow planes (capped fast path taken) and
@@ -534,6 +597,26 @@ class TestOpenCloseThreshold:
         # binning conventions differ by half a bin; same class split matters
         assert abs(got - ref) < (img.max() - img.min()) / 256 * 2
         assert 100 < got < 160  # separates the two modes
+
+    def test_otsu_batch_matches_single(self):
+        """otsu_threshold_batch (scatter-free histogram path on TPU, vmapped
+        scatter elsewhere) must be bit-identical to per-plane otsu_threshold
+        — same bin indices, counts, and reduction (the chip probe re-checked
+        the MXU path on hardware, docs/PERF.md)."""
+        from particle_col_image_segmentation_tpu.ops.threshold import (
+            otsu_threshold,
+            otsu_threshold_batch,
+        )
+
+        rng = np.random.default_rng(4)
+        imgs = rng.normal(900.0, 200.0, (5, 64, 128)).astype(np.float32)
+        imgs[1] = 3.0  # constant plane (degenerate span)
+        imgs[2, :32] += 4000.0
+        tb = np.asarray(otsu_threshold_batch(jnp.asarray(imgs)))
+        ts = np.asarray(
+            jnp.stack([otsu_threshold(jnp.asarray(p)) for p in imgs])
+        )
+        np.testing.assert_array_equal(tb, ts)
 
     def test_threshold_and_count(self):
         from particle_col_image_segmentation_tpu.ops.threshold import (
