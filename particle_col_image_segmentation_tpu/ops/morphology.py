@@ -17,7 +17,6 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from particle_col_image_segmentation_tpu.ops.edt import edt_sq
 from particle_col_image_segmentation_tpu.ops.scans import seg_or_scan_bidi
 
 __all__ = [
